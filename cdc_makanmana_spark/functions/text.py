@@ -1,0 +1,137 @@
+"""Text normalization / analysis column expressions.
+
+Covers the reference's string cleaners (P5 `cleanName`
+halalService.ts:249-257, P6 `cleanMerchantNameForSearch`
+externalData.ts:410-423) plus the north-star text-analysis surface
+(language-ID, quality scoring, token counting, fingerprinting) used by
+the dedup / document-pipeline operators.
+
+Everything is a chain of built-in expressions — regexp_replace, split,
+transform, aggregate — so it runs JVM-side under codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Business suffixes stripped by the reference cleaner
+# (reference: src/services/halalService.ts:252).
+_BUSINESS_SUFFIX_RE = r"\b(pte|ltd|private|limited|sdn|bhd)\b"
+# Stall/unit numbers like "#01-23" and standalone digit runs
+# (reference: src/services/halalService.ts:253-254).
+_STALL_RE = r"#?\d+[-\d]*"
+_PUNCT_RE = r"[^\w\s]"
+
+
+def clean_name(col: Column | str) -> Column:
+    """Normalize a business name: lowercase, strip business suffixes,
+    stall/unit numbers, punctuation; collapse whitespace.
+
+    Parity target: ``cleanName`` (reference:
+    src/services/halalService.ts:249-257).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, _BUSINESS_SUFFIX_RE, " ")
+    c = F.regexp_replace(c, _STALL_RE, " ")
+    c = F.regexp_replace(c, _PUNCT_RE, " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def clean_name_for_search(col: Column | str, max_words: int = 4) -> Column:
+    """Search-variant normalizer: strip suffixes, ``#12-34`` markers,
+    parentheticals and ``@...`` tails, then truncate to the first
+    ``max_words`` words.
+
+    Parity target: ``cleanMerchantNameForSearch`` (reference:
+    src/services/externalData.ts:410-423).
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    c = F.regexp_replace(c, _BUSINESS_SUFFIX_RE, " ")
+    c = F.regexp_replace(c, r"#\d+[-\d]*", " ")
+    c = F.regexp_replace(c, r"\(.*?\)", " ")
+    c = F.regexp_replace(c, r"@.*$", " ")
+    c = F.regexp_replace(c, _PUNCT_RE, " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.array_join(F.slice(F.split(c, " "), 1, max_words), " ")
+
+
+def tokenize_words(col: Column | str, min_len: int = 3) -> Column:
+    """Split cleaned text into distinct word tokens of length >=
+    ``min_len`` — the token-set used by the similarity join
+    (reference: src/services/halalService.ts:119-123 filters words of
+    length > 2).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, r"\s+")
+    return F.array_distinct(
+        F.filter(toks, lambda t: F.length(t) >= F.lit(min_len))
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count (BPE-approximating regex: words,
+    numbers, and individual punctuation marks each count)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    return F.size(F.filter(toks, lambda t: t != F.lit("")))
+
+
+def language_id(col: Column | str) -> Column:
+    """Cheap n-gram/stopword language heuristic over a text column.
+
+    Scores a handful of high-frequency function words per language and
+    picks the argmax; 'und' (undetermined) when nothing matches. This
+    is deliberately a pure-SQL heuristic (the real classifier would be
+    a broadcast model in a pandas UDF); it exists to exercise the
+    pipeline shape at scale.
+    """
+    c = F.lower(F.col(col) if isinstance(col, str) else col)
+    padded = F.concat(F.lit(" "), F.regexp_replace(c, r"[^\p{L}\s]", " "), F.lit(" "))
+
+    def hits(words: list[str]) -> Column:
+        score = F.lit(0)
+        for w in words:
+            score = score + F.when(padded.contains(f" {w} "), 1).otherwise(0)
+        return score
+
+    en = hits(["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"])
+    es = hits(["el", "la", "de", "que", "los", "las", "una", "por", "con", "para"])
+    fr = hits(["le", "les", "des", "est", "dans", "une", "pour", "que", "pas", "sur"])
+    de = hits(["der", "die", "und", "ist", "das", "nicht", "ein", "mit", "von", "auf"])
+    best = F.greatest(en, es, fr, de)
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality score in [0,1]: blend of length band,
+    alpha ratio, and punctuation sanity. Deterministic, pure-expression
+    — the standard cheap pre-filter before expensive dedup stages.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    alpha = F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double")
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    len_score = F.when(n < 20, n / 20.0).when(n > 20000, F.lit(0.5)).otherwise(F.lit(1.0))
+    alpha_ratio = F.when(n > 0, alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    punct_score = F.when(punct_ratio > 0.2, F.lit(0.2)).otherwise(F.lit(1.0))
+    return F.round(len_score * 0.4 + alpha_ratio * 0.4 + punct_score * 0.2, 6)
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint: md5 of the whitespace/case-normalized text.
+
+    Used for exact dedup; md5 (not Spark's murmur ``hash``) so DuckDB
+    computes the identical value for the oracle diff.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(F.encode(normalized, "UTF-8"))

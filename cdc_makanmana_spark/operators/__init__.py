@@ -1,0 +1,37 @@
+"""Composed operators (SURVEY.md §2.3-2.7 + north-star extensions)."""
+
+from cdc_makanmana_spark.operators.search import multi_column_search, route_search_term
+from cdc_makanmana_spark.operators.radius import radius_query
+from cdc_makanmana_spark.operators.similarity import (
+    argmax_per_group,
+    similarity_join,
+    word_similarity_ratio,
+)
+from cdc_makanmana_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from cdc_makanmana_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
+from cdc_makanmana_spark.operators.enrich import (
+    prefix_fallback_join,
+    priority_coalesce_enrich,
+)
+
+__all__ = [
+    "multi_column_search",
+    "route_search_term",
+    "radius_query",
+    "argmax_per_group",
+    "similarity_join",
+    "word_similarity_ratio",
+    "dedup_exact",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "simhash_buckets",
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "prefix_fallback_join",
+    "priority_coalesce_enrich",
+]

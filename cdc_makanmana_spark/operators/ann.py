@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+North-star similarity-search surface over
+``embeddings(vec_id, embedding array<float>, label)``:
+
+- ``cosine_topk_bruteforce``: exact top-k by cosine similarity against
+  a literal query vector. The dot product is a ``zip_with`` +
+  ``aggregate`` expression (JVM-side, codegen) and the top-k is
+  ``orderBy().limit(k)`` → Catalyst plans TakeOrderedAndProject, so
+  each partition keeps only k rows and the driver merges — no global
+  sort. This is the correctness baseline and is already
+  embarrassingly parallel at 100 TB.
+- ``cosine_topk_lsh``: random-hyperplane LSH variant — the scale path.
+  Deterministic hyperplanes (seeded), sign-bit signature per vector,
+  candidates = rows whose signature is within ``probe_bits`` of the
+  query's bucket (multi-probe), exact rerank on candidates only. At
+  1000 executors the signature filter prunes ~(1/2^bits) of the scan
+  before any float math runs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    denom = _norm(a) * _norm(b)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k vs a literal query vector.
+
+    Ties broken by id so results are deterministic across engines.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.withColumn("cosine_sim", F.round(cosine_similarity(F.col(vec_col), q), 6))
+    return (
+        scored.orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .select(id_col, "cosine_sim")
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG — stdlib-only,
+    reproducible across platforms, no numpy RNG state concerns)."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # Map to (-1, 1)
+            v.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0."""
+    sig = None
+    for i, p in enumerate(planes):
+        pl = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.shiftleft(
+            F.when(_dot(vec_col, pl) > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+            i,
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return sig
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    bits: int = 8,
+    probe_bits: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """LSH-pruned cosine top-k: filter to rows whose random-hyperplane
+    signature is within Hamming distance ``probe_bits`` of the query's,
+    then exact-rerank. Recall grows with ``probe_bits``; cost grows as
+    sum(C(bits, d) for d <= probe_bits)/2^bits of the scan.
+    """
+    dim = len(query_vec)
+    planes = _hyperplanes(dim, bits, seed)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(query_vec, p)) > 0:
+            qsig |= 1 << i
+
+    sig = lsh_signature(F.col(vec_col), planes)
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        df.withColumn("__ham", hamming)
+        .filter(F.col("__ham") <= probe_bits)
+        .withColumn("cosine_sim", F.round(cosine_similarity(F.col(vec_col), q), 6))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .select(id_col, "cosine_sim")
+        .limit(k)
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked: vectors sharing an
+    exact signature bucket are candidates; exact cosine confirms.
+    Returns (id_a, id_b, cosine_sim). High thresholds pair with enough
+    bits that true dups rarely straddle a bucket boundary; a banded
+    variant (multiple independent signatures) raises recall.
+    """
+    dim = len(df.select(F.size(vec_col)).first()[0]) if df.schema[vec_col].dataType else 0
+    planes = _hyperplanes(dim, bits, seed)
+    sigs = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+    )
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__sig")
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__sig")
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .dropDuplicates(["id_a", "id_b"])
+    )

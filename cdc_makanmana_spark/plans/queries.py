@@ -1,0 +1,541 @@
+"""Declared query surface (SURVEY.md §7): every operator of the
+inventory exposed as a (spark_fn, oracle_sql) pair the driver can
+hash-diff against DuckDB at sf0.01.
+
+Conventions that keep the diff stable:
+- every computed column is aliased identically in Spark and SQL;
+- float aggregates are rounded (2 dp money, 4-6 dp ratios) so
+  summation-order FP noise can't flip the value hash;
+- every top-k has a deterministic tie-break key;
+- Spark-side timestamps use the UTC session timezone so wall-clock
+  values match DuckDB's naive timestamps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark.functions.geo import haversine_km
+from cdc_makanmana_spark.functions.text import (
+    clean_name,
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from cdc_makanmana_spark.operators.ann import cosine_topk_bruteforce
+from cdc_makanmana_spark.operators.dedup import dedup_exact
+from cdc_makanmana_spark.operators.search import multi_column_search
+from cdc_makanmana_spark.operators.similarity import argmax_per_group
+from cdc_makanmana_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE_SQL: dict[str, str] = {}
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE_SQL[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY.md §2.7): aggregates, joins, windows,
+# set ops, top-k — all Catalyst built-ins; declared here so the oracle
+# checks the full standard surface on the TPC-H-ish fixtures.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Single hash-agg with map-side
+    partials; the shipdate filter pushes into the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_top_orders_by_segment",
+    """
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped join→agg→top-k. customer is the small side →
+    broadcast; top-k plans TakeOrderedAndProject (no global sort)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_region_nation_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped star join: all dims broadcast → the fact table
+    never shuffles until the final (small-key) aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@query(
+    "q04_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 100000)
+    """,
+)
+def q04_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the halal-only filter shape, SURVEY F5)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q05_customers_without_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the residual selector of the two-tier
+    exact-then-fuzzy strategy (SURVEY §4)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q06_rollup_region_nation",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
+        .rollup("region_name", "nation_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@query(
+    "q07_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q07_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+    )
+
+
+@query(
+    "q08_topk_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q08_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group — the argmax-per-group pattern behind
+    best-match selection (halalService.ts:146-149), generalized."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "q09_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def q09_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+    )
+
+
+@query(
+    "q10_nation_setops",
+    """
+    SELECT 'customer_and_supplier' AS tag, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customer_only' AS tag, n_nationkey FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def q10_nation_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
+    both = c.intersect(s).select(F.lit("customer_and_supplier").alias("tag"), "n_nationkey")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("tag"), "n_nationkey")
+    return both.unionByName(only)
+
+
+@query(
+    "q11_topk_expensive_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+    """,
+)
+def q11_topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (SURVEY O3): orderBy+limit → TakeOrderedAndProject."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-derived operators (SURVEY.md §2.2-2.6) on the fixtures.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_search_documents",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE contains(lower(text), 'vector') OR contains(lower(lang), 'vector')
+       OR contains(lower(source), 'vector')
+    """,
+)
+def q12_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column disjunctive substring search (SURVEY F1) over
+    documents — the reference's keystroke search generalized."""
+    d = _t(spark, sf_dir, "documents")
+    return multi_column_search(d, "vector", ["text", "lang", "source"]).select(
+        "doc_id", "lang", "source"
+    )
+
+
+_HAVERSINE_SQL = """
+  round(2 * 6371.0 * asin(sqrt(
+      pow(sin(radians(({lat2}) - ({lat1})) / 2), 2)
+      + cos(radians({lat1})) * cos(radians({lat2}))
+        * pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))), 4)
+"""
+
+
+@query(
+    "q13_radius_customers",
+    f"""
+    WITH geo AS (
+      SELECT c_custkey, c_name,
+             1.15 + (c_custkey % 661) / 661.0 * 0.33 AS lat,
+             103.6 + (c_custkey % 997) / 997.0 * 0.5 AS lon
+      FROM customer)
+    SELECT c_custkey, c_name,
+           {_HAVERSINE_SQL.format(lat1='1.3521', lon1='103.8198', lat2='lat', lon2='lon')} AS distance_km
+    FROM geo
+    WHERE {_HAVERSINE_SQL.format(lat1='1.3521', lon1='103.8198', lat2='lat', lon2='lon')} <= 8.0
+    """,
+)
+def q13_radius_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial radius query (SURVEY G1-G3): deterministic synthetic
+    coordinates from the key, bounding-box pre-filter (sargable, prunes
+    the scan), exact haversine on survivors. The oracle checks only the
+    haversine semantics; the bbox is a strict superset so results are
+    identical."""
+    from cdc_makanmana_spark.functions.geo import bounding_box_predicate
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.lit(1.15) + (F.col("c_custkey") % 661) / 661.0 * 0.33).alias("lat"),
+        (F.lit(103.6) + (F.col("c_custkey") % 997) / 997.0 * 0.5).alias("lon"),
+    )
+    dist = F.round(haversine_km(F.lit(1.3521), F.lit(103.8198), F.col("lat"), F.col("lon")), 4)
+    return (
+        c.filter(bounding_box_predicate("lat", "lon", 1.3521, 103.8198, 8.0))
+        .withColumn("distance_km", dist)
+        .filter(F.col("distance_km") <= 8.0)
+        .select("c_custkey", "c_name", "distance_km")
+    )
+
+
+@query(
+    "q14_clean_names",
+    r"""
+    SELECT s_suppkey,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             lower(s_name),
+             '\b(pte|ltd|private|limited|sdn|bhd)\b', ' ', 'g'),
+             '#?\d+[-\d]*', ' ', 'g'),
+             '[^\w\s]', ' ', 'g'),
+             '\s+', ' ', 'g')) AS cleaned
+    FROM supplier
+    """,
+)
+def q14_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name normalizer P5 (cleanName, halalService.ts:249-257)."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", clean_name("s_name").alias("cleaned"))
+
+
+@query(
+    "q15_dedup_exact_documents",
+    """
+    WITH fp AS (
+      SELECT doc_id, n_chars,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpr
+      FROM documents)
+    SELECT f.doc_id, f.n_chars
+    FROM fp f JOIN (SELECT fpr, min(doc_id) AS doc_id FROM fp GROUP BY fpr) k
+      ON f.doc_id = k.doc_id AND f.fpr = k.fpr
+    """,
+)
+def q15_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via md5 fingerprint (north-star dedup tier 1)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    return dedup_exact(d, "text", "doc_id").select("doc_id", "n_chars")
+
+
+@query(
+    "q16_text_analysis",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^\p{L}]', '', 'g'))::DOUBLE AS alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
+             ' ' || regexp_replace(lower(text), '[^\p{L}\s]', ' ', 'g') || ' ' AS padded
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+          AS n_tokens,
+        (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' is ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' in ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' it ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' for ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END) AS en,
+        (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' los ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' las ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' por ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' con ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' para ') THEN 1 ELSE 0 END) AS es,
+        (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' des ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' dans ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' une ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' pour ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' pas ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' sur ') THEN 1 ELSE 0 END) AS fr,
+        (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' ist ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' nicht ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' ein ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' mit ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' von ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' auf ') THEN 1 ELSE 0 END) AS de,
+        round((CASE WHEN n < 20 THEN n / 20.0 WHEN n > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+          + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+          + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) > 0.2 THEN 0.2 ELSE 1.0 END) * 0.2, 6)
+          AS quality
+      FROM t)
+    SELECT doc_id, n_tokens,
+           CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, fr, de) THEN 'en'
+                WHEN es = greatest(en, es, fr, de) THEN 'es'
+                WHEN fr = greatest(en, es, fr, de) THEN 'fr'
+                ELSE 'de' END AS lang_guess,
+           quality
+    FROM scored
+    """,
+)
+def q16_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis: token count, language-ID heuristic,
+    quality score — all pure column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        language_id("text").alias("lang_guess"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q17_tumbling_window_events",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q17_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (SURVEY §2.8) — the batch
+    twin of the streaming windowed agg in streaming/cdc.py (same
+    ``F.window`` expression runs under readStream with a watermark)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+@query(
+    "q18_latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def q18_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax-per-group (SURVEY §4 item 2) — latest CDC event per key,
+    the dedup step of the upsert materializer."""
+    e = _t(spark, sf_dir, "events")
+    return argmax_per_group(e, ["user_id"], [F.desc("ts"), F.desc("event_id")]).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+
+
+_QUERY_VEC = [round(((i * 37) % 101) / 101.0, 6) for i in range(64)]
+
+
+@query(
+    "q19_ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT {_QUERY_VEC!r}::DOUBLE[] AS qv),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+      FROM embeddings, q)
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q19_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (north-star
+    similarity search baseline; LSH variant in operators/ann.py)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, _QUERY_VEC, k=10)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Driver smoke-check query (entry): the pricing summary."""
+    return q01_pricing_summary(spark, sf_dir)

@@ -1,0 +1,42 @@
+"""SparkSession bootstrap with scale-appropriate defaults.
+
+The reference app runs single-threaded in a browser and hand-rolls
+chunked execution (reference: src/utils/merchantUtils.ts:37-52); here
+partition parallelism replaces chunking and AQE replaces hand-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "cdc-makanmana-spark") -> SparkSession:
+    """Build (or fetch) the session.
+
+    Settings chosen for the 100 TB design point, scaled to local mode:
+    - AQE on: runtime partition coalescing, skew-join splitting, and
+      dynamic broadcast conversion — the knobs that keep big shuffles
+      healthy on a real cluster.
+    - Arrow on: every pandas UDF / ``applyInPandas`` path ships
+      columnar batches instead of pickled rows.
+    - shuffle.partitions sized to cores locally; on a cluster this is
+      AQE-coalesced from a deliberately high initial number.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

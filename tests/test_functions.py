@@ -1,0 +1,133 @@
+"""Unit tests for the scalar function library (SURVEY.md §5 item 2):
+golden cases for the cleaners, classifiers, haversine properties, and
+text-analysis expressions."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark.functions.classify import keyword_classes, keyword_flag_with_veto
+from cdc_makanmana_spark.functions.geo import format_distance, haversine_km
+from cdc_makanmana_spark.functions.text import (
+    clean_name,
+    clean_name_for_search,
+    doc_fingerprint,
+    language_id,
+    token_count,
+    tokenize_words,
+)
+
+
+def one(spark, expr, **cols):
+    row = spark.createDataFrame([cols]).select(expr.alias("v")).first()
+    return row["v"]
+
+
+# --- clean_name (P5, halalService.ts:249-257 parity) ----------------------
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("Al-Amin Restaurant Pte Ltd", "al amin restaurant"),
+        ("HAJI WARUNG #01-23", "haji warung"),
+        ("Mak's  Kitchen   (Halal)", "mak s kitchen halal"),
+        ("ABC Private Limited", "abc"),
+        ("Nasi Lemak Sdn Bhd", "nasi lemak"),
+        ("Plain Name", "plain name"),
+    ],
+)
+def test_clean_name(spark, raw, expected):
+    assert one(spark, clean_name("name"), name=raw) == expected
+
+
+def test_clean_name_for_search_truncates(spark):
+    got = one(spark, clean_name_for_search("name"), name="One Two Three Four Five Six")
+    assert got == "one two three four"
+
+
+def test_clean_name_for_search_strips_at_tail(spark):
+    got = one(spark, clean_name_for_search("name"), name="Kopi Corner @ Bedok (Unit #02-11)")
+    assert got == "kopi corner"
+
+
+# --- tokenize / token_count ------------------------------------------------
+
+def test_tokenize_words_min_len_and_distinct(spark):
+    got = one(spark, tokenize_words(F.lit("ab abc abcd abc de")))
+    assert got == ["abc", "abcd"]
+
+
+def test_token_count(spark):
+    assert one(spark, token_count("t"), t="  the quick  brown fox ") == 4
+    assert one(spark, token_count("t"), t="") == 0
+
+
+# --- keyword classifiers (P2/P8) -------------------------------------------
+
+RULES = {
+    "Malay": ["nasi", "warung", "satay"],
+    "Chinese": ["kopitiam", "wanton", "dim sum"],
+    "Indian": ["biryani", "prata", "tandoori"],
+}
+
+
+def test_keyword_classes_multi_label(spark):
+    got = one(spark, keyword_classes("name", RULES, default="Local"),
+              name="Nasi Biryani House")
+    assert sorted(got) == ["Indian", "Malay"]
+
+
+def test_keyword_classes_default(spark):
+    got = one(spark, keyword_classes("name", RULES, default="Local"), name="Joe's Diner")
+    assert got == ["Local"]
+
+
+def test_keyword_veto_blocks_positive(spark):
+    # negative keyword vetoes even when a positive keyword is present
+    # (externalData.ts:455-457 order: veto first).
+    expr = keyword_flag_with_veto("t", positive=["halal", "warung"], negative=["pork", "bacon"])
+    assert one(spark, expr, t="Halal Pork Ribs") is False
+    assert one(spark, expr, t="Warung Makan") is True
+    assert one(spark, expr, t="Plain Cafe") is False
+
+
+# --- haversine (G1) properties ---------------------------------------------
+
+def test_haversine_zero_distance(spark):
+    d = one(spark, haversine_km(F.lit(1.35), F.lit(103.8), F.lit(1.35), F.lit(103.8)))
+    assert d == pytest.approx(0.0, abs=1e-9)
+
+
+def test_haversine_symmetry(spark):
+    d1 = one(spark, haversine_km(F.lit(1.30), F.lit(103.7), F.lit(1.40), F.lit(103.9)))
+    d2 = one(spark, haversine_km(F.lit(1.40), F.lit(103.9), F.lit(1.30), F.lit(103.7)))
+    assert d1 == pytest.approx(d2, rel=1e-12)
+
+
+def test_haversine_known_value(spark):
+    # Changi (1.3644, 103.9915) to Jurong East (1.3329, 103.7436) ≈ 27.8 km
+    d = one(spark, haversine_km(F.lit(1.3644), F.lit(103.9915), F.lit(1.3329), F.lit(103.7436)))
+    assert d == pytest.approx(27.8, abs=0.5)
+
+
+def test_format_distance(spark):
+    assert one(spark, format_distance(F.lit(0.85))) == "850m"
+    assert one(spark, format_distance(F.lit(1.23))) == "1.2km"
+
+
+# --- text analysis ----------------------------------------------------------
+
+def test_language_id(spark):
+    assert one(spark, language_id("t"), t="the cat and the dog is in that house for it") == "en"
+    assert one(spark, language_id("t"), t="el gato y la casa de los que para con") == "es"
+    assert one(spark, language_id("t"), t="xyzzy qwerty") == "und"
+
+
+def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
+    a = one(spark, doc_fingerprint("t"), t="Hello   World")
+    b = one(spark, doc_fingerprint("t"), t="hello world ")
+    c = one(spark, doc_fingerprint("t"), t="hello worlds")
+    assert a == b != c

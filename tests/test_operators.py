@@ -1,0 +1,245 @@
+"""Operator tests on synthetic domain fixtures (FIXTURES.md part A
+shapes, generated deterministically in-code) plus the driver parquet
+fixtures at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from cdc_makanmana_spark.operators.enrich import (
+    prefix_fallback_join,
+    priority_coalesce_enrich,
+)
+from cdc_makanmana_spark.operators.radius import radius_query
+from cdc_makanmana_spark.operators.search import multi_column_search, route_search_term
+from cdc_makanmana_spark.operators.similarity import argmax_per_group, similarity_join
+from cdc_makanmana_spark.tables import load_table
+
+
+# --- search router (F2) ------------------------------------------------------
+
+def test_route_search_term():
+    assert route_search_term("") == ("empty", None)
+    assert route_search_term("  ") == ("empty", None)
+    assert route_search_term("560123") == ("postal", "560123")
+    assert route_search_term("blk 5 Singapore 560123 foo") == ("postal", "560123")
+    assert route_search_term("chicken rice") == ("text", "chicken rice")
+
+
+def test_multi_column_search(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, name="Hainanese Chicken Rice", address="1 Maxwell Rd", cuisine=["Chinese"]),
+            Row(id=2, name="Satay Corner", address="Lau Pa Sat", cuisine=["Malay", "BBQ Chicken"]),
+            Row(id=3, name="Veggie Bowl", address="Chicken Street 5", cuisine=["Salad"]),
+            Row(id=4, name="Pasta Place", address="2 Orchard Rd", cuisine=["Italian"]),
+        ]
+    )
+    got = multi_column_search(df, "chicken", ["name", "address"], ["cuisine"])
+    assert sorted(r.id for r in got.collect()) == [1, 2, 3]
+    # blank term → passthrough (F7)
+    assert multi_column_search(df, " ", ["name"]).count() == 4
+
+
+# --- radius query (G3) --------------------------------------------------------
+
+def test_radius_query_filters_and_sorts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id="near", LAT=1.3530, LON=103.8200),
+            Row(id="mid", LAT=1.3800, LON=103.8500),
+            Row(id="far", LAT=1.4500, LON=104.0000),
+        ]
+    )
+    got = radius_query(df, 1.3521, 103.8198, radius_km=10.0).collect()
+    assert [r.id for r in got] == ["near", "mid"]
+    assert got[0].distance_km < 0.5
+    assert got[1].distance_km < 10.0
+
+
+# --- similarity join (J1-J4) ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def er_fixture(spark):
+    merchants = spark.createDataFrame(
+        [
+            # exact cleaned-name match, same postal → EXACT_POSTAL
+            Row(id="m1", name="Al-Amin Restaurant Pte Ltd", postal="560123"),
+            # exact cleaned-name match, different postal → EXACT_NAME
+            Row(id="m2", name="Haji Satay House #01-23", postal="111111"),
+            # fuzzy: abbreviation variant (restaurant → rest)
+            Row(id="m3", name="Bismillah Biryani Restaurant Dhoby", postal="238826"),
+            # generic-words-only overlap → must NOT match (specific gate)
+            Row(id="m4", name="Western Food Kitchen", postal="333333"),
+            # no candidate at all
+            Row(id="m5", name="Quantum Flux Labs", postal="444444"),
+        ]
+    )
+    establishments = spark.createDataFrame(
+        [
+            Row(eid="h1", ename="Al Amin Restaurant", epostal="560123"),
+            Row(eid="h2", ename="Haji Satay House", epostal="999999"),
+            Row(eid="h3", ename="Bismillah Biryani Rest Dhoby", epostal="238826"),
+            Row(eid="h4", ename="Western Food Palace Kitchen", epostal="555555"),
+        ]
+    )
+    return merchants, establishments
+
+
+def test_similarity_join_tiers(spark, er_fixture):
+    merchants, est = er_fixture
+    got = {
+        r["id_l"]: r
+        for r in similarity_join(
+            merchants, est, "name", "ename", "id", "eid", "postal", "epostal"
+        ).collect()
+    }
+    assert got["m1"]["match_source"] == "EXACT_POSTAL"
+    assert got["m1"]["eid_r"] == "h1"
+    assert got["m2"]["match_source"] == "EXACT_NAME"
+    assert got["m2"]["eid_r"] == "h2"
+    assert got["m3"]["match_source"] == "SIMILAR_POSTAL"
+    assert got["m3"]["eid_r"] == "h3"
+    assert got["m3"]["similarity"] >= 0.95
+    # generic-only overlap rejected (halalService.ts:136-138 gate)
+    assert got["m4"]["eid_r"] is None
+    assert got["m5"]["eid_r"] is None
+    # every left row present exactly once
+    assert len(got) == 5
+
+
+def test_argmax_per_group(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=1, id=1), Row(g="a", v=9, id=2), Row(g="b", v=5, id=3)]
+    )
+    got = argmax_per_group(df, ["g"], [F.desc("v")]).collect()
+    assert {(r.g, r.id) for r in got} == {("a", 2), ("b", 3)}
+
+
+# --- dedup family ---------------------------------------------------------------
+
+def test_dedup_exact(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="Hello   World"),
+            Row(doc_id=2, text="hello world"),   # same after normalization
+            Row(doc_id=3, text="something else"),
+        ]
+    )
+    got = dedup_exact(df, "text", "doc_id")
+    assert sorted(r.doc_id for r in got.collect()) == [1, 3]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " tomorrow"),      # near-dup
+            Row(doc_id=3, text="completely different words entirely here now"),
+        ]
+    )
+    pairs = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].jaccard > 0.5
+
+
+def test_minhash_near_duplicates(spark):
+    base = ("spark is a unified analytics engine for large scale data "
+            "processing with high level apis in scala java python and r")
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # identical → est_jaccard 1.0
+            Row(doc_id=3, text="totally unrelated content about cooking pasta at home"),
+        ]
+    )
+    pairs = minhash_near_duplicates(df, "text", "doc_id", threshold=0.9).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].est_jaccard == 1.0
+
+
+def test_simhash_similar_docs_close(spark):
+    # SimHash needs enough tokens for the per-bit votes to stabilize;
+    # with tiny docs the sign of a near-zero vote flips on one token.
+    import random
+
+    rng = random.Random(1)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    base = " ".join(rng.sample(vocab, 60))
+    near = base + " extraword"
+    other = " ".join(f"x{i:03d}" for i in range(60))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=near), Row(doc_id=3, text=other)]
+    )
+    got = {r["__id"]: r["simhash"] for r in simhash_buckets(df, "text", "doc_id").collect()}
+    ham12 = bin(got[1] ^ got[2]).count("1")
+    ham13 = bin(got[1] ^ got[3]).count("1")
+    assert ham12 <= 8 < ham13
+
+
+# --- enrichment joins (J5, J7) ----------------------------------------------------
+
+def test_prefix_fallback_join(spark):
+    fact = spark.createDataFrame(
+        [Row(id=1, postal="560123"), Row(id=2, postal="560999"), Row(id=3, postal="999999")]
+    )
+    dim = spark.createDataFrame(
+        [Row(postal="560123", lat=1.36, lng=103.85), Row(postal="560001", lat=1.37, lng=103.84)]
+    )
+    got = {
+        r.id: r
+        for r in prefix_fallback_join(
+            fact, dim, "postal", "postal", ["lat", "lng"],
+            defaults={"lat": 1.3521, "lng": 103.8198},
+        ).collect()
+    }
+    assert got[1].lat == 1.36          # exact
+    assert got[2].lat == 1.37          # prefix 560 → min-key row 560001
+    assert got[3].lat == 1.3521        # default constant
+
+
+def test_priority_coalesce_enrich(spark):
+    fact = spark.createDataFrame([Row(id="a"), Row(id="b"), Row(id="c")])
+    google = spark.createDataFrame([Row(key="a", phone="g-1", category=None)])
+    onemap = spark.createDataFrame(
+        [Row(key="a", phone="o-1", category="food"), Row(key="b", phone="o-2", category="shop")]
+    )
+    got = {
+        r.id: r
+        for r in priority_coalesce_enrich(
+            fact, [(google, "google"), (onemap, "onemap")],
+            "id", "key", ["phone", "category"], provenance_col="enrich_source",
+        ).collect()
+    }
+    assert got["a"].phone == "g-1"               # google wins priority
+    assert got["a"].category == "food"           # per-column fallback
+    assert got["a"].enrich_source == "google"
+    assert got["b"].phone == "o-2"
+    assert got["b"].enrich_source == "onemap"
+    assert got["c"].phone is None
+    assert got["c"].enrich_source is None
+
+
+# --- fixture smoke (t1 shape) -------------------------------------------------------
+
+def test_flagship_on_sf0001(spark, sf_dir):
+    from cdc_makanmana_spark.plans.queries import flagship
+
+    rows = flagship(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert rows[0]["count_order"] > 0
+
+
+def test_events_nanos_readable(spark, sf_dir):
+    e = load_table(spark, "events", sf_dir)
+    assert dict(e.dtypes)["ts"] == "timestamp"
+    assert e.count() > 0
