@@ -30,9 +30,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen once so per-query numbers measure the plan,
-    # not first-call classloading.
-    next(iter(QUERIES.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm every plan once at the smallest sf: whole-stage codegen
+    # compiles per plan shape and caches the generated class, so the
+    # timed sf run measures execution, not first-call JIT/classloading.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for fn in QUERIES.values():
+        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():

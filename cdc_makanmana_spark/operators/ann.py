@@ -49,6 +49,19 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.when(denom == 0, F.lit(0.0)).otherwise(_dot(a, b) / denom)
 
 
+def _cosine_vs_literal(vec: Column, query_vec: list[float]) -> Column:
+    """Cosine vs a LITERAL query: the query's norm is computed in
+    Python, not as a Catalyst expression. (Folding an ``aggregate``
+    over a 64-literal array inside a ``when`` costs ~10 s of analyzer
+    time per query — measured; the Python float is free and the FP
+    sequence matches a sequential SQL sum.)"""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # plain sequential sum — the same FP sequence DuckDB's
+    # list_dot_product uses, so the oracle rounds identically
+    qnorm = math.sqrt(sum(x * x for x in query_vec))
+    return _dot(vec, q) / (_norm(vec) * F.lit(qnorm))
+
+
 def cosine_topk_bruteforce(
     df: DataFrame,
     query_vec: list[float],
@@ -60,8 +73,9 @@ def cosine_topk_bruteforce(
 
     Ties broken by id so results are deterministic across engines.
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.withColumn("cosine_sim", F.round(cosine_similarity(F.col(vec_col), q), 6))
+    scored = df.withColumn(
+        "cosine_sim", F.round(_cosine_vs_literal(F.col(vec_col), query_vec), 6)
+    )
     return (
         scored.orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .select(id_col, "cosine_sim")
@@ -122,11 +136,10 @@ def cosine_topk_lsh(
 
     sig = lsh_signature(F.col(vec_col), planes)
     hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         df.withColumn("__ham", hamming)
         .filter(F.col("__ham") <= probe_bits)
-        .withColumn("cosine_sim", F.round(cosine_similarity(F.col(vec_col), q), 6))
+        .withColumn("cosine_sim", F.round(_cosine_vs_literal(F.col(vec_col), query_vec), 6))
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .select(id_col, "cosine_sim")
         .limit(k)

@@ -436,16 +436,17 @@ def q15_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text)::DOUBLE AS n,
              length(regexp_replace(text, '[^\p{L}]', '', 'g'))::DOUBLE AS alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct,
-             ' ' || regexp_replace(lower(text), '[^\p{L}\s]', ' ', 'g') || ' ' AS padded
+             list_distinct(string_split_regex(
+               regexp_replace(lower(text), '[^\p{L}\s]+', ' ', 'g'), '\s+')) AS words
       FROM documents),
     scored AS (
       SELECT doc_id,
         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
           AS n_tokens,
-        (CASE WHEN contains(padded, ' the ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' and ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' of ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' to ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' is ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' in ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' that ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' it ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' for ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' with ') THEN 1 ELSE 0 END) AS en,
-        (CASE WHEN contains(padded, ' el ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' la ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' de ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' los ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' las ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' una ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' por ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' con ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' para ') THEN 1 ELSE 0 END) AS es,
-        (CASE WHEN contains(padded, ' le ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' les ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' des ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' est ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' dans ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' une ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' pour ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' que ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' pas ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' sur ') THEN 1 ELSE 0 END) AS fr,
-        (CASE WHEN contains(padded, ' der ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' die ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' und ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' ist ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' das ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' nicht ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' ein ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' mit ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' von ') THEN 1 ELSE 0 END + CASE WHEN contains(padded, ' auf ') THEN 1 ELSE 0 END) AS de,
+        len(list_intersect(words, ['the','and','of','to','is','in','that','it','for','with'])) AS en,
+        len(list_intersect(words, ['el','la','de','que','los','las','una','por','con','para'])) AS es,
+        len(list_intersect(words, ['le','les','des','est','dans','une','pour','que','pas','sur'])) AS fr,
+        len(list_intersect(words, ['der','die','und','ist','das','nicht','ein','mit','von','auf'])) AS de,
         round((CASE WHEN n < 20 THEN n / 20.0 WHEN n > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
           + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
           + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) > 0.2 THEN 0.2 ELSE 1.0 END) * 0.2, 6)
