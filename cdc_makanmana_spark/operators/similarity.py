@@ -200,13 +200,36 @@ def similarity_join(
     )
 
     # Scoring: tokens of the left name that match ANY right token under
-    # the word-match relation (halalService.ts:124-132).
-    matching = F.filter(
-        F.col("l_tokens"),
-        lambda lt: F.exists(F.col("r_tokens"), lambda rt: words_match(lt, rt)),
+    # the word-match relation (halalService.ts:124-132). Two-part
+    # decomposition so everything stays in whole-stage codegen
+    # (higher-order-function lambdas are interpreted per-row and cost
+    # ~10× — measured):
+    #   exact part:  array_intersect(l_tokens, r_tokens)       (native)
+    #   fuzzy part:  only the non-exact l residue, exploded to
+    #                (pair, lt, rt) rows and filtered with native
+    #                contains/abbrev/levenshtein, re-aggregated.
+    cand = cand.withColumn(
+        "exact_matching", F.array_intersect("l_tokens", "r_tokens")
+    ).withColumn("l_resid", F.array_except("l_tokens", "r_tokens"))
+
+    fuzzy = (
+        cand.filter(F.size("l_resid") > 0)
+        .select("l_id", "r_id", F.explode("l_resid").alias("lt"), "r_tokens")
+        .select("l_id", "r_id", "lt", F.explode("r_tokens").alias("rt"))
+        .filter(words_match(F.col("lt"), F.col("rt")))
+        .groupBy("l_id", "r_id")
+        .agg(F.collect_set("lt").alias("fuzzy_matching"))
     )
+
     scored = (
-        cand.withColumn("matching", matching)
+        cand.join(fuzzy, ["l_id", "r_id"], "left")
+        .withColumn(
+            "matching",
+            F.concat(
+                F.col("exact_matching"),
+                F.coalesce(F.col("fuzzy_matching"), F.array().cast("array<string>")),
+            ),
+        )
         .withColumn(
             "similarity",
             F.size("matching").cast("double")

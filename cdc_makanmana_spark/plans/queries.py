@@ -537,6 +537,251 @@ def q19_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_bruteforce(e, _QUERY_VEC, k=10)
 
 
+# ---------------------------------------------------------------------------
+# Entity resolution (SURVEY.md §2.4 J1-J4) — the reference's fuzzy
+# halal semi-join re-expressed as the blocked similarity join, run on
+# a deterministic merchant/establishment fixture derived from `part`.
+# The oracle replicates the EXACT accept semantics brute-force (no
+# blocking — sound because DuckDB's cross join at sf0.01 is cheap,
+# while the engine's blocked join is the 100 TB path).
+# ---------------------------------------------------------------------------
+
+_ER_GENERIC_SQL = (
+    "['western','food','kitchen','pte','ltd','restaurant','cafe','coffee',"
+    "'house','shop','store','stall','corner','place','delights','delight',"
+    "'catering','services','service','trading','enterprise','company']"
+)
+
+_ER_CLEAN_SQL = r"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+    lower({col}), '\b(pte|ltd|private|limited|sdn|bhd)\b', ' ', 'g'),
+    '#?\d+[-\d]*', ' ', 'g'), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+
+_ER_ABBREV_SQL = (
+    "(lt='restaurant' AND rt='rest') OR (lt='rest' AND rt='restaurant') OR "
+    "(lt='restaurant' AND rt='resto') OR (lt='resto' AND rt='restaurant') OR "
+    "(lt='private' AND rt='pte') OR (lt='pte' AND rt='private') OR "
+    "(lt='limited' AND rt='ltd') OR (lt='ltd' AND rt='limited') OR "
+    "(lt='company' AND rt='co') OR (lt='co' AND rt='company') OR "
+    "(lt='brothers' AND rt='bros') OR (lt='bros' AND rt='brothers') OR "
+    "(lt='street' AND rt='st') OR (lt='st' AND rt='street') OR "
+    "(lt='road' AND rt='rd') OR (lt='rd' AND rt='road') OR "
+    "(lt='avenue' AND rt='ave') OR (lt='ave' AND rt='avenue') OR "
+    "(lt='minimart' AND rt='mart') OR (lt='mart' AND rt='minimart') OR "
+    "(lt='international' AND rt='intl') OR (lt='intl' AND rt='international')"
+)
+
+
+def _er_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merchant-side fixture: every 5th part, name = p_name + type +
+    generic suffix; sparse postal codes."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 0)
+    return p.select(
+        F.col("p_partkey").alias("merchant_id"),
+        F.concat_ws(" ", "p_name", F.lower("p_type"), F.lit("trading company")).alias("m_name"),
+        F.when(
+            F.col("p_partkey") % 8 == 0, F.lpad((F.col("p_partkey") % 97).cast("string"), 6, "0")
+        ).alias("m_postal"),
+    )
+
+
+def _er_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Establishment-side fixture: every 2nd part; %4==0 rows are exact
+    name copies, %4==2 rows carry a late-character typo in the type
+    token (exercises the Levenshtein-ratio word matcher)."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") % 2 == 0)
+    return p.select(
+        F.col("p_partkey").alias("establishment_id"),
+        F.when(
+            F.col("p_partkey") % 4 == 0,
+            F.concat_ws(" ", "p_name", F.lower("p_type"), F.lit("trading company")),
+        )
+        .otherwise(
+            F.concat_ws(" ", "p_name", F.concat(F.lower("p_type"), F.lit("x")), F.lit("trading company"))
+        )
+        .alias("e_name"),
+        F.lpad((F.col("p_partkey") % 97).cast("string"), 6, "0").alias("e_postal"),
+    )
+
+
+_ER_FIXTURE_SQL = f"""
+    lm AS (
+      SELECT p_partkey AS merchant_id,
+             p_name || ' ' || lower(p_type) || ' trading company' AS m_name,
+             CASE WHEN p_partkey % 8 = 0
+                  THEN lpad((p_partkey % 97)::VARCHAR, 6, '0') END AS m_postal
+      FROM part WHERE p_partkey % 5 = 0),
+    rh AS (
+      SELECT p_partkey AS establishment_id,
+             CASE WHEN p_partkey % 4 = 0
+                  THEN p_name || ' ' || lower(p_type) || ' trading company'
+                  ELSE p_name || ' ' || lower(p_type) || 'x trading company' END AS e_name,
+             lpad((p_partkey % 97)::VARCHAR, 6, '0') AS e_postal
+      FROM part WHERE p_partkey % 2 = 0),
+    lc AS (SELECT merchant_id, {_ER_CLEAN_SQL.format(col='m_name')} AS l_clean, m_postal
+           FROM lm),
+    rc AS (SELECT establishment_id, {_ER_CLEAN_SQL.format(col='e_name')} AS r_clean, e_postal
+           FROM rh)
+"""
+
+
+@query(
+    "q20_entity_resolution",
+    f"""
+    WITH {_ER_FIXTURE_SQL},
+    exact_all AS (
+      SELECT lc.merchant_id, rc.establishment_id, 1.0 AS similarity,
+             CASE WHEN lc.m_postal IS NOT NULL AND lc.m_postal = rc.e_postal
+                  THEN 'EXACT_POSTAL' ELSE 'EXACT_NAME' END AS match_source
+      FROM lc JOIN rc ON lc.l_clean = rc.r_clean),
+    exact_best AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY merchant_id
+          ORDER BY (match_source = 'EXACT_POSTAL') DESC, establishment_id ASC) AS rn
+        FROM exact_all) WHERE rn = 1),
+    residual AS (
+      SELECT * FROM lc WHERE merchant_id NOT IN (SELECT merchant_id FROM exact_best)),
+    scored AS (
+      SELECT l.merchant_id, r.establishment_id, l.m_postal, r.e_postal,
+             l_tokens, r_tokens,
+             list_filter(l_tokens, lt -> len(list_filter(r_tokens,
+               rt -> contains(lt, rt) OR contains(rt, lt) OR {_ER_ABBREV_SQL}
+                     OR (CASE WHEN greatest(length(lt), length(rt)) = 0 THEN 1.0
+                         ELSE 1.0 - levenshtein(lt, rt)::DOUBLE
+                              / greatest(length(lt), length(rt)) END) >= 0.8)) > 0)
+               AS matching
+      FROM (SELECT *, list_distinct(list_filter(string_split(l_clean, ' '),
+              t -> length(t) >= 3)) AS l_tokens FROM residual) l
+      CROSS JOIN (SELECT *, list_distinct(list_filter(string_split(r_clean, ' '),
+              t -> length(t) >= 3)) AS r_tokens FROM rc) r),
+    accepted AS (
+      SELECT merchant_id, establishment_id,
+             len(matching)::DOUBLE / greatest(len(l_tokens), len(r_tokens)) AS similarity,
+             (m_postal IS NOT NULL AND m_postal = e_postal) AS postal_match
+      FROM scored
+      WHERE len(matching)::DOUBLE / greatest(len(l_tokens), len(r_tokens)) >= 0.95
+        AND len(matching) >= 3
+        AND len(list_filter(matching, t -> NOT list_contains({_ER_GENERIC_SQL}, t))) >= 2),
+    fuzzy_best AS (
+      SELECT merchant_id, establishment_id, similarity,
+             CASE WHEN postal_match THEN 'SIMILAR_POSTAL' ELSE 'SIMILAR_NAME' END AS match_source
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY merchant_id
+          ORDER BY postal_match DESC, similarity DESC, establishment_id ASC) AS rn
+        FROM accepted) WHERE rn = 1),
+    matches AS (
+      SELECT merchant_id, establishment_id, similarity, match_source FROM exact_best
+      UNION ALL SELECT * FROM fuzzy_best)
+    SELECT lc.merchant_id, m.establishment_id,
+           round(m.similarity, 6) AS similarity, m.match_source
+    FROM lc LEFT JOIN matches m ON lc.merchant_id = m.merchant_id
+    """,
+)
+def q20_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship custom operator: two-tier blocked fuzzy
+    entity-resolution join (reference: halalService.ts:103-176), on a
+    deterministic fixture derived from `part`. The engine blocks on
+    specific tokens (sub-quadratic); the oracle brute-forces the same
+    accept semantics."""
+    from cdc_makanmana_spark.operators.similarity import similarity_join
+
+    out = similarity_join(
+        _er_left(spark, sf_dir),
+        _er_right(spark, sf_dir),
+        left_name="m_name",
+        right_name="e_name",
+        left_id="merchant_id",
+        right_id="establishment_id",
+        left_postal="m_postal",
+        right_postal="e_postal",
+    )
+    return out.select(
+        F.col("merchant_id_l").alias("merchant_id"),
+        F.col("establishment_id_r").alias("establishment_id"),
+        F.round("similarity", 6).alias("similarity"),
+        "match_source",
+    )
+
+
+@query(
+    "q21_word_similarity",
+    """
+    SELECT a.p_type AS word_a, b.p_type AS word_b,
+           round(CASE WHEN greatest(length(a.p_type), length(b.p_type)) = 0 THEN 1.0
+                 ELSE 1.0 - levenshtein(lower(a.p_type), lower(b.p_type))::DOUBLE
+                      / greatest(length(a.p_type), length(b.p_type)) END, 6) AS sim_ratio
+    FROM (SELECT DISTINCT p_type FROM part) a
+    CROSS JOIN (SELECT DISTINCT p_type FROM part) b
+    WHERE a.p_type < b.p_type
+    """,
+)
+def q21_word_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level Levenshtein similarity ratio (P11/P12,
+    halalService.ts:209-247) over distinct type words."""
+    from cdc_makanmana_spark.operators.similarity import word_similarity_ratio
+
+    p = _t(spark, sf_dir, "part").select("p_type").distinct()
+    a = p.select(F.col("p_type").alias("word_a"))
+    b = p.select(F.col("p_type").alias("word_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("word_a") < F.col("word_b"))
+        .select(
+            "word_a",
+            "word_b",
+            F.round(
+                word_similarity_ratio(F.lower(F.col("word_a")), F.lower(F.col("word_b"))), 6
+            ).alias("sim_ratio"),
+        )
+    )
+
+
+_CUISINE_RULES = {
+    "Hardware": ["bolt", "gear", "widget", "gizmo"],
+    "Jewellery": ["ring", "diamond"],
+    "Premium": ["promo", "standard"],
+}
+
+_VETO_POSITIVE = ["economy", "small"]
+_VETO_NEGATIVE = ["promo", "large"]
+
+
+@query(
+    "q22_keyword_classify",
+    """
+    SELECT p_partkey,
+           CASE WHEN len(hits) = 0 THEN ['Other'] ELSE hits END AS classes,
+           CASE WHEN contains(lower(p_name || ' ' || p_type), 'promo')
+                  OR contains(lower(p_name || ' ' || p_type), 'large') THEN FALSE
+                ELSE contains(lower(p_name || ' ' || p_type), 'economy')
+                  OR contains(lower(p_name || ' ' || p_type), 'small') END AS flag
+    FROM (
+      SELECT p_partkey, p_name, p_type,
+             list_filter([
+               CASE WHEN contains(lower(p_name), 'bolt') OR contains(lower(p_name), 'gear')
+                      OR contains(lower(p_name), 'widget') OR contains(lower(p_name), 'gizmo')
+                    THEN 'Hardware' END,
+               CASE WHEN contains(lower(p_name), 'ring') OR contains(lower(p_name), 'diamond')
+                    THEN 'Jewellery' END,
+               CASE WHEN contains(lower(p_name), 'promo') OR contains(lower(p_name), 'standard')
+                    THEN 'Premium' END], x -> x IS NOT NULL) AS hits
+      FROM part)
+    """,
+)
+def q22_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-label keyword classifier with default class (P2,
+    merchants.ts:123-151) + negative-keyword veto flag (P8,
+    externalData.ts:426-461), over part names/types."""
+    from cdc_makanmana_spark.functions.classify import keyword_classes, keyword_flag_with_veto
+
+    p = _t(spark, sf_dir, "part")
+    txt = F.concat_ws(" ", "p_name", "p_type")
+    return p.select(
+        "p_partkey",
+        keyword_classes("p_name", _CUISINE_RULES, default="Other").alias("classes"),
+        keyword_flag_with_veto(txt, _VETO_POSITIVE, _VETO_NEGATIVE).alias("flag"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

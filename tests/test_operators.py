@@ -209,7 +209,9 @@ def test_prefix_fallback_join(spark):
 
 def test_priority_coalesce_enrich(spark):
     fact = spark.createDataFrame([Row(id="a"), Row(id="b"), Row(id="c")])
-    google = spark.createDataFrame([Row(key="a", phone="g-1", category=None)])
+    google = spark.createDataFrame(
+        [("a", "g-1", None)], "key string, phone string, category string"
+    )
     onemap = spark.createDataFrame(
         [Row(key="a", phone="o-1", category="food"), Row(key="b", phone="o-2", category="shop")]
     )
