@@ -46,6 +46,32 @@ def keyword_classes(
     return arr
 
 
+def rule_lookup_struct(
+    key_col: Column | str,
+    rules: dict[str, dict[str, str]],
+    default: dict[str, str],
+) -> Column:
+    """Category → attribute-struct lookup via a when/otherwise chain
+    (P9 ``estimateHoursFromCategory``, externalData.ts:124-185: a
+    handful of category rules producing an operating-hours struct,
+    with a default rule when nothing matches).
+
+    For rule tables this small a codegen'd CASE chain beats a broadcast
+    join (zero shuffle, no build side); the broadcast-join formulation
+    in operators/enrich.py covers large rule tables.
+    """
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    fields = list(default.keys())
+
+    def to_struct(d: dict[str, str]) -> Column:
+        return F.struct(*[F.lit(d[f]).alias(f) for f in fields])
+
+    out = to_struct(default)
+    for cat, attrs in reversed(list(rules.items())):
+        out = F.when(c == F.lit(cat), to_struct(attrs)).otherwise(out)
+    return out
+
+
 def keyword_flag_with_veto(
     text_col: Column | str,
     positive: list[str],

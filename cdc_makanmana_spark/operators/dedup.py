@@ -69,23 +69,50 @@ def ngram_jaccard_pairs(
     docs — the skew guard at scale (a boilerplate shingle shared by
     10^6 docs would otherwise create a 10^12-row hot key).
 
+    Plan shape: shingles are 64-bit-hashed immediately (the shuffle
+    moves 8-byte keys, never shingle strings), and candidate pairs are
+    generated from per-shingle doc-id buckets (inverted-index pair
+    expansion) instead of a second shuffle join — after the df-cap a
+    bucket holds <= max_shingle_df ids, so the expansion is bounded.
+
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("__sh"),
+    # (id, hash) feeds four consumers (freq count, cap semi-join,
+    # per-doc sizes, bucket build); at 100 TB this intermediate would be
+    # checkpointed to a table. Deliberately NOT persist()ed here:
+    # measured on local[32], async cache-block churn from persist causes
+    # multi-minute whole-JVM stalls that dwarf the recompute cost.
+    sh = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+        )
+        .select("__id", F.xxhash64("__s").alias("__sh"))
     )
     if max_shingle_df is not None:
+        # Pre-count + semi-join BEFORE collecting buckets, so a hot
+        # shingle never materializes its full id list anywhere.
         freq = sh.groupBy("__sh").count().filter(F.col("count") <= max_shingle_df)
         sh = sh.join(freq.select("__sh"), "__sh", "left_semi")
 
     sizes = sh.groupBy("__id").agg(F.count("*").alias("__n"))
 
-    a = sh.select(F.col("__id").alias("id_a"), "__sh")
-    b = sh.select(F.col("__id").alias("id_b"), "__sh")
+    buckets = sh.groupBy("__sh").agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+    # All (i < j) pairs within a bucket; shared-shingle count per pair.
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
     common = (
-        a.join(b, "__sh")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(pair.alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("__common"))
     )
@@ -108,25 +135,27 @@ def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
-    ``xxhash64(shingle, i)``. Pure expressions — the per-seed min is an
-    array ``transform``/``array_min`` over the shingle array, no
-    explode, no shuffle.
+    ``xxhash64(shingle, i)``.
+
+    Shape: explode shingles once, then ``num_hashes`` codegen'd
+    min-aggregates in a single groupBy. The obvious no-shuffle
+    formulation (``array_min(transform(shingles, ...))`` × 32) is ~40×
+    slower — higher-order-function lambdas are interpreted per row AND
+    the shingle-array subexpression is rebuilt for every one of the 32
+    transforms (measured: 187 s vs 5 s at sf0.1). The explode pays one
+    map-side-combined shuffle of (id, 32 longs) and keeps every hash
+    evaluation inside whole-stage codegen.
     """
-    shingles = word_shingles(F.col(text_col), shingle_n)
-
-    # NB: factory (not ``lambda s, i=i``) — PySpark HOFs dispatch on the
-    # lambda's arity, so a defaulted 2nd arg would receive the element
-    # index instead of the seed.
-    def hash_with_seed(i: int):
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(shingles, hash_with_seed(i)))
-            for i in range(num_hashes)
-        ]
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
     )
-    return df.select(F.col(id_col).alias("__id"), sig.alias("signature"))
+    agg = sh.groupBy("__id").agg(
+        *[F.min(F.xxhash64("__s", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    return agg.select(
+        "__id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
+    )
 
 
 def minhash_near_duplicates(
@@ -149,6 +178,10 @@ def minhash_near_duplicates(
     never O(N²). Returns (id_a, id_b, est_jaccard).
     """
     rows_per_band = num_hashes // bands
+    # The banded table feeds both sides of the self-join → the
+    # signature pipeline computes twice. At 100 TB the signatures are a
+    # checkpoint table; on local[32] recompute beats persist() (async
+    # cache-block churn measurably stalls the JVM).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     banded = sigs.select(
         "__id",
@@ -202,37 +235,43 @@ def simhash_buckets(
     """SimHash per document: sign-aggregate token hash bits.
 
     For each bit position, sum +1/-1 over tokens according to the
-    token's xxhash64 bit → bit set iff sum > 0. Implemented as array
-    expressions over the token array — no explode, no shuffle; the
-    result is a single BIGINT column suitable for Hamming-distance
-    bucketing (join on 16-bit chunks for <= 4·k distance candidates).
+    token's xxhash64 bit → bit set iff sum > 0. Explode tokens once,
+    then ``bits`` codegen'd conditional-sum aggregates in one groupBy
+    (same explode-beats-interpreted-HOF tradeoff as
+    ``minhash_signatures``). Result is a single BIGINT column suitable
+    for Hamming-distance bucketing (join on 16-bit chunks for <= 4·k
+    distance candidates).
     """
     tokens = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    # Factory (not a defaulted lambda arg): see note in
-    # ``minhash_signatures`` about HOF arity dispatch.
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_cols = []
-    for i in range(bits):
-        # +1 when bit i of the token hash is set, else -1; sum over tokens.
-        contrib = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        # bit 63 as a long would overflow 2**63; shiftleft keeps it in
-        # two's-complement like a real sign-bit set.
-        bit_cols.append(
-            F.shiftleft(
-                F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-                i,
-            )
+    # Hash each token ONCE in the projection; the per-bit aggregates
+    # below then only do integer shift/mask on the precomputed hash
+    # (vs. ``bits`` string hashes per row if the xxhash64 lived inside
+    # every aggregate expression).
+    tok = df.select(
+        F.col(id_col).alias("__id"), F.explode_outer(tokens).alias("__t")
+    ).select("__id", F.xxhash64("__t").alias("__h"))
+    h = F.col("__h")
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    # bit 63 as a long would overflow 2**63; shiftleft keeps it in
+    # two's-complement like a real sign-bit set.
+    bit_cols = [
+        F.shiftleft(
+            F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+            i,
         )
+        for i in range(bits)
+    ]
     simhash = bit_cols[0]
     for b in bit_cols[1:]:
         simhash = simhash.bitwiseOR(b)
-    return df.select(F.col(id_col).alias("__id"), simhash.alias("simhash"))
+    return votes.select("__id", simhash.alias("simhash"))
 
 
 def dedup_keep_best(

@@ -782,6 +782,559 @@ def q22_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# North-star dedup ladder (SURVEY.md §7 step 8) — the documents table
+# carries planted near-duplicates (J >= 0.9, next cluster below 0.5),
+# so LSH candidate generation + exact rerank is hash-checkable against
+# a brute-force oracle: any recall loss flips the hash.
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(w[i:i+2], ' ')
+                            for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+      FROM d)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+"""
+
+
+@query("q23_minhash_lsh_neardup", _JACCARD_ORACLE)
+def q23_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection with exact-Jaccard rerank (the
+    production dedup pattern: banded LSH generates candidates
+    sub-quadratically, exact Jaccard confirms). 16 bands x 2 rows on
+    32 hashes → P(miss | J=0.9) = (1-0.81)^16 ≈ 3e-12, so the output
+    hash-matches the brute-force oracle; a recall bug breaks the match."""
+    from cdc_makanmana_spark.operators.dedup import minhash_near_duplicates, word_shingles
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = minhash_near_duplicates(
+        d, "text", "doc_id", num_hashes=32, bands=16, threshold=0.5
+    ).select("id_a", "id_b")
+    sh = d.select(
+        F.col("doc_id").alias("__sid"), word_shingles(F.col("text"), 3).alias("__sh")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sh.select(F.col("__sid").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__sid").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "__j", inter / (F.size("sh_a") + F.size("sh_b") - inter)
+        )
+        .filter(F.col("__j") >= 0.8)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )
+
+
+_Q24_MAX_DF = 64
+
+_Q24_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    s0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
+      FROM d),
+    freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
+    s1 AS (
+      SELECT doc_id, list(s0.sh) AS sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
+      GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+    FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+"""
+
+
+@query("q24_ngram_jaccard_neardup", _Q24_ORACLE)
+def q24_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-blocked n-gram Jaccard near-dup pairs (dedup ladder tier
+    2): explode shingles → equi-join (documents must share a shingle to
+    ever meet) → per-pair intersection counts. ``max_shingle_df`` drops
+    shingles shared by > 64 docs — the skew guard that keeps the hot
+    key out of the pair join (a boilerplate shingle in 10^6 docs would
+    otherwise create 10^12 candidate rows); the oracle applies the same
+    document-frequency cap, so the hash still must match exactly."""
+    from cdc_makanmana_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
+    )
+
+
+@query("q25_simhash_hamming_pairs")  # no oracle: xxhash64 is not expressible in DuckDB
+def q25_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates (dedup ladder tier 3): 64-bit
+    sign-aggregated token hashes, blocked on 16-bit chunks (pigeonhole:
+    a pair within Hamming distance 3 must agree on at least one of the
+    4 chunks → complete recall), pairs kept at distance <= 3.
+    Deterministic (seeded xxhash64) but not SQL-expressible →
+    rows-only driver check; value-level tests live in
+    tests/test_operators.py."""
+    from cdc_makanmana_spark.operators.dedup import simhash_buckets
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = simhash_buckets(d, "text", "doc_id")
+    chunks = sigs.select(
+        "__id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ci"),
+                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("__id", "simhash", "ch.ci", "ch.cv")
+    a = chunks.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "cv")
+    b = chunks.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv")
+    return (
+        a.join(b, ["ci", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (north-star ANN surface).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q26_label_centroid_cosine",
+    """
+    WITH u AS (
+      SELECT vec_id, label, unnest(embedding)::DOUBLE AS v,
+             unnest(range(1, len(embedding) + 1)) AS i
+      FROM embeddings),
+    cent AS (SELECT label, i, avg(v) AS c FROM u GROUP BY label, i),
+    cv AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.label,
+             list_dot_product(e.embedding::DOUBLE[], cv.centroid)
+             / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(cv.centroid, cv.centroid))) AS cs
+      FROM embeddings e JOIN cv USING (label))
+    SELECT label, count(*) AS n_vecs,
+           round(avg(cs), 6) AS avg_cos, round(min(cs), 6) AS min_cos
+    FROM scored GROUP BY label
+    """,
+)
+def q26_label_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster centroid + cohesion stats over the embedding column:
+    posexplode → per-(label, dim) avg (one shuffle on a tiny key space)
+    → reassembled centroid array → broadcast join back → cosine per
+    row. The centroid table is O(labels) rows — broadcast, never a
+    shuffle of the fact side. This is the IVF coarse-quantizer build
+    step of an ANN index."""
+    from cdc_makanmana_spark.operators.ann import cosine_similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    u = e.select("label", F.posexplode("embedding").alias("i", "v"))
+    cent = u.groupBy("label", "i").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    centv = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "c"))).alias("sc"))
+        .select("label", F.transform("sc", lambda s: s["c"]).alias("centroid"))
+    )
+    scored = e.join(F.broadcast(centv), "label").withColumn(
+        "cs", cosine_similarity(F.col("embedding"), F.col("centroid"))
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("cs"), 6).alias("avg_cos"),
+        F.round(F.min("cs"), 6).alias("min_cos"),
+    )
+
+
+def _q27_oracle() -> str:
+    """Transcribe the LSH ANN pipeline into DuckDB SQL with the SAME
+    literal hyperplanes and query signature, so the oracle checks the
+    whole LSH path (signature bits, Hamming pruning, exact rerank) —
+    not just the rerank."""
+    from cdc_makanmana_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(64, _Q27_BITS, seed=_Q27_SEED)
+    qsig = 0
+    for i, p in enumerate(planes):
+        if sum(a * b for a, b in zip(_Q27_VEC, p)) > 0:
+            qsig |= 1 << i
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {p!r}::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sig AS (SELECT vec_id, emb, {sig_terms} AS s FROM e),
+    cand AS (SELECT vec_id, emb FROM sig
+             WHERE bit_count(xor(s::BIGINT, {qsig}::BIGINT)) <= {_Q27_PROBE}),
+    q AS (SELECT {_Q27_VEC!r}::DOUBLE[] AS qv)
+    SELECT vec_id,
+           round(list_dot_product(emb, qv)
+                 / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))), 6)
+             AS cosine_sim
+    FROM cand, q
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+_Q27_VEC = [round((((i * 53) % 89) / 89.0) - 0.5, 6) for i in range(64)]
+_Q27_BITS = 8
+_Q27_PROBE = 2
+_Q27_SEED = 7
+
+
+@query("q27_ann_lsh_topk", _q27_oracle())
+def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-pruned ANN top-k (the scale path next to q19's brute force):
+    random-hyperplane signature filter keeps ~14% of rows
+    (sum(C(8,0..2))/2^8) before any exact cosine runs; at 1000
+    executors the signature predicate is a cheap scan-side filter."""
+    from cdc_makanmana_spark.operators.ann import cosine_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(
+        e, _Q27_VEC, k=10, bits=_Q27_BITS, probe_bits=_Q27_PROBE, seed=_Q27_SEED
+    )
+
+
+# ---------------------------------------------------------------------------
+# Enrichment joins (SURVEY.md §2.4 J5, J7) on deterministic fixtures.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q28_postal_prefix_geocode",
+    """
+    WITH fact AS (
+      SELECT c_custkey, lpad(((c_custkey % 2000) * 500)::VARCHAR, 6, '0') AS postal
+      FROM customer),
+    dim AS (
+      SELECT lpad(((s_suppkey % 1000) * 1000)::VARCHAR, 6, '0') AS postal,
+             1.2::DOUBLE + (s_suppkey % 17) * 0.01::DOUBLE AS lat,
+             103.6::DOUBLE + (s_suppkey % 23) * 0.01::DOUBLE AS lon
+      FROM supplier),
+    pref AS (
+      SELECT substr(postal, 1, 3) AS p,
+             arg_min(lat, postal) AS plat, arg_min(lon, postal) AS plon
+      FROM dim GROUP BY 1)
+    SELECT f.c_custkey, f.postal,
+           round(coalesce(d.lat, pref.plat, 1.3521), 6) AS lat,
+           round(coalesce(d.lon, pref.plon, 103.8198), 6) AS lon
+    FROM fact f
+    LEFT JOIN dim d ON f.postal = d.postal
+    LEFT JOIN pref ON substr(f.postal, 1, 3) = pref.p
+    """,
+)
+def q28_postal_prefix_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postal→coordinates lookup with prefix fallback (J5,
+    locationUtils.ts:56-74): exact 6-digit match, else first match on
+    the 3-digit prefix, else the Singapore-center default. Both tiers
+    broadcast the dim; the prefix tier is pre-aggregated to one row per
+    prefix so the join never fans out."""
+    from cdc_makanmana_spark.operators.enrich import prefix_fallback_join
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.lpad(((F.col("c_custkey") % 2000) * 500).cast("string"), 6, "0").alias("postal"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.lpad(((F.col("s_suppkey") % 1000) * 1000).cast("string"), 6, "0").alias("postal"),
+        (F.lit(1.2) + (F.col("s_suppkey") % 17) * 0.01).alias("lat"),
+        (F.lit(103.6) + (F.col("s_suppkey") % 23) * 0.01).alias("lon"),
+    )
+    out = prefix_fallback_join(
+        c, s, "postal", "postal", ["lat", "lon"],
+        prefix_len=3, defaults={"lat": 1.3521, "lon": 103.8198},
+    )
+    return out.select(
+        "c_custkey", "postal",
+        F.round("lat", 6).alias("lat"), F.round("lon", 6).alias("lon"),
+    )
+
+
+@query(
+    "q29_priority_enrich",
+    """
+    WITH a AS (
+      SELECT c_custkey AS k, 'A-' || c_custkey AS phone,
+             CASE WHEN c_custkey % 6 = 0 THEN NULL ELSE 'catA' END AS category
+      FROM customer WHERE c_custkey % 3 = 0),
+    b AS (
+      SELECT c_custkey AS k, 'B-' || c_custkey AS phone, 'catB' AS category
+      FROM customer WHERE c_custkey % 2 = 0)
+    SELECT c.c_custkey,
+           coalesce(a.phone, b.phone) AS phone,
+           coalesce(a.category, b.category) AS category,
+           CASE WHEN a.phone IS NOT NULL OR a.category IS NOT NULL THEN 'google'
+                WHEN b.phone IS NOT NULL OR b.category IS NOT NULL THEN 'onemap'
+                END AS enrich_source
+    FROM customer c
+    LEFT JOIN a ON c.c_custkey = a.k
+    LEFT JOIN b ON c.c_custkey = b.k
+    """,
+)
+def q29_priority_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-ordered multi-source left-join enrichment with
+    per-column coalesce fallback and winner provenance (J7,
+    externalData.ts:490-540; provenance ≈ halalSource). Each source is
+    keyed-deduped and broadcast — the fact table never shuffles."""
+    from cdc_makanmana_spark.operators.enrich import priority_coalesce_enrich
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    src_a = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("A-"), F.col("c_custkey")).alias("phone"),
+        F.when(F.col("c_custkey") % 6 != 0, F.lit("catA")).alias("category"),
+    )
+    src_b = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.concat(F.lit("B-"), F.col("c_custkey")).alias("phone"),
+        F.lit("catB").alias("category"),
+    )
+    return priority_coalesce_enrich(
+        c, [(src_a, "google"), (src_b, "onemap")],
+        "c_custkey", "k", ["phone", "category"], provenance_col="enrich_source",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SURVEY.md §2.8) — batch twins of the streaming
+# operators in streaming/; the F.window / F.session_window expressions
+# are identical under readStream with a watermark.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_sliding_window_events",
+    """
+    WITH w AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS window_start,
+             value
+      FROM events)
+    SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM w GROUP BY window_start
+    """,
+)
+def q30_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min width, 5 min slide): every
+    event lands in exactly two windows. Spark expands the window set
+    map-side then hash-aggregates — one shuffle on (window, none)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+@query(
+    "q31_session_window_events",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (
+      SELECT user_id, ts, value,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q31_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user — Spark's session_window
+    merges events whose timestamp falls strictly before last_ts + gap
+    (window end is exclusive, so a gap of exactly 30 min starts a new
+    session; the oracle's gaps-and-islands uses >= to match)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection round-trips and rule lookups (SURVEY.md §2.2 P3/P4/P7/P9/P13).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_nested_roundtrip",
+    """
+    SELECT o_orderkey,
+           (o_orderpriority = '1-URGENT') AS urgent,
+           (o_orderstatus = 'F') AS finished,
+           (o_totalprice > 150000.0) AS budgetmeal,
+           len(string_split(o_orderpriority, '-')) AS n_tags,
+           strftime(o_orderdate, '%d %b %Y') AS display_date
+    FROM orders
+    """,
+)
+def q32_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-struct build → flatten (P3 merchantToCSV) → re-nest (P4
+    csvToMerchant) → project, with a to_json/from_json round-trip of the
+    array column (dataManager.ts:80-129) and display date formatting
+    (P13). The oracle checks the flat projection — any asymmetry in the
+    flatten/unflatten inverse pair corrupts the output."""
+    o = _t(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.struct(
+            F.struct(
+                (F.col("o_orderpriority") == "1-URGENT").alias("urgent"),
+                (F.col("o_orderstatus") == "F").alias("finished"),
+            ).alias("vouchers"),
+            F.struct((F.col("o_totalprice") > 150000.0).alias("budgetmeal")).alias("secondary"),
+        ).alias("filters"),
+        F.split("o_orderpriority", "-").alias("tags"),
+    )
+    flat = nested.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("filters.vouchers.urgent").alias("urgent"),
+        F.col("filters.vouchers.finished").alias("finished"),
+        F.col("filters.secondary.budgetmeal").alias("budgetmeal"),
+        F.to_json("tags").alias("tags_json"),
+    )
+    renest = flat.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.struct(
+            F.struct("urgent", "finished").alias("vouchers"),
+            F.struct("budgetmeal").alias("secondary"),
+        ).alias("filters"),
+        F.from_json("tags_json", "array<string>").alias("tags"),
+    )
+    return renest.select(
+        "o_orderkey",
+        F.col("filters.vouchers.urgent").alias("urgent"),
+        F.col("filters.vouchers.finished").alias("finished"),
+        F.col("filters.secondary.budgetmeal").alias("budgetmeal"),
+        F.size("tags").alias("n_tags"),
+        F.date_format("o_orderdate", "dd MMM yyyy").alias("display_date"),
+    )
+
+
+_HOURS_RULES = {
+    "restaurant": {"open": "11:00", "close": "22:00"},
+    "retail": {"open": "10:00", "close": "21:00"},
+    "services": {"open": "09:00", "close": "18:00"},
+}
+_HOURS_DEFAULT = {"open": "08:00", "close": "20:00"}
+
+
+@query(
+    "q33_distance_format_hours",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             (s_suppkey % 97) / 10.0 + (s_suppkey % 5) / 250.0 AS d,
+             ['restaurant', 'retail', 'services', 'other'][(s_nationkey % 4) + 1] AS category
+      FROM supplier)
+    SELECT s_suppkey, category,
+           CASE WHEN d < 1.0 THEN round(d * 1000)::INT::VARCHAR || 'm'
+                ELSE printf('%.1fkm', d) END AS dist_label,
+           CASE category WHEN 'restaurant' THEN '11:00' WHEN 'retail' THEN '10:00'
+                WHEN 'services' THEN '09:00' ELSE '08:00' END AS open_hour,
+           CASE category WHEN 'restaurant' THEN '22:00' WHEN 'retail' THEN '21:00'
+                WHEN 'services' THEN '18:00' ELSE '20:00' END AS close_hour
+    FROM s
+    """,
+)
+def q33_distance_format_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance display formatting (P7 formatDistance,
+    locationUtils.ts:157-163) + category→hours rule-struct lookup (P9,
+    externalData.ts:124-185). Fixture distances are multiples of 0.004
+    so %.1f never lands on a .05 rounding tie (Java HALF_UP vs C
+    HALF_EVEN would diverge there)."""
+    from cdc_makanmana_spark.functions.classify import rule_lookup_struct
+    from cdc_makanmana_spark.functions.geo import format_distance
+
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") % 97) / 10.0 + (F.col("s_suppkey") % 5) / 250.0).alias("d"),
+        F.element_at(
+            F.array(F.lit("restaurant"), F.lit("retail"), F.lit("services"), F.lit("other")),
+            ((F.col("s_nationkey") % 4) + 1).cast("int"),
+        ).alias("category"),
+    )
+    hours = rule_lookup_struct("category", _HOURS_RULES, _HOURS_DEFAULT)
+    return s.select(
+        "s_suppkey",
+        "category",
+        format_distance("d").alias("dist_label"),
+        hours["open"].alias("open_hour"),
+        hours["close"].alias("close_hour"),
+    )
+
+
+@query(
+    "q34_group_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           round(stddev_samp(l_quantity), 6) AS sd_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics + distinct counts per group: percentile
+    (linear interpolation, matching quantile_cont), COUNT(DISTINCT)
+    (Catalyst plans expand + two-phase agg), sample stddev. The
+    approx_* variants (approx_count_distinct, percentile_approx) are
+    the 100 TB path but are estimator-specific, so the oracle checks
+    the exact forms."""
+    li = _t(spark, sf_dir, "lineitem")
+    # Both percentiles from ONE percentile aggregate (single sort pass)
+    # instead of two independent order-statistic aggregations.
+    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 4).alias("median_price"),
+        F.round(pcts[1], 4).alias("p90_price"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
