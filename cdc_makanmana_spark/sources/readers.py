@@ -1,0 +1,130 @@
+"""Schema-enforced readers/sinks with retry & fallback policy.
+
+Parity targets (SURVEY.md §2.1):
+- S1/S3 ``fetchCDCMerchants`` / ``HalalService.initialize``: JSON
+  sources with 3 retries, exponential 2/4/8 s backoff, hard timeout,
+  degrading to an EMPTY table rather than failing the pipeline
+  (reference: src/data/merchants.ts:41-85,
+  src/services/halalService.ts:17-71).
+- S2 ``fetchWithProxy``: ordered fallback routes, empty-result
+  sentinel after the last one (src/utils/proxyUtils.ts:3-76).
+- S7/S8 CSV sink/source with quote-escaping (``""``) and header row
+  (src/services/dataManager.ts:190-240,279-300).
+- S9 JSON sink (dataManager.ts:303-305).
+- S10 backup-source fallback with field remap LAT→latitude
+  (src/App.tsx:34-71,127-132).
+
+Design: the engine never does per-row I/O — a "source" is a function
+that produces a DataFrame (file scan, pre-landed API snapshot, ...);
+the policy wrappers here add the reference's resilience semantics
+around whole-DataFrame acquisition. All reads take an explicit
+StructType (schema-on-read is banned at the boundary, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_json_source(
+    spark: SparkSession, path: str, schema: StructType, multiline: bool = False
+) -> DataFrame:
+    """JSON source with enforced schema (gzip transparent via codec —
+    the reference's gzip endpoint handling, merchants.ts:47-58, is a
+    format concern Spark's reader owns)."""
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true" if multiline else "false")
+        .json(path)
+    )
+
+
+def read_csv_source(
+    spark: SparkSession, path: str, schema: StructType, header: bool = True
+) -> DataFrame:
+    """CSV source, header row, RFC-quoted fields — replaces the
+    reference's hand-rolled quoted-field state machine
+    (dataManager.ts:203-240) with the native reader."""
+    return (
+        spark.read.schema(schema)
+        .option("header", "true" if header else "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_csv_sink(df: DataFrame, path: str, header: bool = True) -> None:
+    """CSV sink with ``""`` quote-escaping for fields containing
+    quotes/commas/newlines (dataManager.ts:279-300 semantics)."""
+    (
+        df.write.mode("overwrite")
+        .option("header", "true" if header else "false")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def write_json_sink(df: DataFrame, path: str) -> None:
+    """JSON-lines sink (dataManager.ts:303-305; pretty-printing is a
+    display concern, not a storage one)."""
+    df.write.mode("overwrite").json(path)
+
+
+def with_retries(
+    acquire: Callable[[], DataFrame],
+    empty_schema: StructType,
+    spark: SparkSession,
+    retries: int = 3,
+    backoff_s: tuple[float, ...] = (2.0, 4.0, 8.0),
+    on_attempt: Callable[[int, Exception], None] | None = None,
+) -> DataFrame:
+    """Retry policy around whole-table acquisition: ``retries``
+    attempts with exponential backoff, then degrade to an EMPTY
+    DataFrame with the declared schema (halalService.ts:17-71: the app
+    keeps serving with halal data absent; proxyUtils.ts:63-75: empty
+    sentinel). Failures never propagate — per-source error isolation
+    is the contract (externalData.ts:534-537)."""
+    for attempt in range(retries):
+        try:
+            return acquire()
+        except Exception as e:  # noqa: BLE001 — degradation is the spec
+            if on_attempt:
+                on_attempt(attempt, e)
+            if attempt < retries - 1:
+                time.sleep(backoff_s[min(attempt, len(backoff_s) - 1)])
+    return spark.createDataFrame([], empty_schema)
+
+
+def load_with_fallback(
+    primary: Callable[[], DataFrame],
+    backup: Callable[[], DataFrame],
+    remap: dict[str, str] | None = None,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """Source preference chain (S10): primary source, else backup with
+    field remap (``{"LAT": "latitude"}``) and literal defaults for
+    columns the backup lacks (App.tsx:47-53,127-132). "Failed" means
+    raised OR produced zero rows — the reference treats an empty API
+    response as a miss (App.tsx:108-125)."""
+    try:
+        df = primary()
+        if not df.isEmpty():
+            return df
+    except Exception:  # noqa: BLE001 — fallback is the spec
+        pass
+    df = backup()
+    for old, new in (remap or {}).items():
+        df = df.withColumnRenamed(old, new)
+    for col, val in (defaults or {}).items():
+        if col in df.columns:
+            df = df.withColumn(col, F.coalesce(F.col(col), F.lit(val)))
+        else:
+            df = df.withColumn(col, F.lit(val))
+    return df

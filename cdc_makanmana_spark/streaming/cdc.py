@@ -1,0 +1,184 @@
+"""CDC upsert-stream operators (SURVEY.md §2.8).
+
+The reference's change-capture is snapshot-grained: a 24 h-TTL cached
+table refreshed by a batched ETL loop, with per-row change markers
+(``lastUpdated`` / ``lastResetDate`` / ``dataVersion`` — reference:
+src/services/dataManager.ts:1,41-46,132-187, src/data/merchants.ts:20).
+The engine generalizes that to a true CDC event stream: each input row
+is an upsert/delete event ``(key, op, event_ts, payload...)``; the
+operators below are the standard Structured Streaming constructions
+for materializing and analyzing that stream.
+
+Everything here works identically on a batch DataFrame (the batch
+"twin" queries q17/q18/q30/q31 share these expressions — that is the
+point: one logical plan, two execution modes).
+
+Scale notes (1000-executor / 100 TB design):
+- windowed aggs and dedup are stateful: state is partitioned by
+  (key/window); watermarks bound state size — no unbounded growth.
+- the upsert materializer shuffles each micro-batch by key only
+  (argmax-per-key) and MERGEs into the target; at scale the target is
+  a Delta/Iceberg table and `upsert_to_parquet`'s read-union-rewrite
+  becomes `MERGE INTO` inside the same ``foreachBatch`` hook.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cdc_makanmana_spark.operators.similarity import argmax_per_group
+
+
+def read_upsert_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-based CDC source: each landed file is a micro-batch of
+    upsert events. Explicit schema only — schema-on-read is banned at
+    the engine boundary (SURVEY.md §1.3).
+
+    ``max_files_per_trigger`` is the ingestion rate limit — the
+    streaming analogue of the reference's 25-rows-per-300 ms batch
+    throttle (dataManager.ts:146,175).
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def latest_state(events: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
+    """Batch materializer: latest event per key (argmax window), drop
+    deletes. The per-micro-batch body of the upsert sink."""
+    latest = argmax_per_group(events, key_cols, [F.desc(ts_col)])
+    if "op" in events.columns:
+        latest = latest.filter(F.col("op") != F.lit("delete"))
+    return latest
+
+
+def windowed_agg_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_extra: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked tumbling/sliding event-time aggregation (T1/T2
+    generalized). Late rows beyond ``watermark`` are dropped and the
+    window state is finalized — bounded state at any scale."""
+    win = (
+        F.window(ts_col, window) if slide is None else F.window(ts_col, window, slide)
+    )
+    keys = [win.alias("w")] + [F.col(c) for c in (group_extra or [])]
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(value_col), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *(group_extra or []),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Watermarked session windows per key (gap-based merge) — the
+    streaming twin of q31."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *key_cols)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum(value_col), 4).alias("total_value"))
+        .select(
+            *key_cols,
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (``dropDuplicatesWithinWatermark``): the streaming dedup tier —
+    state for a key is dropped once the watermark passes it, so state
+    stays bounded (unlike plain ``dropDuplicates`` on a stream)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
+
+
+def upsert_to_parquet(
+    events_stream: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    checkpoint_dir: str | None = None,
+):
+    """Materialize an upsert stream into a parquet table via
+    ``foreachBatch`` (T3: the reference's cache-sink + per-row change
+    markers become a continuously-merged silver table).
+
+    Each micro-batch: argmax-per-key within the batch, then merge with
+    the current target state (target rows lose to newer batch rows),
+    write to a temp dir, atomically swap. This is the no-Delta
+    formulation; on a lakehouse the body is a single ``MERGE INTO``
+    keyed on ``key_cols`` — semantics identical, and the
+    read-union-rewrite cost disappears.
+
+    Returns the started StreamingQuery.
+    """
+    spark = events_stream.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Deletes must survive until AFTER the merge with current state:
+        # a delete event tombstones the target row only if it is the
+        # newest event for its key across (target ∪ batch).
+        if os.path.isdir(target_path) and any(
+            f.endswith(".parquet") for f in os.listdir(target_path)
+        ):
+            current = spark.read.parquet(target_path)
+            combined = current.unionByName(batch_df, allowMissingColumns=True)
+        else:
+            combined = batch_df
+        merged = latest_state(combined, key_cols, ts_col)
+        tmp = target_path.rstrip("/") + f".__tmp_batch_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        # Atomic-enough swap for local/object-store layout; a real
+        # lakehouse table makes this a transactional MERGE instead.
+        bak = target_path.rstrip("/") + ".__old"
+        if os.path.isdir(target_path):
+            os.rename(target_path, bak)
+        os.rename(tmp, target_path)
+        if os.path.isdir(bak):
+            import shutil
+
+            shutil.rmtree(bak)
+
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
+    return (
+        events_stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,180 @@
+"""Streaming/CDC layer tests (SURVEY.md §5 item 5): deterministic
+micro-batch tests over file-based upsert streams with
+``trigger(availableNow=True)`` — every assertion is on a finished
+query, no sleeps-and-hope."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from cdc_makanmana_spark.streaming import (
+    VerdictCache,
+    dedup_within_watermark,
+    latest_state,
+    read_upsert_stream,
+    upsert_to_parquet,
+    windowed_agg_stream,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("key", LongType()),
+        StructField("op", StringType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _land(tmpdir: str, name: str, rows: list[dict]) -> None:
+    os.makedirs(tmpdir, exist_ok=True)
+    with open(os.path.join(tmpdir, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_available(stream_df, sink_dir, ckpt_dir, output_mode="append"):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_upsert_stream_materializes_latest_state(spark, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    # batch 1: inserts for keys 1..3
+    _land(src, "b1.json", [
+        {"key": 1, "op": "upsert", "ts": "2024-01-01T00:00:00", "value": 10.0},
+        {"key": 2, "op": "upsert", "ts": "2024-01-01T00:01:00", "value": 20.0},
+        {"key": 3, "op": "upsert", "ts": "2024-01-01T00:02:00", "value": 30.0},
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    q = upsert_to_parquet(stream, target, ["key"], checkpoint_dir=str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    state = {r.key: r.value for r in spark.read.parquet(target).collect()}
+    assert state == {1: 10.0, 2: 20.0, 3: 30.0}
+
+    # batch 2: update key 2, delete key 3, insert key 4 — restart from
+    # the same checkpoint picks up only the new file.
+    _land(src, "b2.json", [
+        {"key": 2, "op": "upsert", "ts": "2024-01-01T01:00:00", "value": 21.0},
+        {"key": 3, "op": "delete", "ts": "2024-01-01T01:01:00", "value": None},
+        {"key": 4, "op": "upsert", "ts": "2024-01-01T01:02:00", "value": 40.0},
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA)
+    q = upsert_to_parquet(stream, target, ["key"], checkpoint_dir=str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+
+    state = {r.key: r.value for r in spark.read.parquet(target).collect()}
+    assert state == {1: 10.0, 2: 21.0, 4: 40.0}  # 3 deleted, 2 updated
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An event later than watermark behind the max seen ts must not
+    reopen its (already finalized) window in append mode."""
+    src = str(tmp_path / "src")
+    _land(src, "b1.json", [
+        {"key": 1, "op": "u", "ts": "2024-01-01T00:05:00", "value": 1.0},
+        {"key": 1, "op": "u", "ts": "2024-01-01T05:00:00", "value": 1.0},  # advances watermark far
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA)
+    agg = windowed_agg_stream(stream, window="1 hour", watermark="30 minutes")
+    sink1 = str(tmp_path / "sink")
+    _run_available(agg, sink1, str(tmp_path / "ck"))
+
+    # late straggler for the (finalized) 00:00 window
+    _land(src, "b2.json", [
+        {"key": 1, "op": "u", "ts": "2024-01-01T00:10:00", "value": 99.0},
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA)
+    agg = windowed_agg_stream(stream, window="1 hour", watermark="30 minutes")
+    _run_available(agg, sink1, str(tmp_path / "ck"))
+
+    out = spark.read.parquet(sink1).filter(F.col("window_start") == "2024-01-01 00:00:00")
+    rows = out.collect()
+    # the 00:00 window was emitted once with the on-time row only
+    assert len(rows) == 1 and rows[0]["n_events"] == 1 and rows[0]["total_value"] == 1.0
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _land(src, "b1.json", [
+        {"key": 1, "op": "u", "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"key": 1, "op": "u", "ts": "2024-01-01T00:00:30", "value": 1.0},  # dup inside horizon
+        {"key": 2, "op": "u", "ts": "2024-01-01T00:01:00", "value": 2.0},
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA)
+    deduped = dedup_within_watermark(stream, ["key"], watermark="10 minutes")
+    sink = str(tmp_path / "sink")
+    _run_available(deduped, sink, str(tmp_path / "ck"))
+    keys = sorted(r.key for r in spark.read.parquet(sink).collect())
+    assert keys == [1, 2]
+
+
+def test_latest_state_batch_twin(spark):
+    df = spark.createDataFrame(
+        [(1, "upsert", "2024-01-01T00:00:00", 1.0),
+         (1, "upsert", "2024-01-01T02:00:00", 5.0),
+         (2, "delete", "2024-01-01T01:00:00", 2.0)],
+        "key long, op string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.key: r.value for r in latest_state(df, ["key"]).collect()}
+    assert out == {1: 5.0}  # key 2's latest op is delete → dropped
+
+
+def test_verdict_cache_hits_misses_and_ttl(spark, tmp_path):
+    cache = VerdictCache(spark, str(tmp_path / "vc"), key_col="k", ttl_hours=24.0)
+    facts = spark.createDataFrame([("a",), ("b",), ("c",)], "k string")
+
+    calls: list[int] = []
+
+    def compute(misses):
+        calls.append(misses.count())
+        return misses.withColumn("verdict", F.upper("k"))
+
+    out1 = cache.enrich_with(facts, "k", compute, ["verdict"], now="2024-01-01T00:00:00")
+    assert {r.k: r.verdict for r in out1.collect()} == {"a": "A", "b": "B", "c": "C"}
+    assert calls == [3]  # cold cache: everything recomputed
+
+    # Within TTL: all hits, compute not called again.
+    out2 = cache.enrich_with(facts, "k", compute, ["verdict"], now="2024-01-01T12:00:00")
+    assert {r.k: r.verdict for r in out2.collect()} == {"a": "A", "b": "B", "c": "C"}
+    assert calls == [3]
+
+    # Past TTL: everything expired → recomputed.
+    out3 = cache.enrich_with(facts, "k", compute, ["verdict"], now="2024-01-03T00:00:00")
+    assert {r.k: r.verdict for r in out3.collect()} == {"a": "A", "b": "B", "c": "C"}
+    assert calls == [3, 3]
+
+
+def test_verdict_cache_merge_newest_wins(spark, tmp_path):
+    cache = VerdictCache(spark, str(tmp_path / "vc2"), key_col="k")
+    v1 = spark.createDataFrame([("a", "old")], "k string, verdict string")
+    v2 = spark.createDataFrame([("a", "new")], "k string, verdict string")
+    cache.merge(v1, computed_at="2024-01-01T00:00:00")
+    cache.merge(v2, computed_at="2024-01-02T00:00:00")
+    rows = cache.read().collect()
+    assert len(rows) == 1 and rows[0]["verdict"] == "new"
+    cache.vacuum(keep=1)
+    assert len(cache._versions()) == 1
+    assert cache.read().collect()[0]["verdict"] == "new"
