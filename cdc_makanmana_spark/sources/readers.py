@@ -45,16 +45,27 @@ def read_json_source(
 
 
 def read_csv_source(
-    spark: SparkSession, path: str, schema: StructType, header: bool = True
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    multiline: bool = True,
 ) -> DataFrame:
     """CSV source, header row, RFC-quoted fields — replaces the
     reference's hand-rolled quoted-field state machine
-    (dataManager.ts:203-240) with the native reader."""
+    (dataManager.ts:203-240) with the native reader.
+
+    ``multiline=True`` parses quoted embedded newlines (the sink emits
+    them, dataManager.ts:291 quoting rules) at the cost of making each
+    file non-splittable. At 100 TB scale, land CSV WITHOUT embedded
+    newlines (or convert to parquet at the bronze boundary) and pass
+    ``multiline=False`` so the scan parallelizes per-block."""
     return (
         spark.read.schema(schema)
         .option("header", "true" if header else "false")
         .option("quote", '"')
         .option("escape", '"')
+        .option("multiLine", "true" if multiline else "false")
         .csv(path)
     )
 

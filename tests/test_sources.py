@@ -1,0 +1,156 @@
+"""Source/sink layer tests (SURVEY.md §2.1 S1-S12): schema-enforced
+readers, CSV/JSON round-trips with quote-escaping, retry-to-empty
+degradation, source fallback with field remap, snapshot cache TTL."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cdc_makanmana_spark.sources import (
+    SnapshotCache,
+    load_with_fallback,
+    read_csv_source,
+    read_json_source,
+    with_retries,
+    write_csv_sink,
+    write_json_sink,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+        StructField("lat", DoubleType()),
+        StructField("halal", BooleanType()),
+    ]
+)
+
+ROWS = [
+    (1, 'Ahmad "Best" Nasi, Padang', 1.30, True),
+    (2, "Line\nBreak Cafe", 1.35, False),
+    (3, None, None, None),
+]
+
+
+def test_csv_round_trip_preserves_quotes_commas_newlines(spark, tmp_path):
+    """S7/S8: the reference hand-rolls RFC quoting (dataManager.ts:
+    203-240,279-300); the engine's native reader/writer must round-trip
+    the same hostile values losslessly."""
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "csv")
+    write_csv_sink(df, path)
+    back = read_csv_source(spark, path, SCHEMA)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_json_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(ROWS, SCHEMA)
+    path = str(tmp_path / "json")
+    write_json_sink(df, path)
+    back = read_json_source(spark, path, SCHEMA)
+    assert sorted(back.collect()) == sorted(df.collect())
+
+
+def test_schema_enforced_on_read(spark, tmp_path):
+    """§1.3: explicit StructType at the boundary — extra fields in the
+    file are dropped, missing fields are null, types are cast per the
+    declared schema, never inferred."""
+    p = tmp_path / "raw"
+    p.mkdir()
+    (p / "a.json").write_text('{"id": 7, "name": "x", "extra": "IGNORED"}\n')
+    out = read_json_source(spark, str(p), SCHEMA).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.id == 7 and r.name == "x" and r.lat is None
+    assert "extra" not in out[0].asDict()
+
+
+def test_with_retries_succeeds_after_transient_failures(spark):
+    attempts = []
+
+    def flaky():
+        attempts.append(1)
+        if len(attempts) < 3:
+            raise RuntimeError("transient")
+        return spark.createDataFrame([(1, "ok", 0.0, True)], SCHEMA)
+
+    df = with_retries(flaky, SCHEMA, spark, retries=3, backoff_s=(0.0, 0.0))
+    assert df.count() == 1 and len(attempts) == 3
+
+
+def test_with_retries_degrades_to_empty_table(spark):
+    """S2/S3: after the last retry the source degrades to an EMPTY
+    table with the declared schema — never an exception (the app keeps
+    serving, halalService.ts:66-70)."""
+
+    def always_down():
+        raise RuntimeError("down")
+
+    df = with_retries(always_down, SCHEMA, spark, retries=2, backoff_s=(0.0,))
+    assert df.count() == 0 and df.schema == SCHEMA
+
+
+def test_load_with_fallback_remaps_and_defaults(spark):
+    """S10: backup path renames LAT→latitude and fills defaults for
+    columns the backup lacks (App.tsx:47-53)."""
+
+    def primary():
+        raise RuntimeError("api down")
+
+    def backup():
+        return spark.createDataFrame([(1, 1.3)], "id long, LAT double")
+
+    df = load_with_fallback(
+        primary, backup, remap={"LAT": "latitude"}, defaults={"halal": False}
+    )
+    r = df.collect()[0]
+    assert r.latitude == 1.3 and r.halal is False
+
+
+def test_load_with_fallback_treats_empty_primary_as_miss(spark):
+    def primary():
+        return spark.createDataFrame([], SCHEMA)
+
+    def backup():
+        return spark.createDataFrame([(9, "b", 0.0, True)], SCHEMA)
+
+    assert load_with_fallback(primary, backup).collect()[0].id == 9
+
+
+def test_snapshot_cache_ttl_and_version(spark, tmp_path):
+    """S4-S6: fresh = version match AND age < TTL (dataManager.ts:
+    32-51); version bump or expiry forces refresh; info() serves stats
+    from metadata without a table scan."""
+    cache = SnapshotCache(spark, str(tmp_path / "snap"), data_version="v1", ttl_hours=24.0)
+    df = spark.createDataFrame(ROWS, SCHEMA)
+
+    t0 = 1_700_000_000.0
+    refreshes = []
+
+    def refresh():
+        refreshes.append(1)
+        return df
+
+    out = cache.load_or_refresh(refresh, now_s=t0)
+    assert out.count() == 3 and refreshes == [1]
+    # fresh within TTL → served from cache, no refresh
+    out = cache.load_or_refresh(refresh, now_s=t0 + 23 * 3600)
+    assert out.count() == 3 and refreshes == [1]
+    assert cache.info(now_s=t0 + 3600)["fresh"] is True
+    # past TTL → refresh fires
+    cache.load_or_refresh(refresh, now_s=t0 + 25 * 3600)
+    assert refreshes == [1, 1]
+    # version bump → stale regardless of age
+    cache2 = SnapshotCache(spark, str(tmp_path / "snap"), data_version="v2")
+    assert cache2.is_fresh(now_s=t0 + 25 * 3600 + 1) is False
+    cache.clear()
+    assert cache.info()["exists"] is False
