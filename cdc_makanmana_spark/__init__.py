@@ -16,8 +16,9 @@ Design rules (see SURVEY.md §7):
   exact geo math, no driver-side collects in the data path.
 """
 
+from cdc_makanmana_spark.engine import MakanmanaEngine
 from cdc_makanmana_spark.session import get_spark
 from cdc_makanmana_spark.tables import load_tables
 
-__all__ = ["get_spark", "load_tables"]
+__all__ = ["MakanmanaEngine", "get_spark", "load_tables"]
 __version__ = "0.1.0"

@@ -1335,6 +1335,74 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q35_embedding_blocked_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+            6) >= 0.4
+    """,
+)
+def q35_embedding_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-neighbor pairs, blocked on the label
+    column (dedup ladder: the embedding tier). The block equi-join is
+    the candidate generator — n²/B pair cost instead of n², exact
+    recall within a block; the oracle applies the identical blocking so
+    the hash must match. (The fixture's vectors top out at cos ≈ 0.51,
+    so the threshold is 0.4 — 'near-neighbor', not near-identical;
+    the operator is the same one a 0.95-threshold dedup would run.)"""
+    from cdc_makanmana_spark.operators.ann import embedding_near_duplicates_by_block
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates_by_block(e, "label", threshold=0.4)
+
+
+@query(
+    "q36_grouping_sets",
+    """
+    SELECT n_name, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+    """,
+)
+def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (SURVEY.md §2.7 completes the grouping
+    surface beyond rollup/cube): per-nation, per-priority, and
+    per-(nation, priority) aggregates in one pass — Catalyst plans a
+    single Expand + hash aggregate, one shuffle total, vs three
+    separate groupBys and three shuffles. Dim joins broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        o.o_custkey == c.c_custkey,
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    j.createOrReplaceTempView("__q36")
+    return j.sparkSession.sql(
+        """
+        SELECT n_name, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM __q36
+        GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
