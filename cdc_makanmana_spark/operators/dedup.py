@@ -304,12 +304,86 @@ def simhash_buckets(
     return _materialize(votes.select("__id", simhash.alias("simhash")))
 
 
-def dedup_keep_best(
-    df: DataFrame, pair_df: DataFrame, id_col: str
+def connected_components(
+    pair_df: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Given near-dup pairs (id_a, id_b), drop the higher id of every
-    pair (union-find-free approximation: keeps at least one doc per
-    duplicate cluster; exact connected components would use graphframes
-    or iterative joins — out of scope for v1)."""
-    losers = pair_df.select(F.col("id_b").alias(id_col)).distinct()
+    """Exact connected components over near-dup pairs (id_a, id_b) by
+    iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint.
+
+    Returns (id, component) where component = min node id in the
+    component — the canonical representative.
+
+    Scale shape: each iteration is one groupBy(min) over the current
+    labels joined through the edge list — all shuffles on node id, no
+    driver-side graph. Iterations needed = graph diameter (near-dup
+    clusters are shallow — a handful); ``max_iter`` bounds runaway on
+    adversarial chains. Each iteration's result is materialized
+    (lineage cut) so plan depth stays O(1) per iteration instead of
+    exploding exponentially.
+    """
+    # Undirected edge list, both directions + self-loops so isolated
+    # endpoint labels survive the groupBy.
+    edges = (
+        pair_df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pair_df.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    labels = _materialize(labels)
+    for _ in range(max_iter):
+        # neighbor labels: for each node, the min label among neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("n_min"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("n_min", "component")).alias(
+                    "component"
+                ),
+            )
+        )
+        new_labels = _materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_best(
+    df: DataFrame, pair_df: DataFrame, id_col: str, exact: bool = True
+) -> DataFrame:
+    """Cluster-level dedup: given near-dup pairs (id_a, id_b), keep one
+    representative row per duplicate CLUSTER.
+
+    ``exact=True`` resolves clusters with connected components and
+    keeps the min-id member of each — correct even for chains
+    (a~b, b~c, a!~c still collapses to one survivor). ``exact=False``
+    is the cheap one-pass approximation (drop the higher id of every
+    pair) — keeps at least one doc per cluster but may keep several on
+    chain-shaped clusters; use when pairs are already transitive.
+    """
+    if exact:
+        comps = connected_components(pair_df)
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pair_df.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")

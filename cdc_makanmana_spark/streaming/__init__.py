@@ -8,6 +8,7 @@ from cdc_makanmana_spark.streaming.cdc import (
     upsert_to_parquet,
     windowed_agg_stream,
 )
+from cdc_makanmana_spark.streaming.stateful import running_stats_per_key
 from cdc_makanmana_spark.streaming.verdict_cache import VerdictCache
 
 __all__ = [
@@ -17,5 +18,6 @@ __all__ = [
     "sessionized_stream",
     "dedup_within_watermark",
     "upsert_to_parquet",
+    "running_stats_per_key",
     "VerdictCache",
 ]

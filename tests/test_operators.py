@@ -245,3 +245,36 @@ def test_events_nanos_readable(spark, sf_dir):
     e = load_table(spark, "events", sf_dir)
     assert dict(e.dtypes)["ts"] == "timestamp"
     assert e.count() > 0
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from cdc_makanmana_spark.operators.dedup import connected_components, dedup_keep_best
+
+    # chain 1-2-3 (no direct 1-3 edge), pair 10-11, isolated-pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20, 21, 99]], "doc_id long")
+    kept_exact = {r.doc_id for r in dedup_keep_best(docs, pairs, "doc_id").collect()}
+    # one survivor per cluster + the untouched doc
+    assert kept_exact == {1, 10, 20, 99}
+    # the cheap approximation keeps chain heads only by pair, same here
+    kept_approx = {
+        r.doc_id for r in dedup_keep_best(docs, pairs, "doc_id", exact=False).collect()
+    }
+    assert kept_approx == {1, 10, 20, 99}
+
+
+def test_connected_components_chain_where_approx_differs(spark):
+    """Star-vs-chain case: approximate pair-drop keeps a chain member
+    the exact clustering removes."""
+    from cdc_makanmana_spark.operators.dedup import connected_components
+
+    # chain 5-4, 4-3: approx drops id_b of each pair ({4,3}) keeping 5;
+    # exact groups {3,4,5} into component 3.
+    pairs = spark.createDataFrame([(5, 4), (4, 3)], "id_a long, id_b long")
+    comps = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comps == {3: 3, 4: 3, 5: 3}
