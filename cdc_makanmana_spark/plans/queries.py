@@ -1403,6 +1403,92 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q37_duplicate_clusters",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents),
+    s0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
+      FROM d),
+    freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
+    s1 AS (
+      SELECT doc_id, list(s0.sh) AS sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
+      GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.anc FROM r JOIN edges e ON e.src = r.id)
+      SELECT * FROM r)
+    SELECT id, min(anc) AS component FROM reach GROUP BY id
+    """,
+)
+def q37_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (q24's blocked
+    n-gram Jaccard) → exact connected components by iterative min-label
+    propagation — the iterative-algorithm tier of the dedup ladder.
+    The oracle computes the same components with a recursive CTE
+    (transitive min over the undirected reachability set), so chains
+    the pair list alone can't resolve must cluster identically."""
+    from cdc_makanmana_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
+    )
+    return connected_components(pairs).select("id", "component")
+
+
+@query(
+    "q38_salted_supplier_rollup",
+    """
+    SELECT s_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+    """,
+)
+def q38_salted_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join + rollup: the skew-mitigation join must be
+    exactly semantics-preserving, so its aggregate hash-matches the
+    plain SQL join. (On this fixture the key is not skewed — the point
+    oracle-checked here is correctness of the salt/replicate/join
+    construction; the skew win is the operator's reason to exist at
+    100 TB, see operators/skew.py.)"""
+    from cdc_makanmana_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        salted_join(li, s, "s_suppkey", n_salts=8)
+        .groupBy("s_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
