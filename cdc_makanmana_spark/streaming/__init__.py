@@ -8,6 +8,7 @@ from cdc_makanmana_spark.streaming.cdc import (
     upsert_to_parquet,
     windowed_agg_stream,
 )
+from cdc_makanmana_spark.streaming.progress import ProgressTracker, last_progress_summary
 from cdc_makanmana_spark.streaming.stateful import running_stats_per_key
 from cdc_makanmana_spark.streaming.verdict_cache import VerdictCache
 
@@ -19,5 +20,7 @@ __all__ = [
     "dedup_within_watermark",
     "upsert_to_parquet",
     "running_stats_per_key",
+    "ProgressTracker",
+    "last_progress_summary",
     "VerdictCache",
 ]

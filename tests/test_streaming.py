@@ -178,3 +178,39 @@ def test_verdict_cache_merge_newest_wins(spark, tmp_path):
     cache.vacuum(keep=1)
     assert len(cache._versions()) == 1
     assert cache.read().collect()[0]["verdict"] == "new"
+
+
+def test_progress_tracker_reports_per_batch_rows(spark, tmp_path):
+    """T5: the listener sees each micro-batch's row count and the
+    cumulative total matches the data landed (dataManager.ts:170-172
+    progress-callback parity)."""
+    import time as _time
+
+    from cdc_makanmana_spark.streaming import ProgressTracker
+
+    src = str(tmp_path / "src")
+    _land(src, "b1.json", [
+        {"key": 1, "op": "u", "ts": "2024-01-01T00:00:00", "value": 1.0},
+        {"key": 2, "op": "u", "ts": "2024-01-01T00:01:00", "value": 2.0},
+    ])
+    _land(src, "b2.json", [
+        {"key": 3, "op": "u", "ts": "2024-01-01T00:02:00", "value": 3.0},
+    ])
+    seen = []
+    with ProgressTracker(spark, on_progress=seen.append) as tracker:
+        stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+        q = (
+            stream.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered asynchronously post-termination
+        for _ in range(50):
+            if tracker.total_rows >= 3:
+                break
+            _time.sleep(0.2)
+    assert tracker.total_rows == 3
+    batch_rows = sorted(b["num_input_rows"] for b in tracker.batches if b["num_input_rows"])
+    assert batch_rows == [1, 2]
