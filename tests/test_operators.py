@@ -278,3 +278,34 @@ def test_connected_components_chain_where_approx_differs(spark):
     pairs = spark.createDataFrame([(5, 4), (4, 3)], "id_a long, id_b long")
     comps = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comps == {3: 3, 4: 3, 5: 3}
+
+
+def test_similarity_join_loose_thresholds_j4(spark):
+    """J4 (externalData.ts:281-323): the second matcher runs the SAME
+    kernel with looser parameters — >= 2 matching tokens, no 0.95 score
+    gate, fewer specific-token demands. The operator is parameterized,
+    so the loose tier is a call-site config, not new code."""
+    from cdc_makanmana_spark.operators.similarity import similarity_join
+
+    left = spark.createDataFrame(
+        [("m1", "Hassan Corner Kebab", "520101")],
+        "id string, name string, postalCode string",
+    )
+    right = spark.createDataFrame(
+        [("e1", "Hassan Kebab House Restaurant", "520101")],
+        "establishment_id string, name string, postal string",
+    )
+    strict = similarity_join(
+        left, right, "name", "name", "id", "establishment_id",
+        "postalCode", "postal",
+    )
+    assert strict.collect()[0]["establishment_id_r"] is None  # 2/4 tokens: rejected
+
+    loose = similarity_join(
+        left, right, "name", "name", "id", "establishment_id",
+        "postalCode", "postal",
+        threshold=0.4, min_tokens=2, min_specific=1,
+    )
+    row = loose.collect()[0]
+    assert row["establishment_id_r"] == "e1"
+    assert row["match_source"] == "SIMILAR_POSTAL"
