@@ -8,18 +8,32 @@ from cdc_makanmana_spark.operators.similarity import (
     word_similarity_ratio,
 )
 from cdc_makanmana_spark.operators.dedup import (
+    connected_components,
     dedup_exact,
+    dedup_keep_best,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_buckets,
 )
-from cdc_makanmana_spark.operators.ann import cosine_topk_bruteforce, cosine_topk_lsh
+from cdc_makanmana_spark.operators.ann import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    embedding_near_duplicates,
+    embedding_near_duplicates_by_block,
+)
 from cdc_makanmana_spark.operators.enrich import (
     prefix_fallback_join,
     priority_coalesce_enrich,
 )
+from cdc_makanmana_spark.operators.skew import salted_join, top_frequency_keys
 
 __all__ = [
+    "connected_components",
+    "dedup_keep_best",
+    "embedding_near_duplicates",
+    "embedding_near_duplicates_by_block",
+    "salted_join",
+    "top_frequency_keys",
     "multi_column_search",
     "route_search_term",
     "radius_query",
