@@ -45,11 +45,11 @@ def main() -> None:
     # that taxes late queries with GC pauses.
     spark.catalog.clearCache()
 
-    # Min of two timed passes per query: the VM host occasionally
+    # Min of three timed passes per query: the VM host occasionally
     # stalls a single run by 10-20× (measured: same plan 6 s and 93 s
     # back-to-back); the min reflects engine cost, not host noise.
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, fn in QUERIES.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
