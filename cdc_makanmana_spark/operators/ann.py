@@ -146,6 +146,70 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means cells over the vectors.
+
+    Returns ``(assigned_df, centers)`` where ``assigned_df`` adds a
+    ``__cell`` column (nearest-centroid id) and ``centers`` is the
+    local list of centroids for query-side probing. Training uses
+    pyspark.ml KMeans (seeded — deterministic); at 100 TB you train on
+    a sample and assign the full table in one pass (the transform is a
+    per-row argmin over ``n_cells`` centroids, map-only, no shuffle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.withColumn("__fv", array_to_vector(F.col(vec_col).cast("array<double>")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__fv")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF top-k: probe only the ``n_probe`` cells whose centroids are
+    nearest the query, exact-rerank inside them.
+
+    The cell filter is a plain ``isin`` predicate over an int column —
+    sargable, partition-prunable if the table is written partitioned by
+    cell (the 100 TB layout: one parquet partition per cell means a
+    query touches n_probe/n_cells of the data). Recall grows with
+    ``n_probe``; cost is the probed fraction of the scan.
+    """
+    assigned, centers = ivf_index(df, n_cells, vec_col, id_col, seed)
+
+    # Probe ranking uses EUCLIDEAN distance to match the quantizer's
+    # assignment geometry (k-means cells are Voronoi in L2; ranking by
+    # cosine would probe the wrong cells for unnormalized vectors).
+    def _l2(a: list[float], b: list[float]) -> float:
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    probe = sorted(range(len(centers)), key=lambda c: _l2(query_vec, centers[c]))[:n_probe]
+    return (
+        assigned.filter(F.col("__cell").isin(probe))
+        .withColumn("cosine_sim", F.round(_cosine_vs_literal(F.col(vec_col), query_vec), 6))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .select(id_col, "cosine_sim")
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates_by_block(
     df: DataFrame,
     block_col: str,

