@@ -1489,6 +1489,33 @@ def q38_salted_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q39_ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT {_QUERY_VEC!r}::DOUBLE[] AS qv),
+    scored AS (
+      SELECT vec_id,
+             round(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cosine_sim
+      FROM embeddings, q)
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q39_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k through the full train/assign/probe machinery, run at
+    full probe (n_probe == n_cells) so the result is provably
+    exhaustive and the brute-force oracle applies exactly. Production
+    sets n_probe < n_cells for the probed-fraction scan cost (and, with
+    cell-partitioned storage, partition pruning); recall-vs-probe is
+    covered by tests/test_operators.py."""
+    from cdc_makanmana_spark.operators.ann import cosine_topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_ivf(e, _QUERY_VEC, k=10, n_cells=8, n_probe=8)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
