@@ -26,12 +26,26 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from cdc_makanmana_spark.operators.similarity import argmax_per_group
+
+
+@contextmanager
+def _partition_overwrite(spark: SparkSession):
+    """Scoped ``partitionOverwriteMode=dynamic``: overwrite replaces
+    only the partitions present in the written data."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def read_upsert_stream(
@@ -133,46 +147,74 @@ def upsert_to_parquet(
     key_cols: list[str],
     ts_col: str = "ts",
     checkpoint_dir: str | None = None,
+    n_buckets: int = 16,
 ):
-    """Materialize an upsert stream into a parquet table via
-    ``foreachBatch`` (T3: the reference's cache-sink + per-row change
-    markers become a continuously-merged silver table).
+    """Materialize an upsert stream into a hash-bucket-partitioned
+    parquet table via ``foreachBatch`` (T3: the reference's cache-sink
+    + per-row change markers become a continuously-merged silver
+    table).
 
-    Each micro-batch: argmax-per-key within the batch, then merge with
-    the current target state (target rows lose to newer batch rows),
-    write to a temp dir, atomically swap. This is the no-Delta
-    formulation; on a lakehouse the body is a single ``MERGE INTO``
-    keyed on ``key_cols`` — semantics identical, and the
-    read-union-rewrite cost disappears.
+    Scale shape: the target is partitioned by ``__bucket =
+    pmod(xxhash64(keys), n_buckets)``. Each micro-batch computes the
+    buckets it touches, reads ONLY those partitions (partition-pruned
+    scan), merges (argmax per key across target ∪ batch, deletes
+    tombstone), and rewrites ONLY those partitions (dynamic partition
+    overwrite). Per-batch I/O is proportional to touched buckets — a
+    small batch against a 100 TB table rewrites touched_buckets /
+    n_buckets of it, not all of it. Size ``n_buckets`` so one bucket ≈
+    a comfortable rewrite unit. On a Delta/Iceberg lakehouse the body
+    collapses to one ``MERGE INTO`` and this file-layout bookkeeping
+    disappears — semantics here are identical.
 
     Returns the started StreamingQuery.
     """
     spark = events_stream.sparkSession
 
+    def bucket_of(df: DataFrame):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         # Deletes must survive until AFTER the merge with current state:
         # a delete event tombstones the target row only if it is the
         # newest event for its key across (target ∪ batch).
-        if os.path.isdir(target_path) and any(
-            f.endswith(".parquet") for f in os.listdir(target_path)
-        ):
-            current = spark.read.parquet(target_path)
+        batch_df = batch_df.withColumn("__bucket", bucket_of(batch_df))
+        touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
+        if not touched:
+            return
+        exists = os.path.isdir(target_path) and any(
+            d.startswith("__bucket=") for d in os.listdir(target_path)
+        )
+        if exists:
+            current = spark.read.parquet(target_path).filter(
+                F.col("__bucket").isin(touched)  # partition-pruned read
+            )
             combined = current.unionByName(batch_df, allowMissingColumns=True)
         else:
             combined = batch_df
-        merged = latest_state(combined, key_cols, ts_col)
-        tmp = target_path.rstrip("/") + f".__tmp_batch_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        # Atomic-enough swap for local/object-store layout; a real
-        # lakehouse table makes this a transactional MERGE instead.
-        bak = target_path.rstrip("/") + ".__old"
-        if os.path.isdir(target_path):
-            os.rename(target_path, bak)
-        os.rename(tmp, target_path)
-        if os.path.isdir(bak):
-            import shutil
+        # Materialize BEFORE writing: the write replaces the very files
+        # `combined` reads, and any post-write action on a lazy plan
+        # (the surviving-bucket check below) would re-scan deleted
+        # files. The checkpoint also keeps read and overwrite phases
+        # disjoint. (A lakehouse MERGE gets this from snapshot
+        # isolation.)
+        merged = latest_state(combined, key_cols, ts_col).localCheckpoint(eager=True)
+        with _partition_overwrite(spark):
+            # Dynamic mode replaces exactly the partitions present in
+            # the written data — the untouched buckets' files are never
+            # read or rewritten.
+            merged.write.mode("overwrite").partitionBy("__bucket").parquet(target_path)
+        # Dynamic overwrite only replaces partitions PRESENT in the
+        # output: a touched bucket whose every key was deleted yields
+        # zero rows and would silently keep its stale files. Drop those
+        # partitions explicitly (a lakehouse MERGE's delete clause does
+        # this transactionally).
+        surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
+        for b in set(touched) - surviving:
+            bdir = os.path.join(target_path, f"__bucket={b}")
+            if os.path.isdir(bdir):
+                import shutil
 
-            shutil.rmtree(bak)
+                shutil.rmtree(bdir)
 
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
     return (

@@ -89,6 +89,51 @@ def test_upsert_stream_materializes_latest_state(spark, tmp_path):
     assert state == {1: 10.0, 2: 21.0, 4: 40.0}  # 3 deleted, 2 updated
 
 
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB property of the upsert sink: a micro-batch touching
+    one key must leave every other bucket's files physically untouched
+    (same file names and mtimes) — partition-pruned read, dynamic
+    partition overwrite."""
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "target")
+    _land(src, "b1.json", [
+        {"key": k, "op": "upsert", "ts": "2024-01-01T00:00:00", "value": float(k)}
+        for k in range(1, 33)
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    q = upsert_to_parquet(stream, target, ["key"], checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def file_state():
+        out = {}
+        for bucket in os.listdir(target):
+            if not bucket.startswith("__bucket="):
+                continue
+            bdir = os.path.join(target, bucket)
+            out[bucket] = {
+                f: os.stat(os.path.join(bdir, f)).st_mtime_ns
+                for f in os.listdir(bdir) if f.endswith(".parquet")
+            }
+        return out
+
+    before = file_state()
+    assert len(before) > 4  # keys spread over several buckets
+
+    # second batch: update ONE key
+    _land(src, "b2.json", [
+        {"key": 7, "op": "upsert", "ts": "2024-01-01T01:00:00", "value": 700.0},
+    ])
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA)
+    q = upsert_to_parquet(stream, target, ["key"], checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    after = file_state()
+    changed = [b for b in before if before[b] != after.get(b)]
+    assert len(changed) == 1, f"expected exactly one rewritten bucket, got {changed}"
+    state = {r.key: r.value for r in spark.read.parquet(target).collect()}
+    assert state[7] == 700.0 and state[1] == 1.0 and len(state) == 32
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """An event later than watermark behind the max seen ts must not
     reopen its (already finalized) window in append mode."""
