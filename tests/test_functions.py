@@ -131,3 +131,19 @@ def test_doc_fingerprint_normalizes_whitespace_and_case(spark):
     b = one(spark, doc_fingerprint("t"), t="hello world ")
     c = one(spark, doc_fingerprint("t"), t="hello worlds")
     assert a == b != c
+
+
+def test_arrow_cosine_matches_hof_cosine(spark):
+    """§2.9 extension surface: the Arrow-batched numpy cosine agrees
+    with the codegen HOF cosine to FP-reduction tolerance and yields
+    the same top-k ranking on the embeddings fixture."""
+    from cdc_makanmana_spark.functions.vector_udf import cosine_topk_bruteforce_arrow
+    from cdc_makanmana_spark.operators.ann import cosine_topk_bruteforce
+
+    e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = [float((i * 37 % 19) - 9) / 9.0 for i in range(64)]
+    hof = cosine_topk_bruteforce(e, q, k=10).collect()
+    arrow = cosine_topk_bruteforce_arrow(e, q, k=10).collect()
+    assert [r.vec_id for r in hof] == [r.vec_id for r in arrow]
+    for a, b in zip(hof, arrow):
+        assert abs(a.cosine_sim - b.cosine_sim) <= 1e-6
