@@ -139,3 +139,34 @@ def doc_fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def winnowing_fingerprints(
+    col: Column | str, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprint set (rolling-hash document fingerprinting,
+    the MOSS scheme): hash every word k-gram, then keep the minimum
+    hash of each sliding window of ``window`` consecutive k-gram
+    hashes. Guarantees: any shared run of >= k + window - 1 words
+    between two documents shares at least one selected fingerprint —
+    partial-overlap detection, where ``doc_fingerprint`` only catches
+    whole-document equality.
+
+    Returns a sorted distinct array<long>. Sharing-detection is then a
+    standard blocked self-join on the exploded fingerprints (identical
+    machinery to the shingle join in operators/dedup.py, and the same
+    skew cap applies).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    n_grams = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), " ")),
+    )
+    n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -147,3 +147,35 @@ def test_arrow_cosine_matches_hof_cosine(spark):
     assert [r.vec_id for r in hof] == [r.vec_id for r in arrow]
     for a, b in zip(hof, arrow):
         assert abs(a.cosine_sim - b.cosine_sim) <= 1e-6
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Winnowing property: documents sharing a run of >= k+window-1
+    words share at least one fingerprint; unrelated documents share
+    none; fingerprinting is deterministic and position-robust (the
+    shared run is found regardless of where it sits in the doc)."""
+    from cdc_makanmana_spark.functions.text import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"  # 10 words >= 5+4-1
+    docs = [
+        (1, "intro words here " + shared + " closing remarks"),
+        (2, shared + " and a completely different continuation follows now"),
+        (3, "entirely unrelated content about spark physical plans and shuffles"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text", k=5, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps[1] & fps[2], "shared 10-word run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    # deterministic
+    again = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id", winnowing_fingerprints("text", k=5, window=4).alias("fp")
+        ).collect()
+    }
+    assert fps == again
