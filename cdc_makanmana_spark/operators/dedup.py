@@ -257,27 +257,58 @@ def minhash_near_duplicates(
     )
 
 
+def md5_hash64(col) -> "F.Column":
+    """64-bit signed hash from the first 16 hex chars of md5(col).
+
+    Slower than xxhash64 (cryptographic digest + hex parse) but
+    bit-identical across engines: any system with md5 + string slicing
+    + integer arithmetic reproduces it, which makes operators built on
+    it oracle-checkable (same role as ``doc_fingerprint``'s md5 in
+    functions/text.py). The two 32-bit halves are parsed via conv() and
+    reassembled in two's complement so the value equals Java's
+    ``(hi << 32) | lo`` on a long.
+    """
+    hex16 = F.substring(F.md5(col), 1, 16)
+    hi = F.conv(F.substring(hex16, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hex16, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_buckets(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 64
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash per document: sign-aggregate token hash bits.
 
     For each bit position, sum +1/-1 over tokens according to the
-    token's xxhash64 bit → bit set iff sum > 0. Explode tokens once,
+    token's hash bit → bit set iff sum > 0. Explode tokens once,
     then ``bits`` codegen'd conditional-sum aggregates in one groupBy
     (same explode-beats-interpreted-HOF tradeoff as
     ``minhash_signatures``). Result is a single BIGINT column suitable
     for Hamming-distance bucketing (join on 16-bit chunks for <= 4·k
     distance candidates).
+
+    ``token_hash``: "xxhash64" (default — cheapest, JVM-native) or
+    "md5_64" (``md5_hash64`` — portable across engines, used by the
+    declared q25 so a SQL oracle can replay the exact bit votes).
     """
+    if token_hash == "xxhash64":
+        hash_expr = F.xxhash64("__t")
+    elif token_hash == "md5_64":
+        hash_expr = md5_hash64("__t")
+    else:  # pragma: no cover - guarded misuse
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     tokens = F.array_distinct(F.split(_norm_text(F.col(text_col)), " "))
     # Hash each token ONCE in the projection; the per-bit aggregates
     # below then only do integer shift/mask on the precomputed hash
-    # (vs. ``bits`` string hashes per row if the xxhash64 lived inside
+    # (vs. ``bits`` string hashes per row if the hash fn lived inside
     # every aggregate expression).
     tok = _spread(df).select(
         F.col(id_col).alias("__id"), F.explode_outer(tokens).alias("__t")
-    ).select("__id", F.xxhash64("__t").alias("__h"))
+    ).select("__id", hash_expr.alias("__h"))
     h = F.col("__h")
     votes = tok.groupBy("__id").agg(
         *[

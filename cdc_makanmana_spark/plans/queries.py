@@ -749,7 +749,7 @@ _VETO_NEGATIVE = ["promo", "large"]
     "q22_keyword_classify",
     """
     SELECT p_partkey,
-           CASE WHEN len(hits) = 0 THEN ['Other'] ELSE hits END AS classes,
+           array_to_string(list_sort(CASE WHEN len(hits) = 0 THEN ['Other'] ELSE hits END), ',') AS classes,
            CASE WHEN contains(lower(p_name || ' ' || p_type), 'promo')
                   OR contains(lower(p_name || ' ' || p_type), 'large') THEN FALSE
                 ELSE contains(lower(p_name || ' ' || p_type), 'economy')
@@ -775,9 +775,14 @@ def q22_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = _t(spark, sf_dir, "part")
     txt = F.concat_ws(" ", "p_name", "p_type")
+    # The multi-label output is projected to a sorted CSV string so the
+    # result is hashable by any downstream canonicalizer (raw array<string>
+    # columns are not); classification still happens set-valued upstream.
     return p.select(
         "p_partkey",
-        keyword_classes("p_name", _CUISINE_RULES, default="Other").alias("classes"),
+        F.array_join(
+            F.array_sort(keyword_classes("p_name", _CUISINE_RULES, default="Other")), ","
+        ).alias("classes"),
         keyword_flag_with_veto(txt, _VETO_POSITIVE, _VETO_NEGATIVE).alias("flag"),
     )
 
@@ -879,19 +884,58 @@ def q24_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q25_simhash_hamming_pairs")  # no oracle: xxhash64 is not expressible in DuckDB
+# The oracle replays the exact simhash construction: md5-derived 64-bit
+# token hashes (md5_hash64 — portable, unlike xxhash64), per-bit sign
+# votes, two's-complement reassembly (bit 63 contributes -2^63; DuckDB's
+# << raises on overflow so the sign bit is added arithmetically), then
+# brute-force all-pairs Hamming — quadratic is fine for an oracle; the
+# Spark side's chunk blocking has complete recall at distance <= 3 so
+# the outputs coincide exactly.
+_Q25_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
+    h AS (
+      SELECT doc_id,
+             (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS h
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM tok)),
+    votes AS (
+      SELECT doc_id, i,
+             sum(CASE WHEN ((h >> i) & 1) = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN range(64) r(i)
+      GROUP BY doc_id, i),
+    sim AS (
+      SELECT doc_id,
+             sum(CASE WHEN v > 0 THEN
+                   CASE WHEN i = 63 THEN -9223372036854775808
+                        ELSE (1::BIGINT << i::INTEGER) END
+                 ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@query("q25_simhash_hamming_pairs", _Q25_ORACLE)
 def q25_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (dedup ladder tier 3): 64-bit
     sign-aggregated token hashes, blocked on 16-bit chunks (pigeonhole:
     a pair within Hamming distance 3 must agree on at least one of the
     4 chunks → complete recall), pairs kept at distance <= 3.
-    Deterministic (seeded xxhash64) but not SQL-expressible →
-    rows-only driver check; value-level tests live in
-    tests/test_operators.py."""
+    Token hash is md5-derived (``md5_hash64``) so the DuckDB oracle can
+    replay the identical bit votes; the scale path may use the cheaper
+    xxhash64 via ``simhash_buckets(token_hash="xxhash64")``."""
     from cdc_makanmana_spark.operators.dedup import simhash_buckets
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = simhash_buckets(d, "text", "doc_id")
+    sigs = simhash_buckets(d, "text", "doc_id", token_hash="md5_64")
     chunks = sigs.select(
         "__id",
         "simhash",

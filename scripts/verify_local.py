@@ -74,6 +74,20 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        # The driver's canonicalizer pandas-sorts every column; container
+        # types (array/map/struct) are unhashable there even though this
+        # script's norm_value can stringify them. Flag them as failures so
+        # local verification matches the driver's strictness (q22 round-1
+        # lesson: passed here, red in CORRECTNESS_r01).
+        container = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if container:
+            print(f"FAIL {name}: driver-unhashable container columns {container}")
+            failures.append(name)
+            continue
         if name not in ORACLE_SQL:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             continue

@@ -186,6 +186,36 @@ def test_simhash_similar_docs_close(spark):
     assert ham12 <= 8 < ham13
 
 
+def test_md5_hash64_matches_python_reference(spark):
+    # md5_hash64 is the cross-engine contract the q25 oracle relies on:
+    # its value must equal int(md5(token)[:16], 16) as a SIGNED 64-bit,
+    # for any engine that can md5 + slice + do integer arithmetic.
+    import hashlib
+
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    toks = ["hello", "w007", "", "ünïcode", "a b", "9" * 40]
+    df = spark.createDataFrame([Row(t=t) for t in toks])
+    got = {r.t: r.h for r in df.select("t", md5_hash64("t").alias("h")).collect()}
+    for t in toks:
+        u = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+        signed = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[t] == signed, t
+
+
+def test_simhash_md5_variant_differs_but_same_shape(spark):
+    # Same docs through both token hashes: values differ (different
+    # hash family) but both are 64-bit longs and identical docs still
+    # collide at distance 0.
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha  beta gamma ")]
+    )
+    for th in ("xxhash64", "md5_64"):
+        got = {r["__id"]: r["simhash"] for r in
+               simhash_buckets(df, "text", "doc_id", token_hash=th).collect()}
+        assert got[1] == got[2]  # normalization makes the texts identical
+
+
 # --- enrichment joins (J5, J7) ----------------------------------------------------
 
 def test_prefix_fallback_join(spark):
