@@ -15,10 +15,11 @@ returns a NEW engine wrapping the transformed (still lazy) DataFrame;
 ``.df`` exposes it.
 
 Scale notes: the whole pipeline is one declarative plan — text
-predicates reach the scan, the halal semi-join broadcasts its dim
-table, radius queries pre-filter on a sargable bounding box, and
-sort+page plans as TakeOrderedAndProject (top-k) rather than a global
-sort.
+predicates reach the scan, the halal entity-resolution broadcasts only
+its dim-scale side (the establishment table; the fact-scale match set
+is never hinted), radius queries pre-filter on a sargable bounding
+box, and sort+page plans as TakeOrderedAndProject (top-k) rather than
+a global sort.
 """
 
 from __future__ import annotations
@@ -133,9 +134,16 @@ class MakanmanaEngine:
             F.col(f"{id_col}_l").alias("__mid"),
             F.col("match_source").alias("__src"),
         )
+        # NO broadcast hint here: ``matches`` has one row per matched
+        # MERCHANT — it scales with the fact side, not the dim side, so
+        # pinning it to a broadcast is a driver/executor OOM at 100×.
+        # AQE picks broadcast at runtime when the match set happens to
+        # be small; the shuffled hash join on the key is the safe
+        # default. (similarity_join's internal broadcast of the
+        # establishment DIM side remains — that side is dim-scale.)
         out = (
             self.df.join(
-                F.broadcast(matches.filter(F.col("__src").isNotNull())),
+                matches.filter(F.col("__src").isNotNull()),
                 self.df[id_col] == F.col("__mid"),
                 "left",
             )

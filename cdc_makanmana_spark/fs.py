@@ -1,0 +1,113 @@
+"""Hadoop FileSystem helpers — object-store-safe filesystem metadata ops.
+
+Every sink/cache in the engine does its partition bookkeeping
+(existence checks, version listing, atomic rename-commit, bucket
+drops) through THIS module, which routes to Hadoop's ``FileSystem``
+API via the session JVM — so a target path may be ``file:/...``,
+``hdfs://...``, ``s3a://...`` or any other registered scheme and the
+code is identical. Driver-local ``os``/``shutil`` calls (the round-1/2
+implementation) only ever worked on a single machine; reference
+analogue for the sink these serve: the cache commit + TTL versioning
+in /root/reference/src/services/dataManager.ts:26-77.
+
+All calls are driver-side METADATA operations (list/stat/rename) —
+O(entries) namenode/object-store RPCs, never data movement. The text
+read/write helpers exist for small JSON sidecars only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) pair for ``path_str``'s scheme."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def exists(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_path(spark, path_str)
+    return fs.exists(path)
+
+
+def is_dir(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_path(spark, path_str)
+    return fs.exists(path) and fs.getFileStatus(path).isDirectory()
+
+
+def list_names(spark: SparkSession, path_str: str, dirs_only: bool = False) -> list[str]:
+    """Child entry basenames of a directory (empty if absent)."""
+    fs, path = _fs_path(spark, path_str)
+    if not fs.exists(path):
+        return []
+    out = []
+    for st in fs.listStatus(path):
+        if dirs_only and not st.isDirectory():
+            continue
+        out.append(st.getPath().getName())
+    return out
+
+
+def delete(spark: SparkSession, path_str: str, recursive: bool = True) -> bool:
+    """Remove a file/dir tree; False if it did not exist."""
+    fs, path = _fs_path(spark, path_str)
+    if not fs.exists(path):
+        return False
+    return fs.delete(path, recursive)
+
+
+def rename(spark: SparkSession, src_str: str, dst_str: str) -> bool:
+    """Same-filesystem rename — the atomic-commit primitive on HDFS
+    (and a fast metadata op on file:). On S3 rename is a copy; a real
+    deployment there fronts the layout with a Delta/Iceberg log — the
+    call-site semantics (commit version n+1) are unchanged."""
+    fs, src = _fs_path(spark, src_str)
+    _, dst = _fs_path(spark, dst_str)
+    return fs.rename(src, dst)
+
+
+def mkdirs(spark: SparkSession, path_str: str) -> bool:
+    fs, path = _fs_path(spark, path_str)
+    return fs.mkdirs(path)
+
+
+def file_size(spark: SparkSession, path_str: str) -> int:
+    fs, path = _fs_path(spark, path_str)
+    return fs.getFileStatus(path).getLen()
+
+
+def read_text(spark: SparkSession, path_str: str) -> str | None:
+    """Small-sidecar read (JSON metadata, a few hundred bytes); None if
+    absent. Not for data files."""
+    fs, path = _fs_path(spark, path_str)
+    if not fs.exists(path):
+        return None
+    n = fs.getFileStatus(path).getLen()
+    stream = fs.open(path)
+    try:
+        arr = spark.sparkContext._gateway.new_array(spark._jvm.byte, n)
+        stream.readFully(0, arr)
+        return bytes(b & 0xFF for b in arr).decode("utf-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path_str: str, content: str) -> None:
+    """Small-sidecar write (overwrite). Not for data files."""
+    fs, path = _fs_path(spark, path_str)
+    out = fs.create(path, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def byte_string_as_bytes(spark: SparkSession, s: str) -> int:
+    """Parse a Spark size string ('128MB', '134217728b') to bytes."""
+    try:
+        return int(s)
+    except ValueError:
+        return int(spark._jvm.org.apache.spark.util.Utils.byteStringAsBytes(s))

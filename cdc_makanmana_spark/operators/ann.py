@@ -146,31 +146,88 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_train(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """IVF coarse-quantizer TRAINING: k-means centroids over (a sample
+    of) the vectors. This is the offline index-build step — run it once,
+    keep the ``n_cells`` centroid lists (a few KB), and serve every
+    query with :func:`ivf_assign` + probe. At 100 TB you fit on
+    ``sample_fraction`` of the table (k-means centroids converge on a
+    sample; the full-data fit buys nothing but wall-clock) and never
+    refit per query.
+
+    Training uses pyspark.ml KMeans (seeded — deterministic for a given
+    input + fraction).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    fit_src = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        if sample_fraction is not None
+        else df
+    )
+    feat = fit_src.withColumn(
+        "__fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
+    model = km.fit(feat)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _l2sq_vs_literal(vec: Column, center: list[float]) -> Column:
+    c = F.array(*[F.lit(float(x)) for x in center])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(
+    df: DataFrame, centers: list[list[float]], vec_col: str = "embedding"
+) -> DataFrame:
+    """Add ``__cell`` = nearest-centroid id as a PURE Catalyst
+    expression (argmin over ``len(centers)`` literal centroids via
+    ``array_min`` of (distance, id) structs — struct ordering is
+    lexicographic, ties go to the lower cell id). Map-only, no shuffle,
+    no ML model object needed at serve time: the index you ship to a
+    query node is just the centroid lists."""
+    cells = F.array(
+        *[
+            F.struct(
+                _l2sq_vs_literal(F.col(vec_col), c).alias("d"),
+                F.lit(i).alias("i"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    return df.withColumn("__cell", F.array_min(cells)["i"])
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    sample_fraction: float | None = None,
 ):
     """IVF coarse quantizer: k-means cells over the vectors.
 
     Returns ``(assigned_df, centers)`` where ``assigned_df`` adds a
     ``__cell`` column (nearest-centroid id) and ``centers`` is the
-    local list of centroids for query-side probing. Training uses
-    pyspark.ml KMeans (seeded — deterministic); at 100 TB you train on
-    a sample and assign the full table in one pass (the transform is a
-    per-row argmin over ``n_cells`` centroids, map-only, no shuffle).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    feat = df.withColumn("__fv", array_to_vector(F.col(vec_col).cast("array<double>")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="__fv", predictionCol="__cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).drop("__fv")
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    return assigned, centers
+    local list of centroids for query-side probing. Composition of
+    :func:`ivf_train` (fit on ``sample_fraction`` — the offline build)
+    and :func:`ivf_assign` (expression-only argmin — the one full-table
+    pass)."""
+    centers = ivf_train(df, n_cells, vec_col, seed, sample_fraction)
+    return ivf_assign(df, centers, vec_col), centers
 
 
 def cosine_topk_ivf(
@@ -182,9 +239,16 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    centers: list[list[float]] | None = None,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """IVF top-k: probe only the ``n_probe`` cells whose centroids are
     nearest the query, exact-rerank inside them.
+
+    Pass ``centers`` (from a prior :func:`ivf_train`) to serve from a
+    prebuilt index — the per-query cost is then assign + probe only.
+    Without it the index is (re)trained here, on ``sample_fraction`` if
+    given.
 
     The cell filter is a plain ``isin`` predicate over an int column —
     sargable, partition-prunable if the table is written partitioned by
@@ -192,7 +256,9 @@ def cosine_topk_ivf(
     query touches n_probe/n_cells of the data). Recall grows with
     ``n_probe``; cost is the probed fraction of the scan.
     """
-    assigned, centers = ivf_index(df, n_cells, vec_col, id_col, seed)
+    if centers is None:
+        centers = ivf_train(df, n_cells, vec_col, seed, sample_fraction)
+    assigned = ivf_assign(df, centers, vec_col)
 
     # Probe ranking uses EUCLIDEAN distance to match the quantizer's
     # assignment geometry (k-means cells are Voronoi in L2; ranking by
@@ -262,14 +328,20 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked: vectors sharing an
     exact signature bucket are candidates; exact cosine confirms.
     Returns (id_a, id_b, cosine_sim). High thresholds pair with enough
     bits that true dups rarely straddle a bucket boundary; a banded
     variant (multiple independent signatures) raises recall.
+
+    Pass ``dim`` (the embedding dimensionality) to keep the plan fully
+    lazy; omitted, it is probed with one driver-side ``first()`` on a
+    single row.
     """
-    dim = len(df.select(F.size(vec_col)).first()[0]) if df.schema[vec_col].dataType else 0
+    if dim is None:
+        dim = df.select(F.size(vec_col)).first()[0]
     planes = _hyperplanes(dim, bits, seed)
     sigs = df.select(
         F.col(id_col).alias("__id"),

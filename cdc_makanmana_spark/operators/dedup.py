@@ -36,9 +36,35 @@ def _spread(df: DataFrame) -> DataFrame:
     single-threaded (measured 2x end-to-end on q24). At cluster scale
     the scan already yields >= defaultParallelism splits and this is a
     no-op — the repartition only fires on narrow inputs, where the
-    shuffled text volume is by construction small."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    shuffled text volume is by construction small.
+
+    The narrowness probe is METADATA-only (no ``.rdd`` conversion,
+    which would add a Python-serialization plan and an analysis pass):
+    estimated scan splits = Σ ceil(file_size / maxPartitionBytes) over
+    ``df.inputFiles()``, statted through the Hadoop FS API. Non-file
+    inputs (createDataFrame locals — already sliced to
+    defaultParallelism) pass through untouched.
+    """
+    from cdc_makanmana_spark import fs
+
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files or len(files) >= target:
+        return df
+    try:
+        max_pb = fs.byte_string_as_bytes(
+            spark, spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        est_splits = sum(
+            max(1, -(-fs.file_size(spark, f) // max_pb)) for f in files
+        )
+    except Exception:
+        est_splits = len(files)
+    if est_splits < target:
         return df.repartition(target)
     return df
 
@@ -375,6 +401,7 @@ def connected_components(
         return lab.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = _label_sum(labels)
+    converged = False
     for _ in range(max_iter):
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
@@ -394,8 +421,19 @@ def connected_components(
         )
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Returning part-propagated labels would silently split real
+        # clusters (and dedup_keep_best would then keep spurious
+        # survivors). Diameter > max_iter is an input-shape surprise —
+        # refuse loudly rather than corrupt downstream dedup.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "iterations (component diameter exceeds the bound); raise max_iter "
+            "or pre-chunk the adversarially-chained input"
+        )
     return labels
 
 

@@ -37,7 +37,17 @@ def salted_join(
     deterministic (re-runs and retried tasks salt identically; no
     ``rand()``, which would break task-retry correctness) while still
     spreading a hot key's rows across buckets.
+
+    Only ``inner`` and ``left`` are legal: the dim side is replicated
+    ``n_salts``×, so a right/full outer join would emit every unmatched
+    dim row once PER SALT — silently wrong. Refused loudly here.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "the replicated dim side would duplicate unmatched rows "
+            f"{n_salts}x under outer semantics"
+        )
     fact_salted = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts))
     )

@@ -8,16 +8,20 @@ src/services/dataManager.ts:26-77 ``hasValidCachedData`` /
 :248-276). The engine's version is a parquet table + JSON metadata
 sidecar; the stale-while-revalidate flow (App.tsx:102-143) becomes
 ``load_or_refresh``.
+
+All filesystem bookkeeping (meta sidecar, teardown) goes through the
+Hadoop FileSystem API (`cdc_makanmana_spark.fs`), so ``path`` may be a
+local dir, ``hdfs://`` or ``s3a://`` URI alike.
 """
 
 from __future__ import annotations
 
 import json
-import os
-import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+from cdc_makanmana_spark import fs
 
 
 class SnapshotCache:
@@ -32,13 +36,11 @@ class SnapshotCache:
 
     @property
     def _meta_path(self) -> str:
-        return os.path.join(self.path, "_cache_meta.json")
+        return f"{self.path}/_cache_meta.json"
 
     def _read_meta(self) -> dict | None:
-        if not os.path.isfile(self._meta_path):
-            return None
-        with open(self._meta_path) as f:
-            return json.load(f)
+        raw = fs.read_text(self.spark, self._meta_path)
+        return json.loads(raw) if raw is not None else None
 
     def is_fresh(self, now_s: float | None = None) -> bool:
         """Version match AND age < TTL (dataManager.ts:32-51). ``now_s``
@@ -54,15 +56,17 @@ class SnapshotCache:
         (counted once, reused for the stats surface)."""
         df.write.mode("overwrite").parquet(self.path)
         n = self.spark.read.parquet(self.path).count()
-        with open(self._meta_path, "w") as f:
-            json.dump(
+        fs.write_text(
+            self.spark,
+            self._meta_path,
+            json.dumps(
                 {
                     "count": n,
                     "last_update_s": now_s or time.time(),
                     "data_version": self.data_version,
-                },
-                f,
-            )
+                }
+            ),
+        )
         return n
 
     def load(self) -> DataFrame:
@@ -95,5 +99,4 @@ class SnapshotCache:
 
     def clear(self) -> None:
         """Teardown (S12 ``clearCache``)."""
-        if os.path.isdir(self.path):
-            shutil.rmtree(self.path)
+        fs.delete(self.spark, self.path, recursive=True)

@@ -24,7 +24,6 @@ Scale notes (1000-executor / 100 TB design):
 
 from __future__ import annotations
 
-import os
 import tempfile
 from contextlib import contextmanager
 
@@ -32,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from cdc_makanmana_spark import fs
 from cdc_makanmana_spark.operators.similarity import argmax_per_group
 
 
@@ -71,8 +71,19 @@ def read_upsert_stream(
 
 def latest_state(events: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
     """Batch materializer: latest event per key (argmax window), drop
-    deletes. The per-micro-batch body of the upsert sink."""
-    latest = argmax_per_group(events, key_cols, [F.desc(ts_col)])
+    deletes. The per-micro-batch body of the upsert sink.
+
+    The argmax order is a TOTAL order, so replays/retries materialize
+    the same state: timestamp first, then op precedence on exact-ts
+    ties (a delete and an upsert carrying the same ``ts`` resolve to
+    the delete — the conservative tombstone), then a content hash as
+    the final tie-break between distinct same-ts payloads.
+    """
+    order = [F.desc(ts_col)]
+    if "op" in events.columns:
+        order.append(F.desc(F.col("op") == F.lit("delete")))
+    order.append(F.desc(F.xxhash64(*[F.col(c) for c in events.columns])))
+    latest = argmax_per_group(events, key_cols, order)
     if "op" in events.columns:
         latest = latest.filter(F.col("op") != F.lit("delete"))
     return latest
@@ -181,8 +192,12 @@ def upsert_to_parquet(
         touched = [r[0] for r in batch_df.select("__bucket").distinct().collect()]
         if not touched:
             return
-        exists = os.path.isdir(target_path) and any(
-            d.startswith("__bucket=") for d in os.listdir(target_path)
+        # Hadoop FS existence probe (one listStatus) — works against
+        # file:/hdfs:/s3a: targets alike; os.* would pin this sink to
+        # the driver's local disk.
+        exists = any(
+            d.startswith("__bucket=")
+            for d in fs.list_names(spark, target_path, dirs_only=True)
         )
         if exists:
             current = spark.read.parquet(target_path).filter(
@@ -210,11 +225,7 @@ def upsert_to_parquet(
         # this transactionally).
         surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
         for b in set(touched) - surviving:
-            bdir = os.path.join(target_path, f"__bucket={b}")
-            if os.path.isdir(bdir):
-                import shutil
-
-                shutil.rmtree(bdir)
+            fs.delete(spark, f"{target_path}/__bucket={b}", recursive=True)
 
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
     return (

@@ -16,11 +16,10 @@ are filtered at scan time and compacted away by the merge.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_makanmana_spark import fs
 from cdc_makanmana_spark.operators.similarity import argmax_per_group
 
 
@@ -42,18 +41,18 @@ class VerdictCache:
     # n still reads valid files after a merge commits n+1 (the same
     # reader-isolation guarantee a Delta/Iceberg log provides). Without
     # this, enrich_with's returned (lazy) plan would dangle on files the
-    # merge just deleted.
+    # merge just deleted. Version discovery/commit/vacuum go through the
+    # Hadoop FileSystem API, so ``path`` may live on any object store.
     def _versions(self) -> list[str]:
-        if not os.path.isdir(self.path):
-            return []
         return sorted(
-            d for d in os.listdir(self.path)
-            if d.startswith("v") and os.path.isdir(os.path.join(self.path, d))
+            d
+            for d in fs.list_names(self.spark, self.path, dirs_only=True)
+            if d.startswith("v")
         )
 
     def _current(self) -> str | None:
         vs = self._versions()
-        return os.path.join(self.path, vs[-1]) if vs else None
+        return f"{self.path}/{vs[-1]}" if vs else None
 
     def _exists(self) -> bool:
         return self._current() is not None
@@ -109,19 +108,19 @@ class VerdictCache:
             merged = stamped
         n = len(self._versions())
         # Write then rename within the same parent = atomic commit of
-        # version n+1; concurrent readers of version <= n are untouched.
-        tmp = os.path.join(self.path, f".__tmp_v{n + 1:06d}")
+        # version n+1 (atomic on HDFS/file:; on raw S3 a Delta/Iceberg
+        # log supplies the commit — semantics here are identical);
+        # concurrent readers of version <= n are untouched.
+        tmp = f"{self.path}/.__tmp_v{n + 1:06d}"
         merged.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(self.path, f"v{n + 1:06d}"))
+        fs.rename(self.spark, tmp, f"{self.path}/v{n + 1:06d}")
 
     def vacuum(self, keep: int = 2) -> None:
         """Drop all but the newest ``keep`` versions. Callers must
         ensure no live query still reads the dropped ones (same
         contract as Delta VACUUM)."""
-        import shutil
-
         for d in self._versions()[:-keep]:
-            shutil.rmtree(os.path.join(self.path, d))
+            fs.delete(self.spark, f"{self.path}/{d}", recursive=True)
 
     def enrich_with(
         self,
