@@ -85,12 +85,13 @@ def read_text(spark: SparkSession, path_str: str) -> str | None:
     fs, path = _fs_path(spark, path_str)
     if not fs.exists(path):
         return None
-    n = fs.getFileStatus(path).getLen()
     stream = fs.open(path)
     try:
-        arr = spark.sparkContext._gateway.new_array(spark._jvm.byte, n)
-        stream.readFully(0, arr)
-        return bytes(b & 0xFF for b in arr).decode("utf-8")
+        # py4j passes byte[] ARGUMENTS by value, so out-param reads like
+        # readFully(pos, buf) never reach Python — but byte[] RETURN
+        # values auto-convert to Python bytes, so read via IOUtils.
+        data = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode("utf-8")
     finally:
         stream.close()
 

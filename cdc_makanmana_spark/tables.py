@@ -30,12 +30,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    # events.parquet carries TIMESTAMP(NANOS) which Spark's parquet
-    # reader rejects by default; read nanos as long and truncate to
-    # micros with integer division (exact — float division would lose
-    # low bits at 1e18 ns). DuckDB truncates ns→µs the same way. The
-    # conf only affects NANOS columns, so setting it globally is safe.
-    _enable_nanos_as_long(spark)
+    # events.parquet has shipped two timestamp physical types across
+    # fixture generations: TIMESTAMP(NANOS), which Spark's reader
+    # rejects by default (read as long, truncate ns→µs with integer
+    # division — exact; DuckDB truncates the same way), and plain
+    # TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 infers
+    # as timestamp_ntz. Normalize both to session-TZ TimestampType:
+    # the session runs UTC, so wall-clock values match DuckDB's naive
+    # timestamps either way.
+    _configure_parquet_timestamps(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if any(f.name == "ts" for f in df.schema.fields):
         from pyspark.sql import functions as F
@@ -46,8 +49,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return df
 
 
-def _enable_nanos_as_long(spark: SparkSession) -> None:
+def _configure_parquet_timestamps(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
