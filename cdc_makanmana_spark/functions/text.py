@@ -137,12 +137,13 @@ def doc_fingerprint(col: Column | str) -> Column:
     computes the identical value for the oracle diff.
     """
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    # Explicit class (not \s): Java \s has \x0B, RE2 \s does not.
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f\x0B]+", " "))
     return F.md5(F.encode(normalized, "UTF-8"))
 
 
 def winnowing_fingerprints(
-    col: Column | str, k: int = 5, window: int = 4
+    col: Column | str, k: int = 5, window: int = 4, gram_hash: str = "xxhash64"
 ) -> Column:
     """Winnowing fingerprint set (rolling-hash document fingerprinting,
     the MOSS scheme): hash every word k-gram, then keep the minimum
@@ -156,13 +157,22 @@ def winnowing_fingerprints(
     standard blocked self-join on the exploded fingerprints (identical
     machinery to the shingle join in operators/dedup.py, and the same
     skew cap applies).
+
+    ``gram_hash``: "xxhash64" (JVM-native, the scale path) or "md5_64"
+    (md5-derived 64-bit hash, bit-identical across engines — lets the
+    DuckDB oracle replay the fingerprint selection; same trade as
+    ``simhash_buckets``'s token_hash).
     """
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
     c = F.col(col) if isinstance(col, str) else col
-    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")), " ")
+    # Explicit class (not \s): Java \s has \x0B, RE2 \s does not.
+    words = F.split(F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\r\f\x0B]+", " ")), " ")
+    hash_fn = md5_hash64 if gram_hash == "md5_64" else F.xxhash64
     n_grams = F.greatest(F.size(words) - (k - 1), F.lit(1))
     grams = F.transform(
         F.sequence(F.lit(1), n_grams),
-        lambda i: F.xxhash64(F.array_join(F.slice(words, i, k), " ")),
+        lambda i: hash_fn(F.array_join(F.slice(words, i, k), " ")),
     )
     n_windows = F.greatest(F.size(grams) - (window - 1), F.lit(1))
     mins = F.transform(

@@ -26,7 +26,11 @@ from cdc_makanmana_spark.operators.similarity import argmax_per_group
 
 
 def _norm_text(col):
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    # Explicit whitespace class, not \s: Java's \s includes vertical
+    # tab (\x0B) while DuckDB/RE2's does not, so the oracle SQL pins
+    # the same class and both engines tokenize identically on exotic
+    # whitespace (ADVICE r2).
+    return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\r\f\x0B]+", " "))
 
 
 def _spread(df: DataFrame) -> DataFrame:

@@ -415,7 +415,7 @@ def q14_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH fp AS (
       SELECT doc_id, n_chars,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpr
+             md5(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))) AS fpr
       FROM documents)
     SELECT f.doc_id, f.n_chars
     FROM fp f JOIN (SELECT fpr, min(doc_id) AS doc_id FROM fp GROUP BY fpr) k
@@ -797,7 +797,7 @@ def q22_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_ORACLE = r"""
     WITH d AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents),
     s AS (
       SELECT doc_id,
@@ -846,7 +846,7 @@ _Q24_MAX_DF = 64
 _Q24_ORACLE = rf"""
     WITH d AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents),
     s0 AS (
       SELECT doc_id,
@@ -894,8 +894,8 @@ def q24_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q25_ORACLE = r"""
     WITH d AS (
       SELECT doc_id,
-             list_distinct(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS toks
-      FROM documents),
+             list_distinct(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS toks
+      FROM documents WHERE text IS NOT NULL),
     tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
     h AS (
       SELECT doc_id,
@@ -934,7 +934,15 @@ def q25_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 via ``simhash_buckets(token_hash="xxhash64")``."""
     from cdc_makanmana_spark.operators.dedup import simhash_buckets
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # NULL-text docs would survive here (explode_outer gives them a
+    # null token → all-(-1) votes → simhash 0) while DuckDB's
+    # unnest(NULL) drops them from the oracle; exclude them on both
+    # sides so the engines agree on participation (ADVICE r2).
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
     sigs = simhash_buckets(d, "text", "doc_id", token_hash="md5_64")
     chunks = sigs.select(
         "__id",
@@ -1452,7 +1460,7 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH d AS (
       SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS w
+             string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents),
     s0 AS (
       SELECT doc_id,
@@ -1558,6 +1566,93 @@ def q39_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = _t(spark, sf_dir, "embeddings")
     return cosine_topk_ivf(e, _QUERY_VEC, k=10, n_cells=8, n_probe=8)
+
+
+# Winnowing (MOSS rolling-hash fingerprints): any shared run of
+# >= k + window - 1 = 8 words between two documents shares at least one
+# selected fingerprint. The oracle replays the exact selection — md5-
+# derived 64-bit gram hashes (same two's-complement reassembly as the
+# q25 oracle), sliding-window minima, distinct — then joins pairs on
+# shared fingerprints with the same hot-fingerprint cap. The md5 hash
+# inside a list comprehension repeats per half; fine for an oracle.
+_Q40_K = 5
+_Q40_WIN = 4
+_Q40_MAX_DF = 64
+_Q40_MIN_SHARED = 2
+
+_Q40_H64 = (
+    "(CASE WHEN ('0x' || substr(md5({x}), 1, 8))::BIGINT >= 2147483648 "
+    "THEN ('0x' || substr(md5({x}), 1, 8))::BIGINT - 4294967296 "
+    "ELSE ('0x' || substr(md5({x}), 1, 8))::BIGINT END) * 4294967296 "
+    "+ ('0x' || substr(md5({x}), 9, 8))::BIGINT"
+).format(x="x")
+
+_Q40_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    g AS (
+      SELECT doc_id,
+             [{_Q40_H64}
+              for x in [array_to_string(w[i:i+{_Q40_K - 1}], ' ')
+                        for i in range(1, greatest(len(w) - {_Q40_K - 1}, 1) + 1)]] AS gh
+      FROM d),
+    wm AS (
+      SELECT doc_id,
+             list_distinct([list_min(gh[j:j+{_Q40_WIN - 1}])
+                            for j in range(1, greatest(len(gh) - {_Q40_WIN - 1}, 1) + 1)]) AS fps
+      FROM g),
+    fp AS (SELECT doc_id, unnest(fps) AS fp FROM wm),
+    freq AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+    kept AS (SELECT doc_id, fp.fp FROM fp JOIN freq USING (fp) WHERE freq.c <= {_Q40_MAX_DF})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= {_Q40_MIN_SHARED}
+"""
+
+
+@query("q40_winnowing_overlap", _Q40_ORACLE)
+def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap pairs via winnowing fingerprints (dedup ladder
+    tier 4 — catches shared PASSAGES where q15 needs whole-document
+    equality and q23-q25 need whole-document similarity). Fingerprints
+    are computed per document (functions/text.py winnowing_fingerprints,
+    gram_hash="md5_64" so the oracle can replay selection), exploded,
+    capped at df <= {max_df} to bound hot-key fan-out (a boilerplate
+    passage shared by the whole corpus must not become an O(N^2)
+    bucket), then pair-counted by a blocked equi-join on the 8-byte
+    fingerprint — never an all-pairs comparison. Reference analogue:
+    the reference dedups by exact name/id only (dataManager.ts); this
+    is the scale-path generalization SURVEY.md §2.8 names."""
+    from cdc_makanmana_spark.functions.text import winnowing_fingerprints
+    from cdc_makanmana_spark.operators.dedup import _spread
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    fps = _spread(d).select(
+        "doc_id",
+        F.explode(
+            winnowing_fingerprints("text", k=_Q40_K, window=_Q40_WIN, gram_hash="md5_64")
+        ).alias("fp"),
+    )
+    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= _Q40_MAX_DF
+    )
+    kept = fps.join(rare.select("fp"), "fp")
+    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= _Q40_MIN_SHARED)
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

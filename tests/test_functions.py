@@ -179,3 +179,43 @@ def test_winnowing_shared_run_guarantee(spark):
         ).collect()
     }
     assert fps == again
+
+
+def test_winnowing_md5_gram_hash_portable(spark):
+    """The md5_64 gram-hash path (q40's oracle-portable variant) obeys
+    the same shared-run guarantee as the xxhash64 scale path, and the
+    declared q40 pair query surfaces exactly the overlapping pair."""
+    from cdc_makanmana_spark.functions.text import winnowing_fingerprints
+    from cdc_makanmana_spark.plans.queries import _Q40_MIN_SHARED
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    docs = [
+        (1, "prefix chatter before the passage " + shared),
+        (2, shared + " with trailing words appended at the end here"),
+        (3, "totally different text with no overlapping run of words anywhere"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.fp)
+        for r in df.select(
+            "doc_id",
+            winnowing_fingerprints("text", k=5, window=4, gram_hash="md5_64").alias("fp"),
+        ).collect()
+    }
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert _Q40_MIN_SHARED >= 1
+
+
+def test_q40_winnowing_overlap_query(spark, sf_dir):
+    """q40 runs end-to-end on the fixture: pair rows are ordered
+    (id_a < id_b), distinct, and shared_fps >= the declared floor."""
+    from cdc_makanmana_spark.plans.queries import _Q40_MIN_SHARED, q40_winnowing_overlap
+
+    rows = q40_winnowing_overlap(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert r.shared_fps >= _Q40_MIN_SHARED
+        assert (r.id_a, r.id_b) not in seen
+        seen.add((r.id_a, r.id_b))
