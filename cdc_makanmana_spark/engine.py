@@ -231,9 +231,63 @@ class MakanmanaEngine:
     def page(self, offset: int = 0, limit: int = 50) -> "MakanmanaEngine":
         """O3: first-paint page of 50, +50 per load (App.tsx:21,448-452).
         offset=0 plans as TakeOrderedAndProject under a sort; deeper
-        offsets use the offset/limit form."""
+        offsets use the offset/limit form. Prefer :meth:`page_after`
+        for deep pagination — offset re-sorts and discards N rows per
+        page, which SURVEY §2.6 itself flags as the non-scale form."""
         df = self.df.offset(offset) if offset else self.df
         return self._wrap(df.limit(limit))
+
+    def page_after(
+        self,
+        after=None,
+        by: str = "distance",
+        limit: int = 50,
+    ) -> "MakanmanaEngine":
+        """O3 at scale: keyset (seek) pagination. ``after`` is the last
+        row of the previous page (a Row or dict carrying the sort
+        keys); None returns the first page. Every page plans as
+        filter + TakeOrderedAndProject — a per-partition top-k with a
+        pushable range predicate — instead of offset's sort-everything-
+        and-skip-N, so page 1000 costs the same as page 1
+        (App.tsx:448-452 load-more, re-expressed seek-style).
+
+        Sort key is (distance_km nulls-last, name, id) when distance
+        is present, else (name, id); ``id`` makes the key unique so no
+        row is skipped or repeated across page boundaries even when
+        names tie."""
+        use_distance = by == "distance" and "distance_km" in self.df.columns
+        has_id = "id" in self.df.columns
+        keys = (["distance_km"] if use_distance else []) + ["name"] + (
+            ["id"] if has_id else []
+        )
+        order = (
+            [F.asc_nulls_last("distance_km")] if use_distance else []
+        ) + [F.asc(k) for k in keys if k != "distance_km"]
+        df = self.df
+        if after is not None:
+            a = after.asDict() if hasattr(after, "asDict") else dict(after)
+            # strict lexicographic "greater than the last-seen key",
+            # with NULL distance ordered last to match the sort
+            name_tail = F.col("name") > F.lit(a["name"])
+            if has_id and "id" in a:
+                name_tail = name_tail | (
+                    (F.col("name") == F.lit(a["name"]))
+                    & (F.col("id") > F.lit(a["id"]))
+                )
+            if use_distance:
+                d0 = a.get("distance_km")
+                if d0 is None:
+                    pred = F.col("distance_km").isNull() & name_tail
+                else:
+                    pred = (
+                        (F.col("distance_km") > F.lit(d0))
+                        | ((F.col("distance_km") == F.lit(d0)) & name_tail)
+                        | F.col("distance_km").isNull()
+                    )
+            else:
+                pred = name_tail
+            df = df.filter(pred)
+        return self._wrap(df.orderBy(*order).limit(limit))
 
     # ---- display projections ----------------------------------------------
 

@@ -130,3 +130,41 @@ def test_pipeline_composes_lazily(eng):
         .df.collect()
     )
     assert [r.id for r in result] == ["m5"]
+
+
+def test_page_after_keyset_walk(eng):
+    """Keyset pagination walks the full result set exactly once, in
+    the same order as offset paging, across null-distance and
+    tied-name rows."""
+    with_dist = eng.radius(1.3200, 103.9000, radius_km=1000.0)
+    full = with_dist.sort("distance").df.collect()
+    walked, after = [], None
+    for _ in range(10):
+        page = with_dist.page_after(after, by="distance", limit=2).df.collect()
+        if not page:
+            break
+        walked.extend(page)
+        after = page[-1]
+    assert [r.id for r in walked] == [r.id for r in full]
+
+    # name-sorted variant, no distance column
+    full_n = eng.sort("name").df.collect()
+    walked, after = [], None
+    for _ in range(10):
+        page = eng.page_after(after, by="name", limit=2).df.collect()
+        if not page:
+            break
+        walked.extend(page)
+        after = page[-1]
+    assert [r.id for r in walked] == [r.id for r in full_n]
+
+
+def test_page_after_plans_topk_not_offset(eng):
+    """Deep keyset pages plan as filter + TakeOrderedAndProject; no
+    global sort-and-skip (the offset form) anywhere in the plan."""
+    last = eng.sort("name").page(0, 2).df.collect()[-1]
+    plan = eng.page_after(last, by="name", limit=2).df._jdf.queryExecution().explainString(
+        eng.df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Offset" not in plan
