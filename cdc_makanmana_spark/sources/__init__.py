@@ -1,6 +1,7 @@
 """Sources / sinks / ingest policy (SURVEY.md §2.1 S1-S13)."""
 
 from cdc_makanmana_spark.sources.cache import SnapshotCache
+from cdc_makanmana_spark.sources.landing import LandingJob, LandingResult
 from cdc_makanmana_spark.sources.readers import (
     load_with_fallback,
     read_csv_source,
@@ -18,4 +19,6 @@ __all__ = [
     "with_retries",
     "load_with_fallback",
     "SnapshotCache",
+    "LandingJob",
+    "LandingResult",
 ]

@@ -154,3 +154,86 @@ def test_snapshot_cache_ttl_and_version(spark, tmp_path):
     assert cache2.is_fresh(now_s=t0 + 25 * 3600 + 1) is False
     cache.clear()
     assert cache.info()["exists"] is False
+
+
+def test_landing_job_fallback_chain(spark, tmp_path):
+    """S1-S3/S10 end-to-end: the bronze landing job walks the route
+    chain (dead endpoint -> empty response -> live backup), retries the
+    dead route with zero backoff, lands the backup snapshot with
+    lineage columns, and commits it atomically behind the sidecar."""
+    from cdc_makanmana_spark.sources import LandingJob, read_json_source
+
+    live = tmp_path / "live.jsonl"
+    live.write_text('{"id": "m1", "name": "A"}\n{"id": "m2", "name": "B"}\n')
+    empty = tmp_path / "empty.jsonl"
+    empty.write_text("")
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    attempts = []
+
+    # route chain: a raising reader, an empty response, the live backup
+    def dead():
+        df = spark.read.schema(schema).json(str(tmp_path / "missing.jsonl"))
+        df.head(1)  # force the scan so the missing path raises here
+        return df
+
+    job = LandingJob(
+        spark,
+        routes=[
+            dead,
+            lambda: read_json_source(spark, str(empty), schema),
+            lambda: read_json_source(spark, str(live), schema),
+        ],
+        schema=schema,
+        bronze_path=str(tmp_path / "bronze"),
+        retries=2,
+        backoff_s=(0.0,),
+        on_attempt=lambda ri, ai, e: attempts.append((ri, ai, e is not None)),
+    )
+    res = job.land(now_s=1_700_000_000.0)
+    assert res.route == 2 and res.count == 2 and not res.degraded
+    # dead route retried twice (raised), empty route answered once
+    assert attempts == [(0, 0, True), (0, 1, True), (1, 0, False)]
+    bronze = job.read_bronze()
+    rows = {r.id: r for r in bronze.collect()}
+    assert set(rows) == {"m1", "m2"}
+    assert rows["m1"]._source_route == 2
+    assert rows["m1"]._landed_at == 1_700_000_000.0
+
+
+def test_landing_job_versioning_prune_and_degraded(spark, tmp_path):
+    """Repeated landings bump the committed version, readers resolve
+    only through the sidecar, old versions are pruned past the
+    rollback window, and an all-routes-down cycle lands an EMPTY
+    snapshot (degradation, never failure)."""
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources import LandingJob, read_json_source
+
+    src = tmp_path / "src.jsonl"
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    job = LandingJob(
+        spark,
+        routes=[lambda: read_json_source(spark, str(src), schema)],
+        schema=schema,
+        bronze_path=str(tmp_path / "bronze"),
+        retries=1,
+        backoff_s=(0.0,),
+        keep_versions=2,
+    )
+    for i in range(4):
+        src.write_text(f'{{"id": "m{i}", "name": "gen{i}"}}\n')
+        res = job.land(now_s=1_700_000_000.0 + i)
+        assert res.version == i + 1 and res.count == 1
+    names = sorted(fs.list_names(spark, str(tmp_path / "bronze"), dirs_only=True))
+    assert names == ["v3", "v4"]  # keep_versions=2 pruned v1/v2
+    assert job.read_bronze().collect()[0].id == "m3"
+
+    # all routes down -> empty snapshot, degraded flag, version still bumps
+    src.unlink()
+    res = job.land(now_s=1_700_000_010.0)
+    assert res.degraded and res.route == -1 and res.count == 0
+    assert res.version == 5
+    assert job.read_bronze().count() == 0
