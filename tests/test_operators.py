@@ -366,3 +366,57 @@ def test_cosine_topk_ivf_recall_vs_bruteforce(spark):
     for r in approx:
         if r.vec_id in exact:
             assert abs(r.cosine_sim - exact[r.vec_id]) < 1e-9
+
+
+def test_embedding_near_duplicates_lsh_vs_blocked(spark):
+    """The LSH-blocked embedding near-dup path executes (round-2 red
+    item: it raised TypeError unconditionally) and its pairs are a
+    subset of the exact-recall attribute-blocked path on the same
+    fixture, with identical cosine values on the overlap; planted
+    exact-duplicate vectors (cosine 1.0, same signature bucket by
+    construction) must always surface."""
+    import random
+
+    from cdc_makanmana_spark.operators.ann import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_by_block,
+    )
+
+    rng = random.Random(7)
+    dim = 16
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    # planted exact dups: same vector under new ids
+    rows.append((100, list(rows[0][1])))
+    rows.append((101, list(rows[1][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").withColumn(
+        "block", F.lit(1)
+    )
+
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates(
+            df, threshold=0.95, vec_col="embedding", id_col="vec_id", bits=8, dim=dim
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates_by_block(
+            df, "block", threshold=0.95, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    assert (0, 100) in lsh and (1, 101) in lsh  # identical vectors, same bucket
+    assert set(lsh) <= set(exact)  # LSH blocks only ever lose candidates
+    for pair, sim in lsh.items():
+        assert sim == exact[pair]
+
+    # dim omitted -> probed driver-side; same result (the round-2 bug
+    # was exactly this path)
+    probed = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates(
+            df, threshold=0.95, vec_col="embedding", id_col="vec_id", bits=8
+        ).collect()
+    }
+    assert probed == lsh
