@@ -21,7 +21,8 @@ _BUSINESS_SUFFIX_RE = r"\b(pte|ltd|private|limited|sdn|bhd)\b"
 # Stall/unit numbers like "#01-23" and standalone digit runs
 # (reference: src/services/halalService.ts:253-254).
 _STALL_RE = r"#?\d+[-\d]*"
-_PUNCT_RE = r"[^\w\s]"
+# explicit whitespace class (not \s): Java \s has \x0B, RE2 \s does not
+_PUNCT_RE = r"[^\w \t\n\r\f\x0B]"
 
 
 def clean_name(col: Column | str) -> Column:
@@ -35,7 +36,7 @@ def clean_name(col: Column | str) -> Column:
     c = F.regexp_replace(c, _BUSINESS_SUFFIX_RE, " ")
     c = F.regexp_replace(c, _STALL_RE, " ")
     c = F.regexp_replace(c, _PUNCT_RE, " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[ \t\n\r\f\x0B]+", " ")
     return F.trim(c)
 
 
@@ -53,7 +54,7 @@ def clean_name_for_search(col: Column | str, max_words: int = 4) -> Column:
     c = F.regexp_replace(c, r"\(.*?\)", " ")
     c = F.regexp_replace(c, r"@.*$", " ")
     c = F.regexp_replace(c, _PUNCT_RE, " ")
-    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    c = F.trim(F.regexp_replace(c, r"[ \t\n\r\f\x0B]+", " "))
     return F.array_join(F.slice(F.split(c, " "), 1, max_words), " ")
 
 
@@ -74,7 +75,8 @@ def token_count(col: Column | str) -> Column:
     """Whitespace-ish token count (BPE-approximating regex: words,
     numbers, and individual punctuation marks each count)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.trim(c), r"\s+")
+    # explicit class (not \s): Java \s has \x0B, RE2 \s does not
+    toks = F.split(F.trim(c), r"[ \t\n\r\f\x0B]+")
     return F.size(F.filter(toks, lambda t: t != F.lit("")))
 
 

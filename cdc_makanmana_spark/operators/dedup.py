@@ -304,6 +304,65 @@ def md5_hash64(col) -> "F.Column":
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def winnowing_fingerprint_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    window: int = 4,
+    gram_hash: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprints as (id, fp) ROWS — the corpus-scale form
+    of ``functions.text.winnowing_fingerprints`` (same selection, same
+    guarantee: shared runs of >= k + window - 1 words share a
+    fingerprint).
+
+    Why a separate form: the array expression hashes every k-gram
+    inside a higher-order-function lambda, which Spark evaluates
+    INTERPRETED, outside whole-stage codegen and without common-
+    subexpression elimination — measured 23.7 s vs 2.1 s at sf0.1 for
+    the md5 gram hash (11x). Here only the cheap gram-string build
+    stays in a HOF; grams are then posexploded and hashed in a
+    codegen'd projection (the q24 shingle lesson, ``word_shingles``),
+    and the window-min selection becomes a window function over
+    (id, gram_idx) — one shuffle on the id, everything JVM-compiled.
+
+    ``gram_hash``: "xxhash64" (scale default) or "md5_64" (oracle-
+    portable, q40).
+    """
+    words = F.split(_norm_text(F.col(text_col)), " ")
+    n_grams = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    g = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        F.size(words).alias("__nw"),
+        F.posexplode(grams).alias("__idx", "__gram"),
+    )
+    hash_fn = md5_hash64 if gram_hash == "md5_64" else F.xxhash64
+    h = g.select(
+        "__id",
+        F.greatest(F.col("__nw") - (k - 1), F.lit(1)).alias("__ng"),
+        "__idx",
+        hash_fn(F.col("__gram")).alias("__h"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("__id").orderBy("__idx").rowsBetween(0, window - 1)
+    # valid window starts (0-based): 0 .. greatest(n_grams - window, 0)
+    # — exactly the array form's 1..greatest(n_grams - window + 1, 1);
+    # rowsBetween truncates at the partition tail like array slicing.
+    mins = h.select(
+        "__id",
+        "__idx",
+        "__ng",
+        F.min("__h").over(win).alias("fp"),
+    ).filter(F.col("__idx") <= F.greatest(F.col("__ng") - window, F.lit(0)))
+    return mins.select(F.col("__id").alias(id_col), "fp").distinct()
+
+
 def simhash_buckets(
     df: DataFrame,
     text_col: str,

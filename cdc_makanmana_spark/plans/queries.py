@@ -399,8 +399,8 @@ def q13_radius_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
              lower(s_name),
              '\b(pte|ltd|private|limited|sdn|bhd)\b', ' ', 'g'),
              '#?\d+[-\d]*', ' ', 'g'),
-             '[^\w\s]', ' ', 'g'),
-             '\s+', ' ', 'g')) AS cleaned
+             '[^\w \t\n\r\f\x0B]', ' ', 'g'),
+             '[ \t\n\r\f\x0B]+', ' ', 'g')) AS cleaned
     FROM supplier
     """,
 )
@@ -441,7 +441,7 @@ def q15_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     scored AS (
       SELECT doc_id,
-        len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+        len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
           AS n_tokens,
         len(list_intersect(words, ['the','and','of','to','is','in','that','it','for','with'])) AS en,
         len(list_intersect(words, ['el','la','de','que','los','las','una','por','con','para'])) AS es,
@@ -554,7 +554,7 @@ _ER_GENERIC_SQL = (
 
 _ER_CLEAN_SQL = r"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
     lower({col}), '\b(pte|ltd|private|limited|sdn|bhd)\b', ' ', 'g'),
-    '#?\d+[-\d]*', ' ', 'g'), '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g'))"""
+    '#?\d+[-\d]*', ' ', 'g'), '[^\w \t\n\r\f\x0B]', ' ', 'g'), '[ \t\n\r\f\x0B]+', ' ', 'g'))"""
 
 _ER_ABBREV_SQL = (
     "(lt='restaurant' AND rt='rest') OR (lt='rest' AND rt='restaurant') OR "
@@ -1568,6 +1568,145 @@ def q39_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(e, _QUERY_VEC, k=10, n_cells=8, n_probe=8)
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline surface (beyond the reference; first-class per
+# the north-star brief): deterministic splits, stratified sampling,
+# sequence packing. All hash-deterministic — no rand()/sample(), so the
+# DuckDB oracle replays assignments exactly, reruns are stable, and a
+# re-shuffled table assigns identically (the property a 100 TB pipeline
+# actually needs: split membership must not depend on row order or
+# partitioning).
+# ---------------------------------------------------------------------------
+
+# md5-derived 64-bit hash of an arbitrary SQL string expression —
+# DuckDB replay of operators/dedup.py md5_hash64 (same two's-complement
+# reassembly the q25/q40 oracles use).
+def _h64_sql(expr: str) -> str:
+    return (
+        f"((CASE WHEN ('0x' || substr(md5({expr}), 1, 8))::BIGINT >= 2147483648 "
+        f"THEN ('0x' || substr(md5({expr}), 1, 8))::BIGINT - 4294967296 "
+        f"ELSE ('0x' || substr(md5({expr}), 1, 8))::BIGINT END) * 4294967296 "
+        f"+ ('0x' || substr(md5({expr}), 9, 8))::BIGINT)"
+    )
+
+
+_Q41_ORACLE = f"""
+    SELECT doc_id,
+           (({_h64_sql("doc_id::VARCHAR || ':split'")} % 100) + 100) % 100 AS bucket,
+           CASE WHEN (({_h64_sql("doc_id::VARCHAR || ':split'")} % 100) + 100) % 100 < 90 THEN 'train'
+                WHEN (({_h64_sql("doc_id::VARCHAR || ':split'")} % 100) + 100) % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
+
+@query("q41_hash_split", _Q41_ORACLE)
+def q41_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5): bucket =
+    pmod(md5_hash64(doc_id || ':split'), 100). Pure projection — no
+    shuffle, no state, embarrassingly parallel; membership is a
+    function of the key alone, so adding data never reassigns existing
+    rows (contrast df.randomSplit, which is seed- AND partitioning-
+    dependent). The ':split' salt decorrelates this hash from every
+    other hash of the same key (q42's sampler, the dedup fingerprints).
+    """
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100)
+    )
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+    )
+
+
+# per-stratum sampling rates (percent) — boost the rare, downsample the
+# dominant; the oracle replays the same CASE table.
+_Q42_RATES = {"en": 20, "de": 60, "fr": 60, "es": 60}
+_Q42_DEFAULT_RATE = 80
+
+_Q42_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _Q42_RATES.items())
+    + f" ELSE {_Q42_DEFAULT_RATE} END"
+)
+
+_Q42_ORACLE = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (({_h64_sql("doc_id::VARCHAR || ':strat'")} % 100) + 100) % 100
+          < {_Q42_RATE_SQL}
+"""
+
+
+@query("q42_stratified_sample", _Q42_ORACLE)
+def q42_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: keep a doc iff its salted
+    hash bucket falls under its stratum's rate — per-language rates
+    rebalance a skewed corpus (the data-mixing primitive of a training
+    pipeline). Same no-shuffle, order-independent, replayable
+    properties as q41; a different salt keeps the two sampling
+    decisions independent."""
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":strat"))), F.lit(100)
+    )
+    rate = F.lit(_Q42_DEFAULT_RATE)
+    for lang, r in reversed(list(_Q42_RATES.items())):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+_Q43_BUDGET = 1000  # tokens per packed shard
+
+_Q43_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'),
+                             x -> x <> ''))::BIGINT AS n_tokens
+      FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id, source, n_tokens,
+           (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            // {_Q43_BUDGET})::BIGINT AS shard_id
+    FROM t
+"""
+
+
+@query("q43_sequence_packing", _Q43_ORACLE)
+def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: within each source, docs (in doc_id
+    order) fill shard after shard of ~1000 tokens — shard_id =
+    floor(preceding-token-cumsum / budget), the deterministic
+    window-function form of the packer that feeds fixed-length training
+    batches. Partitioned by source, the running sum parallelizes per
+    source; at 100 TB you pack within finer partitions (source × date,
+    say) for more parallelism — the expression is unchanged, only the
+    partition key widens. No Python in the loop: one window over a
+    codegen'd token count."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select("doc_id", "source", token_count("text").cast("long").alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before / _Q43_BUDGET).cast("long").alias("shard_id"),
+    )
+
+
 # Winnowing (MOSS rolling-hash fingerprints): any shared run of
 # >= k + window - 1 = 8 words between two documents shares at least one
 # selected fingerprint. The oracle replays the exact selection — md5-
@@ -1626,29 +1765,46 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint — never an all-pairs comparison. Reference analogue:
     the reference dedups by exact name/id only (dataManager.ts); this
     is the scale-path generalization SURVEY.md §2.8 names."""
-    from cdc_makanmana_spark.functions.text import winnowing_fingerprints
-    from cdc_makanmana_spark.operators.dedup import _spread
+    from cdc_makanmana_spark.operators.dedup import (
+        _materialize,
+        winnowing_fingerprint_rows,
+    )
 
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .filter(F.col("text").isNotNull())
     )
-    fps = _spread(d).select(
-        "doc_id",
-        F.explode(
-            winnowing_fingerprints("text", k=_Q40_K, window=_Q40_WIN, gram_hash="md5_64")
-        ).alias("fp"),
+    # Row-form winnowing (codegen'd gram hashing + window-min — 11x
+    # over the interpreted array-HOF form at sf0.1), materialized once
+    # for its two consumers (df-count and pair expansion).
+    fps = _materialize(
+        winnowing_fingerprint_rows(
+            d, "text", "doc_id", k=_Q40_K, window=_Q40_WIN, gram_hash="md5_64"
+        )
     )
-    rare = fps.groupBy("fp").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= _Q40_MAX_DF
+    # Hot-fingerprint cap as a pre-count + semi-join, so a boilerplate
+    # fingerprint never materializes its doc list anywhere.
+    freq = fps.groupBy("fp").count().filter(F.col("count") <= _Q40_MAX_DF)
+    kept = fps.join(freq.select("fp"), "fp", "left_semi")
+    # Inverted-index pair expansion: per-fingerprint sorted doc buckets
+    # (bounded at max_df after the cap) expand to (i < j) pairs — one
+    # shuffle on the 8-byte fp, no second self-join, nothing broadcast.
+    buckets = kept.groupBy("fp").agg(F.array_sort(F.collect_list("doc_id")).alias("__ids"))
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("__ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + 2, F.size("__ids")),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
     )
-    kept = fps.join(rare.select("fp"), "fp")
-    a = kept.select(F.col("doc_id").alias("id_a"), "fp")
-    b = kept.select(F.col("doc_id").alias("id_b"), "fp")
     return (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(pair.alias("__p"))
+        .select("__p.id_a", "__p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _Q40_MIN_SHARED)

@@ -219,3 +219,77 @@ def test_q40_winnowing_overlap_query(spark, sf_dir):
         assert r.shared_fps >= _Q40_MIN_SHARED
         assert (r.id_a, r.id_b) not in seen
         seen.add((r.id_a, r.id_b))
+
+
+def test_hash_split_deterministic_and_order_independent(spark, sf_dir):
+    """q41: split assignment is a pure function of the key — identical
+    across reruns and across a repartition/reorder of the input, with
+    ~90/5/5 mass at fixture scale."""
+    from cdc_makanmana_spark.plans.queries import q41_hash_split
+
+    a = {r.doc_id: r.split for r in q41_hash_split(spark, sf_dir).collect()}
+    b = {r.doc_id: r.split for r in q41_hash_split(spark, sf_dir).collect()}
+    assert a == b
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n <= train <= 0.97 * n
+
+    # reordering the table cannot change membership
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+    from cdc_makanmana_spark.tables import load_table
+
+    d = load_table(spark, "documents", sf_dir).repartition(7).sortWithinPartitions("n_chars")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100)
+    )
+    re = {
+        r.doc_id: r.split
+        for r in d.select(
+            "doc_id",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias("split"),
+        ).collect()
+    }
+    assert re == a
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    """q42: per-stratum keep rates land near their configured targets,
+    and the sample is a deterministic subset (rerun-stable)."""
+    from cdc_makanmana_spark.plans.queries import _Q42_DEFAULT_RATE, _Q42_RATES, q42_stratified_sample
+    from cdc_makanmana_spark.tables import load_table
+
+    kept = q42_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()
+    totals = {
+        r.lang: r["count"]
+        for r in load_table(spark, "documents", sf_dir).groupBy("lang").count().collect()
+    }
+    for r in kept:
+        target = _Q42_RATES.get(r.lang, _Q42_DEFAULT_RATE) / 100.0
+        frac = r["count"] / totals[r.lang]
+        assert abs(frac - target) < 0.15, (r.lang, frac, target)
+    again = q42_stratified_sample(spark, sf_dir).groupBy("lang").count().collect()
+    assert {(r.lang, r["count"]) for r in again} == {(r.lang, r["count"]) for r in kept}
+
+
+def test_sequence_packing_budget_and_continuity(spark, sf_dir):
+    """q43: within each source, shard ids start at 0, never decrease in
+    doc_id order, and every shard's token mass stays under budget +
+    its last doc's overshoot (the greedy invariant: a shard closes only
+    when the running sum crosses the budget)."""
+    from collections import defaultdict
+
+    from cdc_makanmana_spark.plans.queries import _Q43_BUDGET, q43_sequence_packing
+
+    rows = q43_sequence_packing(spark, sf_dir).orderBy("source", "doc_id").collect()
+    by_source = defaultdict(list)
+    for r in rows:
+        by_source[r.source].append(r)
+    for src, rs in by_source.items():
+        assert rs[0].shard_id == 0
+        cum = 0
+        prev_shard = 0
+        for r in rs:
+            assert r.shard_id == cum // _Q43_BUDGET
+            assert r.shard_id >= prev_shard
+            prev_shard = r.shard_id
+            cum += r.n_tokens
