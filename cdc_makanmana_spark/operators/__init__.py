@@ -15,6 +15,7 @@ from cdc_makanmana_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_buckets,
 )
+from cdc_makanmana_spark.operators.asof import asof_join
 from cdc_makanmana_spark.operators.ann import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -28,6 +29,7 @@ from cdc_makanmana_spark.operators.enrich import (
 from cdc_makanmana_spark.operators.skew import salted_join, top_frequency_keys
 
 __all__ = [
+    "asof_join",
     "connected_components",
     "dedup_keep_best",
     "embedding_near_duplicates",

