@@ -94,3 +94,59 @@ def test_retry_source_feeds_pipeline(spark):
     empty_silver = MakanmanaEngine(empty_bronze).enrich().df
     assert empty_silver.count() == 0
     assert "cuisine" in empty_silver.columns
+
+
+def test_landing_to_silver_to_keyset_query(spark, tmp_path):
+    """Full round-3 chain: LandingJob acquires through a dead-primary
+    route chain into versioned bronze, enrichment builds silver into
+    the snapshot cache, and the interactive path serves a keyset-
+    paginated query — every layer on the Hadoop-FS bookkeeping path."""
+    import json
+
+    from cdc_makanmana_spark.sources import LandingJob, SnapshotCache, read_json_source
+
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text(
+        "\n".join(
+            json.dumps(
+                {
+                    "id": r[0], "name": r[1], "address": r[2], "postalCode": r[3],
+                    "type": r[4], "LAT": r[5], "LON": r[6], "businessCategory": r[7],
+                    "filters": {"secondary": {"budgetmeal": r[8][0][0]}},
+                }
+            )
+            for r in RAW_ROWS
+        )
+    )
+    schema = spark.createDataFrame(RAW_ROWS, RAW_SCHEMA).schema
+
+    def dead():
+        df = spark.read.schema(schema).json(str(tmp_path / "gone.jsonl"))
+        df.head(1)
+        return df
+
+    job = LandingJob(
+        spark,
+        routes=[dead, lambda: read_json_source(spark, str(feed), schema)],
+        schema=schema,
+        bronze_path=str(tmp_path / "bronze"),
+        retries=1,
+        backoff_s=(0.0,),
+    )
+    res = job.land(now_s=1_700_000_000.0)
+    assert res.route == 1 and res.count == 3
+
+    cache = SnapshotCache(spark, str(tmp_path / "silver"), data_version="v1")
+    silver = cache.load_or_refresh(
+        lambda: MakanmanaEngine(
+            job.read_bronze().drop("_landed_at", "_source_route")
+        ).enrich().df,
+        now_s=1_700_000_000.0,
+    )
+
+    eng = MakanmanaEngine(silver)
+    page1 = eng.sort("name").page_after(None, by="name", limit=2).df.collect()
+    page2 = eng.sort("name").page_after(page1[-1], by="name", limit=2).df.collect()
+    names = [r.name for r in page1 + page2]
+    assert names == sorted(r[1] for r in RAW_ROWS)
+    assert len(page1) == 2 and len(page2) == 1
