@@ -5,11 +5,14 @@ ride through the engine as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-The decode KERNELS are deterministic stubs (this container ships no
-image/audio codecs — see ``_decode_stub``); the Spark-side plumbing —
-schemas, batch iteration, partitioning behavior, output contracts — is
-real and tested. Swapping a stub for Pillow/ffmpeg changes one inner
-function, not the pipeline.
+Decode is REAL for codec-free formats (``kernels.py``): PPM images
+parse-and-reshape to numpy arrays (resize = genuine nearest-neighbor
+resampling), WAV/PCM16 audio decodes via stdlib ``wave`` into float
+samples with real features (RMS, zero-crossing rate, FFT dominant
+frequency). Formats that need external codecs (JPEG, MP4 frames) route
+to a deterministic stub kernel — the container ships no codec libs —
+behind the same dispatch; swapping the stub for Pillow/ffmpeg changes
+one inner function, not the pipeline.
 
 Scale notes:
 - payload bytes never pass through the driver; each ``mapInPandas``
@@ -71,37 +74,74 @@ IMAGE_FEATURE_SCHEMA = StructType(
 
 
 def synthetic_media_table(spark, n: int = 100, seed: int = 7) -> DataFrame:
-    """Deterministic fake media table: payload = seeded pseudo-random
-    bytes, metadata consistent with the payload generator. Stands in
-    for a parquet table of real encoded media."""
+    """Deterministic media table with REAL payloads where the format
+    allows: images are valid P6 PPMs (seeded gradient + noise), audio
+    is valid PCM16 WAV (seeded sine mix); video payloads stay fake
+    bytes under codec 'fake' (no container format is writable without
+    codec libs). Stands in for a parquet table of encoded media."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
     rows = []
     for i in range(n):
         h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
-        w = 64 + (h[0] % 8) * 32
-        ht = 64 + (h[1] % 8) * 32
-        frames = 1 + h[2] % 5
-        payload = (h * ((w * ht * 3 // len(h)) + 1))[: w * ht * 3]
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
         kind = ["image", "audio", "video"][i % 3]
-        rows.append((i, kind, bytearray(payload), ("fake", w, ht, frames)))
+        if kind == "image":
+            w = 32 + (h[0] % 4) * 16
+            ht = 32 + (h[1] % 4) * 16
+            yy, xx = np.mgrid[0:ht, 0:w]
+            arr = np.stack(
+                [
+                    (xx * 255 // max(w - 1, 1)),
+                    (yy * 255 // max(ht - 1, 1)),
+                    rng.integers(0, 256, (ht, w)),
+                ],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append((i, kind, bytearray(kernels.encode_ppm(arr)), ("ppm", w, ht, 1)))
+        elif kind == "audio":
+            rate = 8000
+            t = np.arange(rate // 2) / rate  # 0.5 s
+            freq = 200 + (h[0] % 20) * 100
+            samples = 0.6 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+            rows.append(
+                (i, kind, bytearray(kernels.encode_wav_pcm16(samples, rate)), ("pcm16", 0, 0, 1))
+            )
+        else:
+            w = 64 + (h[0] % 8) * 32
+            ht = 64 + (h[1] % 8) * 32
+            frames = 1 + h[2] % 5
+            payload = (h * ((w * ht * 3 // len(h)) + 1))[: w * ht * 3]
+            rows.append((i, kind, bytearray(payload), ("fake", w, ht, frames)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _decode_stub(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
-    """STUB decode+featurize kernel. A real build decodes ``payload``
-    with an image codec and runs a feature extractor; the container has
-    no codecs, so this derives a deterministic ``dim``-float vector
-    from the payload bytes (sha256-seeded). Replace the body — the
-    signature and the pipeline around it are the real contract."""
+    """STUB decode+featurize kernel for codec-REQUIRING formats (JPEG
+    etc. — the container has no codec libs): derives a deterministic
+    ``dim``-float vector from the payload bytes (sha256-seeded).
+    Replace the body with Pillow decode + extractor — the signature and
+    the pipeline around it are the real contract."""
     h = hashlib.sha256(payload).digest()
     return [((h[i] << 8 | h[i + 1]) / 65535.0) for i in range(0, 2 * dim, 2)]
 
 
 def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Decode + feature-extract images via ``mapInPandas``: Arrow
-    batches in, (media_id, width, height, feature) out. Metadata-only
-    columns project through without touching payload bytes; the
-    ``kind == 'image'`` filter runs BEFORE this stage (pushed to the
-    scan), so non-image payloads are never shipped to Python."""
+    batches in, (media_id, width, height, feature) out. PPM payloads
+    take the REAL kernel path (parse → numpy → channel/grid stats);
+    other codecs fall back to the stub. Metadata-only columns project
+    through without touching payload bytes; the ``kind == 'image'``
+    filter runs BEFORE this stage (pushed to the scan), so non-image
+    payloads are never shipped to Python."""
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def one(p: bytes, m: dict) -> list[float]:
+        if m["codec"] == "ppm":
+            return kernels.image_features(kernels.decode_ppm(p), dim)
+        return _decode_stub(p, m["width"], m["height"], dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -111,8 +151,7 @@ def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
                     "feature": [
-                        _decode_stub(bytes(p), m["width"], m["height"], dim)
-                        for p, m in zip(pdf["payload"], pdf["meta"])
+                        one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }
             )
@@ -122,21 +161,73 @@ def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     )
 
 
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("duration_s", FloatType()),
+        StructField("rms", FloatType()),
+        StructField("zcr", FloatType()),
+        StructField("dominant_hz", FloatType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio via ``mapInPandas``. PCM16 WAV
+    decodes with the stdlib-real kernel (duration, RMS, zero-crossing
+    rate, FFT dominant frequency); unknown codecs yield NULL features
+    rather than failing the batch (per-record error isolation — one
+    corrupt file must not kill a 100 TB decode pass)."""
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def one(p: bytes, m: dict) -> list:
+        if m["codec"] == "pcm16":
+            try:
+                samples, rate = kernels.decode_wav_pcm16(p)
+                return kernels.audio_features(samples, rate)
+            except Exception:  # noqa: BLE001 — corrupt-record isolation
+                return [None, None, None, None]
+        return [None, None, None, None]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "duration_s": [f[0] for f in feats],
+                    "rms": [f[1] for f in feats],
+                    "zcr": [f[2] for f in feats],
+                    "dominant_hz": [f[3] for f in feats],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize stage: payload → payload' with updated metadata. The
-    resample kernel is stubbed (payload bytes are truncated/tiled to
-    the target size deterministically); schema contract — same
-    MEDIA_SCHEMA in and out — is the real part."""
+    """Resize stage: payload → payload' with updated metadata, same
+    MEDIA_SCHEMA in and out. PPM payloads get REAL nearest-neighbor
+    resampling (decode → numpy index-resample → re-encode); other
+    codecs fall back to a deterministic byte-tiling stub."""
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def one(p: bytes, m: dict) -> bytes:
+        if m["codec"] == "ppm":
+            return kernels.encode_ppm(
+                kernels.resize_nearest(kernels.decode_ppm(p), target_w, target_h)
+            )
+        need = target_w * target_h * 3
+        return (p * (need // max(len(p), 1) + 1))[:need]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_payload = []
             out_meta = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                need = target_w * target_h * 3
-                raw = bytes(p)
-                resized = (raw * (need // max(len(raw), 1) + 1))[:need]
-                out_payload.append(bytearray(resized))
+                out_payload.append(bytearray(one(bytes(p), m)))
                 out_meta.append(
                     {
                         "codec": m["codec"],

@@ -1,0 +1,129 @@
+"""Codec-free media kernels: real decode / featurize / resize for
+formats that need no external library.
+
+- PPM (P6): 'P6\\n<w> <h>\\n255\\n' + raw interleaved RGB — a real,
+  widely-produced image format whose decode is header parsing + a
+  numpy reshape. Resize is genuine nearest-neighbor resampling.
+- WAV (PCM16): stdlib ``wave`` handles the RIFF container; samples
+  decode to float arrays and real features (RMS, zero-crossing rate,
+  dominant frequency via numpy FFT) come out.
+
+These run INSIDE the Arrow batches of the ``mapInPandas`` stages in
+``binary.py`` — executor-side, payload never on the driver. Formats
+that genuinely need codecs (JPEG, MP4...) still route to the
+deterministic stub kernel there; swapping that stub for Pillow/ffmpeg
+changes one inner function, exactly like these did.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import numpy as np
+
+# ---- PPM (P6) images ------------------------------------------------------
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → P6 bytes."""
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("PPM wants 3 channels")
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 bytes → (h, w, 3) uint8. Raises ValueError on non-P6 input."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval — whitespace separated,
+    # '#' comments allowed between tokens
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of (h, w, 3) to (target_h, target_w, 3)."""
+    h, w, _ = arr.shape
+    ys = (np.arange(target_h) * h // target_h).clip(0, h - 1)
+    xs = (np.arange(target_w) * w // target_w).clip(0, w - 1)
+    return arr[ys][:, xs]
+
+
+def image_features(arr: np.ndarray, dim: int = 8) -> list[float]:
+    """Real image feature vector: per-channel means (3), per-channel
+    stds (3), then luminance means over a coarse grid filling the
+    remaining slots. Everything in [0, 1]."""
+    f = arr.astype(np.float64) / 255.0
+    feats = list(f.mean(axis=(0, 1))) + list(f.std(axis=(0, 1)))
+    rest = dim - len(feats)
+    if rest > 0:
+        lum = f.mean(axis=2)
+        g = int(np.ceil(np.sqrt(rest)))
+        h, w = lum.shape
+        cells = [
+            lum[i * h // g : (i + 1) * h // g or 1, j * w // g : (j + 1) * w // g or 1]
+            for i in range(g)
+            for j in range(g)
+        ]
+        feats += [float(c.mean()) if c.size else 0.0 for c in cells[:rest]]
+    return [float(x) for x in feats[:dim]]
+
+
+# ---- WAV (PCM16) audio ----------------------------------------------------
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """float array in [-1, 1] → mono PCM16 WAV bytes."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (float samples in [-1, 1], sample_rate). Mono or
+    first channel of multi-channel."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    if n_ch > 1:
+        raw = raw[::n_ch]
+    return raw.astype(np.float64) / 32767.0, rate
+
+
+def audio_features(samples: np.ndarray, rate: int) -> list[float]:
+    """Real audio features: duration_s, RMS, zero-crossing rate,
+    dominant frequency (Hz, via rFFT peak)."""
+    n = len(samples)
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    rms = float(np.sqrt(np.mean(samples**2)))
+    zcr = float(np.mean(np.abs(np.diff(np.signbit(samples).astype(np.int8)))))
+    spec = np.abs(np.fft.rfft(samples))
+    spec[0] = 0.0  # ignore DC
+    dom = float(np.argmax(spec) * rate / n)
+    return [n / rate, rms, zcr, dom]
