@@ -1762,6 +1762,89 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q45_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    base AS (
+      SELECT doc_id, len(w) AS n_words,
+             len(list_distinct(w)) AS n_distinct
+      FROM d),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS b
+      FROM d WHERE len(w) >= 2),
+    top AS (
+      SELECT doc_id, max(c) AS top_c
+      FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b)
+      GROUP BY doc_id)
+    SELECT base.doc_id,
+           base.n_words,
+           round(1.0 - base.n_distinct::DOUBLE / base.n_words, 6) AS rep_word_frac,
+           round(coalesce(top.top_c, 0)::DOUBLE
+                 / greatest(base.n_words - 1, 1), 6) AS top_bigram_frac
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+@query("q45_repetition_metrics", _Q45_ORACLE)
+def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metrics (the C4/FineWeb-style pre-training
+    filters): per document, the repeated-word fraction
+    (1 - distinct/total, a pure codegen expression over the token
+    array) and the top-bigram dominance (most frequent bigram count /
+    total bigrams — boilerplate and spam score high). The bigram mode
+    runs explode → per-(doc, bigram) count → per-doc max: two
+    map-side-combinable aggregations on (doc_id, 8-byte-hashable)
+    keys, linear at any corpus size. A training pipeline filters on
+    thresholds over these columns BEFORE the expensive dedup ladder."""
+    from cdc_makanmana_spark.operators.dedup import _norm_text, _spread
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    words = F.split(_norm_text(F.col("text")), " ")
+    base = _spread(d).select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+        words.alias("__w"),
+    )
+    bigrams = base.filter(F.col("n_words") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words") - 1),
+                lambda i: F.array_join(F.slice(F.col("__w"), i, 2), " "),
+            )
+        ).alias("b"),
+    )
+    top = (
+        bigrams.groupBy("doc_id", "b")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_c"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("rep_word_frac"),
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_words") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 # Winnowing (MOSS rolling-hash fingerprints): any shared run of
 # >= k + window - 1 = 8 words between two documents shares at least one
 # selected fingerprint. The oracle replays the exact selection — md5-

@@ -293,3 +293,24 @@ def test_sequence_packing_budget_and_continuity(spark, sf_dir):
             assert r.shard_id >= prev_shard
             prev_shard = r.shard_id
             cum += r.n_tokens
+
+
+def test_repetition_metrics_known_values(spark, tmp_path):
+    """q45 on a crafted corpus: exact metric values for a fully
+    repetitive doc, a no-repeat doc, and a single-word doc."""
+    from cdc_makanmana_spark.plans.queries import q45_repetition_metrics
+
+    docs = [
+        (1, "spam spam spam spam"),           # 4 words, 1 distinct, top bigram 'spam spam' x3
+        (2, "alpha beta gamma delta"),        # all distinct, every bigram unique
+        (3, "single"),                        # no bigrams
+    ]
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .write.mode("overwrite")
+        .parquet(str(tmp_path / "documents.parquet"))
+    )
+    out = {r.doc_id: r for r in q45_repetition_metrics(spark, str(tmp_path)).collect()}
+    assert out[1].rep_word_frac == 0.75 and out[1].top_bigram_frac == 1.0
+    assert out[2].rep_word_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 6)
+    assert out[3].rep_word_frac == 0.0 and out[3].top_bigram_frac == 0.0
