@@ -459,3 +459,56 @@ def test_asof_join_semantics(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "Join" not in plan and "Window" in plan
+
+
+def test_embedding_neardup_composite_block_scale_path(spark):
+    """The scale fix for attribute-blocked embedding dedup (block COUNT
+    fixed by the label dictionary => per-block n grows linearly, pairs
+    quadratically): widen the block key to label x coarse-quantizer
+    cell via ivf_assign. Identical vectors land in identical cells, so
+    planted duplicates always survive the composite blocking; the
+    composite pair set is a subset of the label-only one with
+    identical cosines, and block sizes strictly shrink."""
+    import random
+
+    from cdc_makanmana_spark.operators.ann import (
+        embedding_near_duplicates_by_block,
+        ivf_assign,
+        ivf_train,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        rows.append((i, i % 2, [rng.uniform(-1, 1) for _ in range(8)]))
+    rows.append((100, 0, list(rows[0][2])))   # planted dup, label 0
+    rows.append((101, 1, list(rows[1][2])))   # planted dup, label 1
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+
+    by_label = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates_by_block(
+            df, "label", threshold=0.95, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+
+    centers = ivf_train(df, n_cells=4, vec_col="embedding")
+    composite = ivf_assign(df, centers).withColumn(
+        "blk", F.concat_ws(":", "label", "__cell")
+    )
+    by_comp = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates_by_block(
+            composite, "blk", threshold=0.95, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+
+    assert (0, 100) in by_comp and (1, 101) in by_comp
+    assert set(by_comp) <= set(by_label)
+    for pair, sim in by_comp.items():
+        assert sim == by_label[pair]
+
+    # blocks genuinely shrink: max composite block < max label block
+    max_label = df.groupBy("label").count().agg(F.max("count")).first()[0]
+    max_comp = composite.groupBy("blk").count().agg(F.max("count")).first()[0]
+    assert max_comp < max_label

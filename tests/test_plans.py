@@ -84,3 +84,41 @@ def test_topk_plans_take_ordered(spark):
     partition top-k + driver merge), not a global sort."""
     plan = _plan(spark, "q11_topk_expensive_orders")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_resolve_halal_never_hints_broadcast_of_fact_side(spark):
+    """Round-2 verdict item: the match table in resolve_halal scales
+    with the FACT side (one row per matched merchant), so it must not
+    carry a broadcast hint — at 100x a pinned broadcast is an OOM.
+    With auto-broadcast disabled, only HINTED sides can broadcast;
+    assert the merchants<->matches join degrades to a shuffle join
+    while the similarity join's establishment-DIM hint (legitimately
+    dim-scale) is the only broadcast left in the plan."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.engine import MakanmanaEngine
+
+    merchants = spark.createDataFrame(
+        [(f"m{i}", f"Merchant Shop {i}", f"{i} Road", f"4197{i:02d}") for i in range(30)],
+        "id string, name string, address string, postalCode string",
+    )
+    dim = spark.createDataFrame(
+        [(1, "Merchant Shop 1", "419701"), (2, "Merchant Shop 2", "419702")],
+        "establishment_id long, name string, postal string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        eng = MakanmanaEngine(merchants).enrich().resolve_halal(dim)
+        plan = eng.df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # with auto-broadcast off, a broadcast can only come from a hint.
+    # Every fact-preserving (LeftOuter) join must be shuffle-based —
+    # the hinted broadcasts may only be the dim/dictionary Inner joins
+    # inside similarity_join's tiers.
+    assert "BroadcastHashJoin LeftOuter" not in plan
+    assert "SortMergeJoin LeftOuter" in plan or "ShuffledHashJoin LeftOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
