@@ -2,6 +2,7 @@
 
 from cdc_makanmana_spark.sources.cache import SnapshotCache
 from cdc_makanmana_spark.sources.landing import LandingJob, LandingResult
+from cdc_makanmana_spark.sources.layout import read_table, write_bucketed
 from cdc_makanmana_spark.sources.readers import (
     load_with_fallback,
     read_csv_source,
@@ -21,4 +22,6 @@ __all__ = [
     "SnapshotCache",
     "LandingJob",
     "LandingResult",
+    "write_bucketed",
+    "read_table",
 ]

@@ -122,3 +122,53 @@ def test_resolve_halal_never_hints_broadcast_of_fact_side(spark):
     assert "BroadcastHashJoin LeftOuter" not in plan
     assert "SortMergeJoin LeftOuter" in plan or "ShuffledHashJoin LeftOuter" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
+    """Bucketed layout (sources/layout.py): two tables bucketed on the
+    join key with equal bucket counts join with NO Exchange on either
+    side — the write-time shuffle is reused by every later join. The
+    unbucketed control plans two Exchanges on the same data."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.sources.layout import read_table, write_bucketed
+    from cdc_makanmana_spark.tables import load_table
+
+    orders = load_table(spark, "orders", SF).select("o_orderkey", "o_custkey", "o_totalprice")
+    lineitem = load_table(spark, "lineitem", SF).select("l_orderkey", "l_quantity")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(
+            orders, "t_orders_b", ["o_orderkey"], n_buckets=4,
+            sort_by=["o_orderkey"], path=str(tmp_path / "ob"),
+        )
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b", ["o_orderkey"], n_buckets=4,
+            sort_by=["o_orderkey"], path=str(tmp_path / "lb"),
+        )
+        joined = read_table(spark, "t_orders_b").join(
+            read_table(spark, "t_lineitem_b"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+
+        control = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        )
+        cplan = control._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert cplan.count("Exchange") >= 2  # both sides re-shuffle every run
+
+        # correctness unchanged by layout
+        assert joined.count() == control.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
