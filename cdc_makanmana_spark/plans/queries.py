@@ -1845,6 +1845,95 @@ def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The composed training-data pipeline: every stage is individually
+# oracle-proven (q16 quality, q45 repetition, q15 dedup, q41 split) —
+# q46 chains them end-to-end and aggregates per-split corpus stats, so
+# the oracle also proves the COMPOSITION (stage ordering, filter
+# interactions, dedup-before-split) matches. Aggregates are integer
+# (count, sum of word counts), immune to summation-order FP noise.
+_Q46_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id, lang, text,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w,
+             length(text)::DOUBLE AS n,
+             length(regexp_replace(text, '[^\p{{L}}]', '', 'g'))::DOUBLE AS alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE AS punct
+      FROM documents WHERE text IS NOT NULL),
+    scored AS (
+      SELECT doc_id, lang, text, len(w) AS n_words,
+             round((CASE WHEN n < 20 THEN n / 20.0 WHEN n > 20000 THEN 0.5 ELSE 1.0 END) * 0.4
+               + (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END) * 0.4
+               + (CASE WHEN (CASE WHEN n > 0 THEN punct / n ELSE 0.0 END) > 0.2 THEN 0.2 ELSE 1.0 END) * 0.2, 6)
+               AS q,
+             1.0 - len(list_distinct(w))::DOUBLE / len(w) AS rep
+      FROM d),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5 AND rep <= 0.6),
+    fp AS (
+      SELECT *, md5(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))) AS fpr
+      FROM kept),
+    keepmin AS (SELECT fpr, min(doc_id) AS doc_id FROM fp GROUP BY fpr),
+    dedup AS (SELECT f.* FROM fp f JOIN keepmin k ON f.doc_id = k.doc_id AND f.fpr = k.fpr),
+    split AS (
+      SELECT lang, n_words,
+             CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT *,
+              (({_h64_sql("doc_id::VARCHAR || ':split'")} % 100) + 100) % 100 AS b
+            FROM dedup))
+    SELECT split, lang, count(*) AS n_docs, sum(n_words)::BIGINT AS total_words
+    FROM split GROUP BY 1, 2
+"""
+
+
+@query("q46_training_pipeline", _Q46_ORACLE)
+def q46_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data pipeline, composed from the
+    individually-proven stages: quality filter (q16's score) →
+    repetition filter (q45's repeated-word fraction) → exact dedup
+    (q15's fingerprint keep-min) → deterministic split (q41's salted
+    bucket) → per-(split, lang) corpus stats. One declared query
+    proving the stages COMPOSE: filters before dedup (cheap before
+    expensive), dedup before split (so clones can't straddle
+    train/test — the leakage a training pipeline must prevent)."""
+    from cdc_makanmana_spark.functions.text import quality_score
+    from cdc_makanmana_spark.operators.dedup import (
+        _norm_text,
+        _spread,
+        dedup_exact,
+        md5_hash64,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .filter(F.col("text").isNotNull())
+    )
+    words = F.split(_norm_text(F.col("text")), " ")
+    scored = _spread(d).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(words).alias("n_words"),
+        quality_score("text").alias("q"),
+        (1.0 - F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("rep"),
+    )
+    kept = scored.filter((F.col("q") >= 0.5) & (F.col("rep") <= 0.6))
+    deduped = dedup_exact(kept, "text", "doc_id")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100)
+    )
+    return (
+        deduped.withColumn(
+            "split",
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("total_words"),
+        )
+    )
+
+
 # Winnowing (MOSS rolling-hash fingerprints): any shared run of
 # >= k + window - 1 = 8 words between two documents shares at least one
 # selected fingerprint. The oracle replays the exact selection — md5-
