@@ -32,16 +32,39 @@ from pyspark.sql.types import StructType
 
 
 def read_json_source(
-    spark: SparkSession, path: str, schema: StructType, multiline: bool = False
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    multiline: bool = False,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """JSON source with enforced schema (gzip transparent via codec —
     the reference's gzip endpoint handling, merchants.ts:47-58, is a
-    format concern Spark's reader owns)."""
-    return (
-        spark.read.schema(schema)
-        .option("multiLine", "true" if multiline else "false")
-        .json(path)
+    format concern Spark's reader owns).
+
+    ``corrupt_col``: when set, malformed records land as a row with
+    every schema field NULL and the raw line captured in this column
+    (PERMISSIVE + columnNameOfCorruptRecord) — the quarantine pattern:
+    at 100 TB one bad upstream line must neither kill the job
+    (FAILFAST) nor vanish silently (plain permissive). Filter
+    ``corrupt_col IS NOT NULL`` into a quarantine sink, the rest is
+    the clean feed. The reference's analogue is its warn-and-continue
+    on malformed API rows (externalData.ts:534-537)."""
+    read_schema = schema
+    if corrupt_col is not None:
+        from pyspark.sql.types import StringType, StructField
+
+        read_schema = StructType(
+            list(schema.fields) + [StructField(corrupt_col, StringType())]
+        )
+    r = spark.read.schema(read_schema).option(
+        "multiLine", "true" if multiline else "false"
     )
+    if corrupt_col is not None:
+        r = r.option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt_col
+        )
+    return r.json(path)
 
 
 def read_csv_source(

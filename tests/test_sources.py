@@ -237,3 +237,30 @@ def test_landing_job_versioning_prune_and_degraded(spark, tmp_path):
     assert res.degraded and res.route == -1 and res.count == 0
     assert res.version == 5
     assert job.read_bronze().count() == 0
+
+
+def test_json_source_quarantines_corrupt_records(spark, tmp_path):
+    """Corrupt-record quarantine: a malformed line neither kills the
+    read nor vanishes — it surfaces as an all-NULL row carrying the
+    raw line in the corrupt column, splittable into a quarantine sink
+    while clean rows flow on."""
+    src = tmp_path / "feed.jsonl"
+    src.write_text(
+        '{"id": "m1", "name": "Good One"}\n'
+        '{"id": "m2", "name": "Broken'  # truncated JSON line
+        "\n"
+        '{"id": "m3", "name": "Good Two"}\n'
+    )
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    df = read_json_source(spark, str(src), schema, corrupt_col="_corrupt")
+    rows = df.collect()
+    assert len(rows) == 3
+    clean = df.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+    quarantine = df.filter(F.col("_corrupt").isNotNull())
+    assert {r.id for r in clean.collect()} == {"m1", "m3"}
+    q = quarantine.collect()
+    assert len(q) == 1 and q[0].id is None and "Broken" in q[0]._corrupt
+    # without corrupt_col the schema is untouched (back-compat)
+    assert read_json_source(spark, str(src), schema).columns == ["id", "name"]
