@@ -9,7 +9,7 @@ from cdc_makanmana_spark.streaming.cdc import (
     windowed_agg_stream,
 )
 from cdc_makanmana_spark.streaming.progress import ProgressTracker, last_progress_summary
-from cdc_makanmana_spark.streaming.stateful import running_stats_per_key
+from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream, running_stats_per_key
 from cdc_makanmana_spark.streaming.verdict_cache import VerdictCache
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "dedup_within_watermark",
     "upsert_to_parquet",
     "running_stats_per_key",
+    "asof_enrich_stream",
     "ProgressTracker",
     "last_progress_summary",
     "VerdictCache",

@@ -108,3 +108,97 @@ def running_stats_per_key(
         outputMode="update",
         timeoutConf=timeout,
     )
+
+
+ASOF_ENRICH_OUTPUT = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("probe_ts", TimestampType()),
+        StructField("obs_ts", TimestampType()),
+        StructField("obs_value", DoubleType()),
+    ]
+)
+
+_ASOF_STATE = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+
+def asof_enrich_stream(
+    tagged: DataFrame,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+    value_col: str = "value",
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming as-of enrichment — the continuous twin of
+    ``operators.asof.asof_join`` (q44): one tagged stream carries
+    ``kind='update'`` rows (key, ts, value — the observed state) and
+    ``kind='probe'`` rows (key, ts); each probe emits the latest
+    update at-or-before its event time (inclusive tie, matching the
+    batch operator and DuckDB ASOF). Per-key state is ONE row — the
+    latest observation — so state size is O(keys), bounded further by
+    the idle timeout.
+
+    Within a micro-batch the merge is vectorized ``pd.merge_asof``
+    over the event-time-sorted batch (updates visible to later probes
+    in the same batch); across batches the state row carries the last
+    observation forward. Arrival-order caveat, inherent to streaming
+    as-of without a reorder buffer: an update arriving AFTER a probe
+    in a LATER batch cannot retro-correct that probe's answer — add a
+    watermark-delay buffer upstream if the source can deliver that
+    late (same trade ``dropDuplicatesWithinWatermark`` makes).
+    """
+    import math
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, last_val = state.get if state.exists else (-1, float("nan"))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="stable")
+            upd = pdf[pdf[kind_col] == "update"][[ts_col, value_col]].copy()
+            if last_us >= 0:
+                seed = pd.DataFrame(
+                    {ts_col: [pd.Timestamp(last_us * 1000)], value_col: [last_val]}
+                )
+                upd = pd.concat([seed, upd], ignore_index=True)
+            upd = upd.sort_values(ts_col, kind="stable")
+            probes = pdf[pdf[kind_col] == "probe"][[ts_col]].copy()
+            if len(probes):
+                merged = pd.merge_asof(
+                    probes.rename(columns={ts_col: "probe_ts"}),
+                    upd.rename(columns={ts_col: "obs_ts", value_col: "obs_value"}),
+                    left_on="probe_ts",
+                    right_on="obs_ts",
+                    direction="backward",  # inclusive at equal ts
+                )
+                merged.insert(0, "key", key[0])
+                yield merged[["key", "probe_ts", "obs_ts", "obs_value"]]
+            if len(upd):
+                tail = upd.iloc[-1]
+                last_us = int(pd.Timestamp(tail[ts_col]).value // 1000)
+                last_val = float(tail[value_col])
+        state.update((last_us, last_val))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=ASOF_ENRICH_OUTPUT,
+        stateStructType=_ASOF_STATE,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

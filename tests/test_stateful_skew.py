@@ -116,3 +116,59 @@ def test_top_frequency_keys(spark):
     )
     out = top_frequency_keys(df, "k", min_count=3).collect()
     assert [(r.k, r.n_rows) for r in out] == [("a", 10), ("b", 3)]
+
+
+def test_asof_enrich_stream_within_and_across_batches(spark, tmp_path):
+    """Streaming as-of (the continuous q44): probes resolve against
+    the latest at-or-before update — within one micro-batch (updates
+    sorted ahead of later probes, inclusive tie) AND across batches
+    (batch-2 probes see batch-1 state); keys never leak; a probe
+    before any update yields NULL observation."""
+    from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream
+
+    tagged_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("kind", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    _land(src, "b1.json", [
+        {"key": "a", "ts": "2024-01-01T00:00:00", "kind": "probe", "value": None},
+        {"key": "a", "ts": "2024-01-01T00:01:00", "kind": "update", "value": 1.0},
+        {"key": "a", "ts": "2024-01-01T00:02:00", "kind": "probe", "value": None},
+        {"key": "a", "ts": "2024-01-01T00:03:00", "kind": "update", "value": 2.0},
+        {"key": "a", "ts": "2024-01-01T00:03:00", "kind": "probe", "value": None},
+        {"key": "b", "ts": "2024-01-01T00:05:00", "kind": "probe", "value": None},
+    ])
+    _land(src, "b2.json", [
+        {"key": "a", "ts": "2024-01-01T01:00:00", "kind": "probe", "value": None},
+        {"key": "b", "ts": "2024-01-01T01:01:00", "kind": "update", "value": 9.0},
+        {"key": "b", "ts": "2024-01-01T01:02:00", "kind": "probe", "value": None},
+    ])
+    stream = read_upsert_stream(spark, src, tagged_schema, max_files_per_trigger=1)
+    out = asof_enrich_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r.key, str(r.probe_ts)): (None if r.obs_ts is None else str(r.obs_ts), r.obs_value)
+        for r in spark.sql("SELECT * FROM asof_stream").collect()
+    }
+    assert rows[("a", "2024-01-01 00:00:00")] == (None, None)          # nothing yet
+    assert rows[("a", "2024-01-01 00:02:00")] == ("2024-01-01 00:01:00", 1.0)
+    assert rows[("a", "2024-01-01 00:03:00")] == ("2024-01-01 00:03:00", 2.0)  # inclusive tie
+    assert rows[("b", "2024-01-01 00:05:00")] == (None, None)          # key isolation
+    # cross-batch: batch-2 probe sees batch-1 final state
+    assert rows[("a", "2024-01-01 01:00:00")] == ("2024-01-01 00:03:00", 2.0)
+    assert rows[("b", "2024-01-01 01:02:00")] == ("2024-01-01 01:01:00", 9.0)
+    assert len(rows) == 6
