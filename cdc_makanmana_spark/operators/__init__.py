@@ -16,6 +16,7 @@ from cdc_makanmana_spark.operators.dedup import (
     simhash_buckets,
 )
 from cdc_makanmana_spark.operators.asof import asof_join
+from cdc_makanmana_spark.operators.range import interval_join
 from cdc_makanmana_spark.operators.ann import (
     cosine_topk_bruteforce,
     cosine_topk_lsh,
@@ -30,6 +31,7 @@ from cdc_makanmana_spark.operators.skew import salted_join, top_frequency_keys
 
 __all__ = [
     "asof_join",
+    "interval_join",
     "connected_components",
     "dedup_keep_best",
     "embedding_near_duplicates",

@@ -1934,6 +1934,66 @@ def q46_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval-containment join: the oracle states the containment
+# predicate directly (DuckDB handles inequality joins); the Spark side
+# must produce identical rows through the binned equi-join — any
+# bin-edge bug (a point in the first/last bin of an interval, an
+# interval ending exactly on a bin boundary) breaks the hash match.
+_Q47_ORACLE = """
+    WITH o AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS brk
+      FROM events),
+    g AS (
+      SELECT user_id, event_id, ts,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o),
+    s AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL '30 minutes' AS session_end
+      FROM g GROUP BY user_id, sid)
+    SELECT e.event_id, e.user_id, s.session_start
+    FROM events e
+    JOIN s ON e.user_id = s.user_id
+          AND e.ts >= s.session_start AND e.ts < s.session_end
+"""
+
+
+@query("q47_interval_containment", _Q47_ORACLE)
+def q47_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join as a binned equi-join (operators/range.py): assign
+    every event to the session interval containing it. A naive
+    ``ON t >= start AND t < end`` has no equi-key and would plan the
+    BroadcastNestedLoopJoin this engine's plan tests ban; binning
+    explodes each interval into its covered 30-minute bins and
+    hash-joins on (user, bin) before the exact containment filter.
+    Sessions of one user never overlap (the gap that closes a session
+    is the gap that starts the next), so every event lands in exactly
+    one interval — row count is exactly |events|, which the oracle's
+    direct inequality join confirms."""
+    from cdc_makanmana_spark.operators.range import interval_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sess = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("__n"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    return interval_join(
+        e, sess, "ts", "session_start", "session_end",
+        keys=["user_id"], bin_width_s=1800,
+    ).select("event_id", "user_id", "session_start")
+
+
 # Winnowing (MOSS rolling-hash fingerprints): any shared run of
 # >= k + window - 1 = 8 words between two documents shares at least one
 # selected fingerprint. The oracle replays the exact selection — md5-

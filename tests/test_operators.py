@@ -512,3 +512,60 @@ def test_embedding_neardup_composite_block_scale_path(spark):
     max_label = df.groupBy("label").count().agg(F.max("count")).first()[0]
     max_comp = composite.groupBy("blk").count().agg(F.max("count")).first()[0]
     assert max_comp < max_label
+
+
+def test_interval_join_matches_naive_reference(spark):
+    """Binned range join vs a naive python double loop on random data:
+    identical (point, interval) pairs for inner and left, bin-edge
+    cases included (points at interval start / one tick before end /
+    exactly at end, intervals ending on bin boundaries); the plan is
+    an equi-join, never a nested loop."""
+    import datetime as dt
+    import random
+
+    from cdc_makanmana_spark.operators.range import interval_join
+
+    rng = random.Random(5)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    points = [(i, rng.choice([1, 2]), ts(rng.uniform(0, 600))) for i in range(80)]
+    intervals = []
+    for j in range(12):
+        s = rng.uniform(0, 560)
+        intervals.append((100 + j, rng.choice([1, 2]), ts(s), ts(s + rng.uniform(5, 90))))
+    # bin-edge adversaries: interval ending exactly on a bin boundary,
+    # points exactly at start / at end (excluded) / 1 µs before end
+    intervals.append((200, 1, ts(120), ts(150)))  # 30-min aligned both ends
+    points += [(900, 1, ts(120)), (901, 1, ts(150)),
+               (902, 1, ts(150) - dt.timedelta(microseconds=1))]
+
+    p = spark.createDataFrame(points, "pid long, k long, t timestamp")
+    iv = spark.createDataFrame(intervals, "iid long, k long, s timestamp, e timestamp")
+
+    got = {
+        (r.pid, r.iid)
+        for r in interval_join(p, iv, "t", "s", "e", keys=["k"], bin_width_s=1800).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pk, t in points
+        for iid, ik, s, e in intervals
+        if pk == ik and s <= t < e
+    }
+    assert got == want
+    assert (900, 200) in got and (902, 200) in got and (901, 200) not in got
+
+    left = interval_join(p, iv, "t", "s", "e", keys=["k"], bin_width_s=1800, how="left")
+    assert {(r.pid, r.iid) for r in left.collect() if r.iid is not None} == want
+    matched_pids = {pid for pid, _ in want}
+    assert {r.pid for r in left.collect() if r.iid is None} == (
+        {pid for pid, _, _ in points} - matched_pids
+    )
+
+    plan = interval_join(p, iv, "t", "s", "e", keys=["k"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
