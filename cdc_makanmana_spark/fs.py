@@ -106,6 +106,33 @@ def write_text(spark: SparkSession, path_str: str, content: str) -> None:
         out.close()
 
 
+# ---- commit-marker protocol -------------------------------------------------
+#
+# ``rename`` is atomic on HDFS but a non-atomic COPY on raw object
+# stores (S3A without a table format): a crash mid-commit can leave a
+# torn destination directory that looks real to a lister. The marker
+# protocol closes that window without a Delta/Iceberg dependency:
+# writers create ``{dir}/_COMMITTED`` as the LAST step of a commit, and
+# readers treat any version directory lacking the marker as garbage.
+# (Spark's own ``_SUCCESS`` is written by the output committer into the
+# STAGING dir before the rename, so it travels WITH the copy and can be
+# present in a torn destination — it cannot serve as the marker.)
+# Reference analogue: the atomic cache replace + version stamp in
+# /root/reference/src/services/dataManager.ts:68-77.
+
+COMMIT_MARKER = "_COMMITTED"
+
+
+def mark_committed(spark: SparkSession, dir_str: str) -> None:
+    """Stamp ``dir_str`` as fully committed (write this LAST)."""
+    write_text(spark, f"{dir_str}/{COMMIT_MARKER}", "1")
+
+
+def is_committed(spark: SparkSession, dir_str: str) -> bool:
+    """True iff the directory carries the commit marker."""
+    return exists(spark, f"{dir_str}/{COMMIT_MARKER}")
+
+
 def byte_string_as_bytes(spark: SparkSession, s: str) -> int:
     """Parse a Spark size string ('128MB', '134217728b') to bytes."""
     try:

@@ -321,6 +321,25 @@ def embedding_near_duplicates_by_block(
     )
 
 
+def resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Embedding dimensionality without a driver-side data probe:
+    explicit ``dim`` wins, else the column's schema metadata key
+    ``"dim"`` (stamped by upstream writers, e.g.
+    ``df.withMetadata(vec_col, {"dim": 64})``). Raises if neither is
+    present — a ``first()`` probe from inside a declared query path is
+    a hidden driver action the engine bans."""
+    if dim is not None:
+        return int(dim)
+    meta = df.schema[vec_col].metadata or {}
+    if "dim" in meta:
+        return int(meta["dim"])
+    raise ValueError(
+        f"embedding dimensionality unknown: pass dim= or stamp schema "
+        f'metadata {{"dim": N}} on column {vec_col!r} '
+        f"(df.withMetadata({vec_col!r}, {{'dim': N}}))"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -329,32 +348,60 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     seed: int = 42,
     dim: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked: vectors sharing an
-    exact signature bucket are candidates; exact cosine confirms.
-    Returns (id_a, id_b, cosine_sim). High thresholds pair with enough
-    bits that true dups rarely straddle a bucket boundary; a banded
-    variant (multiple independent signatures) raises recall.
+    exact signature bucket in ANY band are candidates; exact cosine
+    confirms. Returns (id_a, id_b, cosine_sim), id_a < id_b.
 
-    Pass ``dim`` (the embedding dimensionality) to keep the plan fully
-    lazy; omitted, it is probed with one driver-side ``first()`` on a
-    single row.
+    ``bands`` independent signature families (each ``bits`` hyperplanes,
+    derived seeds) give OR-of-bands candidate generation: a true near-dup
+    pair is missed only if it straddles a bucket boundary in EVERY band —
+    recall 1-(1-p^bits)^bands for per-bit agreement probability
+    p = 1-θ/π, the standard banding amplification (same construction as
+    the MinHash-LSH ladder in operators/dedup.py). ``bands=1`` is the
+    single-signature form; its recall caveat at high thresholds is
+    exactly what extra bands buy back.
+
+    Scale shape: the shuffle key is the 8-byte (band, signature) pair,
+    band membership multiplies the shuffled rows by ``bands`` (not the
+    pair candidates — each band's buckets shrink the same way), and
+    pair dedup runs BEFORE the cosine rerank so each candidate pair is
+    scored once.
+
+    ``dim`` (embedding dimensionality) comes from the argument or the
+    vector column's schema metadata — see :func:`resolve_dim`; there is
+    no driver-side probe.
     """
-    if dim is None:
-        dim = df.select(F.size(vec_col)).first()[0]
-    planes = _hyperplanes(dim, bits, seed)
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    dim = resolve_dim(df, vec_col, dim)
+    band_sigs = []
+    for bi in range(bands):
+        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
+        band_sigs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                lsh_signature(F.col(vec_col), planes).alias("sig"),
+            )
+        )
     sigs = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
-        lsh_signature(F.col(vec_col), planes).alias("__sig"),
+        F.explode(F.array(*band_sigs)).alias("__bs"),
     )
-    a = sigs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__sig")
-    b = sigs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__sig")
-    return (
-        a.join(b, "__sig")
+    a = sigs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__bs")
+    b = sigs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__bs")
+    candidates = (
+        a.join(b, "__bs")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine_sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6))
+        .select("id_a", "id_b", "vec_a", "vec_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.withColumn(
+            "cosine_sim", F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 6)
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
-        .dropDuplicates(["id_a", "id_b"])
     )

@@ -52,7 +52,27 @@ def asof_join(
 
     ``left``/``right`` time columns must be mutually comparable
     (both timestamp, both date, or both numeric).
+
+    Raises ``ValueError`` when an output alias ``{prefix}{col}`` would
+    shadow an existing left column (e.g. the default ``prefix=""`` with
+    a shared ``ts`` name on both sides would silently emit two columns
+    named ``ts``), or when ``left`` already carries one of the reserved
+    internal names ``__t``/``__v``/``__tag``/``__m``.
     """
+    reserved = {"__t", "__v", "__tag", "__m"}
+    clash = reserved.intersection(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join reserves internal column names {sorted(clash)}; "
+            "rename them on the left side first"
+        )
+    out_aliases = [f"{prefix}{right_ts}", *(f"{prefix}{c}" for c in value_cols)]
+    shadowed = [a for a in out_aliases if a in left.columns]
+    if shadowed:
+        raise ValueError(
+            f"asof_join output column(s) {shadowed} collide with left columns; "
+            "pass a non-empty prefix (e.g. prefix='r_')"
+        )
     carried = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in value_cols]
     )

@@ -47,6 +47,9 @@ def interval_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"interval_join supports inner/left, got {how!r}")
+    for internal in ("__bin", "__pid"):
+        if internal in points.columns or internal in intervals.columns:
+            raise ValueError(f"column name {internal!r} is reserved by interval_join")
     keys = keys or []
     bw_us = bin_width_s * 1_000_000
 
@@ -61,20 +64,28 @@ def interval_join(
             )
         ),
     )
-    p = points.withColumn("__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw_us))
     contained = (F.col(start_col) <= F.col(point_ts)) & (
         F.col(point_ts) < F.col(end_col)
     )
     if how == "inner":
+        p = points.withColumn(
+            "__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw_us)
+        )
         return p.join(ibins, [*keys, "__bin"]).filter(contained).drop("__bin")
     # left: inner-match first (a point matches via exactly one bin per
     # interval — its own — so no dedupe is needed), then add back the
-    # unmatched points via anti-join
-    matched = p.join(ibins, [*keys, "__bin"]).filter(contained).drop("__bin")
-    unmatched = p.drop("__bin").join(
-        matched.select(*points.columns), points.columns, "left_anti"
+    # unmatched points via anti-join. The anti-join keys on a per-row id,
+    # NOT on the point columns: plain column equality never matches NULLs
+    # to themselves, so a matched point carrying a NULL attribute would
+    # be re-emitted as unmatched, and identical duplicate point rows
+    # would be collapsed to one fate. The id is assigned once, before
+    # both branches, so both sides of the anti-join see the same values.
+    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
+        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw_us)
     )
+    matched = p.join(ibins, [*keys, "__bin"]).filter(contained).drop("__bin")
+    unmatched = p.drop("__bin").join(matched.select("__pid"), "__pid", "left_anti")
     for c in ivl.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(ivl.dtypes)[c]))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__pid")

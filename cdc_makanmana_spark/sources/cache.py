@@ -25,8 +25,16 @@ from cdc_makanmana_spark import fs
 
 
 class SnapshotCache:
-    """Parquet snapshot + ``_cache_meta.json`` sidecar (count,
-    last_update epoch-seconds, data_version)."""
+    """Versioned parquet snapshots + ``_cache_meta.json`` sidecar
+    (count, last_update epoch-seconds, data_version, version).
+
+    Commit protocol (see ``fs.mark_committed``): each ``save`` writes
+    ``{path}/_staging_v{n}``, renames to ``{path}/v{n}``, stamps
+    ``v{n}/_COMMITTED`` LAST, then updates the sidecar. Readers require
+    the marker, so a crash anywhere mid-save leaves the previous
+    committed snapshot live — the round-1 in-place overwrite could tear
+    the only copy. The old version is kept until the next save commits
+    (reader isolation for lazy plans already handed out)."""
 
     def __init__(self, spark: SparkSession, path: str, data_version: str, ttl_hours: float = 24.0):
         self.spark = spark
@@ -42,6 +50,26 @@ class SnapshotCache:
         raw = fs.read_text(self.spark, self._meta_path)
         return json.loads(raw) if raw is not None else None
 
+    def _version_numbers(self) -> list[int]:
+        return sorted(
+            int(name[1:])
+            for name in fs.list_names(self.spark, self.path, dirs_only=True)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def _current_path(self) -> str | None:
+        """Newest committed snapshot dir (sidecar-preferred), or None."""
+        meta = self._read_meta()
+        if meta is not None and "version" in meta:
+            candidate = f"{self.path}/v{meta['version']}"
+            if fs.is_committed(self.spark, candidate):
+                return candidate
+        for n in reversed(self._version_numbers()):
+            candidate = f"{self.path}/v{n}"
+            if fs.is_committed(self.spark, candidate):
+                return candidate
+        return None
+
     def is_fresh(self, now_s: float | None = None) -> bool:
         """Version match AND age < TTL (dataManager.ts:32-51). ``now_s``
         injectable for deterministic tests."""
@@ -54,8 +82,17 @@ class SnapshotCache:
     def save(self, df: DataFrame, now_s: float | None = None) -> int:
         """Write snapshot + watermark metadata (S5). Returns row count
         (counted once, reused for the stats surface)."""
-        df.write.mode("overwrite").parquet(self.path)
-        n = self.spark.read.parquet(self.path).count()
+        version = max(self._version_numbers(), default=0) + 1
+        staged = f"{self.path}/_staging_v{version}"
+        final = f"{self.path}/v{version}"
+        df.write.mode("overwrite").parquet(staged)
+        if not fs.rename(self.spark, staged, final):
+            raise IOError(
+                f"snapshot commit rename failed: {staged} -> {final} "
+                "(staged data left in place)"
+            )
+        fs.mark_committed(self.spark, final)
+        n = self.spark.read.parquet(final).count()
         fs.write_text(
             self.spark,
             self._meta_path,
@@ -64,14 +101,22 @@ class SnapshotCache:
                     "count": n,
                     "last_update_s": now_s or time.time(),
                     "data_version": self.data_version,
+                    "version": version,
                 }
             ),
         )
+        # Keep one prior committed version (reader isolation); drop the
+        # rest plus any torn dirs from crashed saves.
+        for stale in self._version_numbers()[:-2]:
+            fs.delete(self.spark, f"{self.path}/v{stale}", recursive=True)
         return n
 
     def load(self) -> DataFrame:
-        """Read the cached snapshot (S4); raises if absent."""
-        return self.spark.read.parquet(self.path)
+        """Read the cached snapshot (S4); raises if never committed."""
+        current = self._current_path()
+        if current is None:
+            raise FileNotFoundError(f"no committed snapshot under {self.path}")
+        return self.spark.read.parquet(current)
 
     def load_or_refresh(self, refresh, now_s: float | None = None) -> DataFrame:
         """Stale-while-revalidate entry (T6/EP2): serve the fresh

@@ -19,15 +19,22 @@ what's under test; the transport is a URI scheme.
 Commit protocol (object-store-safe, all metadata ops through
 ``cdc_makanmana_spark.fs``):
 
-1. write the annotated snapshot to ``{bronze}/_staging_v{n}``;
-2. rename to ``{bronze}/v{n}`` — the atomic-commit primitive on HDFS
-   (on S3, front with a table format; call-site semantics unchanged);
-3. write the ``_landing_meta.json`` sidecar pointing at v{n} — readers
-   resolve the current snapshot ONLY through the sidecar, so a crash
-   between (2) and (3) leaves the previous version live, never a
-   half-landed one;
-4. prune versions older than ``keep_versions`` (lineage/rollback
+1. write the annotated snapshot to ``{bronze}/_staging_v{n}``, where
+   n = max(existing ``v*`` directories, sidecar version) + 1 — derived
+   from BOTH so a crash that leaves v{n} on disk with a stale sidecar
+   can never cause version reuse;
+2. rename to ``{bronze}/v{n}`` (atomic on HDFS; a copy on raw S3 —
+   which is why readers never trust the directory alone);
+3. write ``v{n}/_COMMITTED`` — the marker is the LAST data-side step,
+   so a torn copy from a crash mid-(2) is never marker-stamped;
+4. write the ``_landing_meta.json`` sidecar pointing at v{n};
+5. prune versions older than ``keep_versions`` (lineage/rollback
    window, like the reference's single-slot cache generalized to N).
+
+Readers resolve through the sidecar but REQUIRE the commit marker; if
+the sidecar dangles (crash between 3 and 4) they fall back to the
+newest marker-stamped version — a crash at any step leaves the
+previous committed snapshot live, never a half-landed one.
 """
 
 from __future__ import annotations
@@ -130,12 +137,31 @@ class LandingJob:
         raw = fs.read_text(self.spark, self._meta_path)
         return json.loads(raw) if raw is not None else None
 
+    def _version_numbers(self) -> list[int]:
+        return sorted(
+            int(name[1:])
+            for name in fs.list_names(self.spark, self.bronze_path, dirs_only=True)
+            if name.startswith("v") and name[1:].isdigit()
+        )
+
+    def _next_version(self) -> int:
+        """max(existing v* dirs, sidecar version) + 1 — NOT sidecar+1
+        alone: after a crash between the v{n} rename and the sidecar
+        write, the sidecar still says n-1 while v{n} exists, and
+        sidecar+1 would try to commit INTO the existing v{n} (raising
+        forever on local fs, silently nesting on HDFS)."""
+        meta = self._read_meta()
+        highest = max(
+            max(self._version_numbers(), default=0),
+            meta["version"] if meta else 0,
+        )
+        return highest + 1
+
     def land(self, now_s: float | None = None) -> LandingResult:
         """One acquisition cycle → one committed bronze version."""
         df, route = self.acquire()
         now = now_s or time.time()
-        meta = self._read_meta()
-        version = (meta["version"] + 1) if meta else 1
+        version = self._next_version()
 
         staged = f"{self.bronze_path}/_staging_v{version}"
         final = f"{self.bronze_path}/v{version}"
@@ -145,8 +171,14 @@ class LandingJob:
         annotated.write.mode("overwrite").parquet(staged)
         fs.mkdirs(self.spark, self.bronze_path)
         if not fs.rename(self.spark, staged, final):
-            fs.delete(self.spark, staged)
-            raise IOError(f"bronze commit rename failed: {staged} -> {final}")
+            # Fail CLOSED but keep the staged data: deleting it on a
+            # racy/transient rename failure would destroy the only copy
+            # of the freshly-acquired snapshot.
+            raise IOError(
+                f"bronze commit rename failed: {staged} -> {final} "
+                "(staged data left in place)"
+            )
+        fs.mark_committed(self.spark, final)
         count = self.spark.read.parquet(final).count()
         fs.write_text(
             self.spark,
@@ -170,9 +202,19 @@ class LandingJob:
                 fs.delete(self.spark, f"{self.bronze_path}/{name}")
 
     def read_bronze(self) -> DataFrame | None:
-        """Current committed snapshot (sidecar-resolved), None if no
-        landing has ever committed."""
+        """Current committed snapshot: sidecar-resolved, but only a
+        marker-stamped version counts — a torn v{n} from a crashed
+        commit (or a sidecar written just before the crash on a store
+        where rename is a copy) is skipped in favor of the newest
+        version that carries ``_COMMITTED``. None if nothing has ever
+        fully committed."""
         meta = self._read_meta()
-        if meta is None:
-            return None
-        return self.spark.read.parquet(f"{self.bronze_path}/v{meta['version']}")
+        if meta is not None:
+            candidate = f"{self.bronze_path}/v{meta['version']}"
+            if fs.is_committed(self.spark, candidate):
+                return self.spark.read.parquet(candidate)
+        for n in reversed(self._version_numbers()):
+            candidate = f"{self.bronze_path}/v{n}"
+            if fs.is_committed(self.spark, candidate):
+                return self.spark.read.parquet(candidate)
+        return None

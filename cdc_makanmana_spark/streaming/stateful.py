@@ -153,8 +153,6 @@ def asof_enrich_stream(
     watermark-delay buffer upstream if the source can deliver that
     late (same trade ``dropDuplicatesWithinWatermark`` makes).
     """
-    import math
-
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -162,30 +160,41 @@ def asof_enrich_stream(
             state.remove()
             return
         last_us, last_val = state.get if state.exists else (-1, float("nan"))
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col, kind="stable")
-            upd = pdf[pdf[kind_col] == "update"][[ts_col, value_col]].copy()
-            if last_us >= 0:
-                seed = pd.DataFrame(
-                    {ts_col: [pd.Timestamp(last_us * 1000)], value_col: [last_val]}
-                )
-                upd = pd.concat([seed, upd], ignore_index=True)
-            upd = upd.sort_values(ts_col, kind="stable")
-            probes = pdf[pdf[kind_col] == "probe"][[ts_col]].copy()
-            if len(probes):
-                merged = pd.merge_asof(
-                    probes.rename(columns={ts_col: "probe_ts"}),
-                    upd.rename(columns={ts_col: "obs_ts", value_col: "obs_value"}),
-                    left_on="probe_ts",
-                    right_on="obs_ts",
-                    direction="backward",  # inclusive at equal ts
-                )
-                merged.insert(0, "key", key[0])
-                yield merged[["key", "probe_ts", "obs_ts", "obs_value"]]
-            if len(upd):
-                tail = upd.iloc[-1]
-                last_us = int(pd.Timestamp(tail[ts_col]).value // 1000)
-                last_val = float(tail[value_col])
+        # A key's micro-batch rows can span several Arrow chunks (bounded
+        # by arrow.maxRecordsPerBatch) and applyInPandasWithState makes
+        # no ordering promise across chunks — merging per chunk with a
+        # one-row carried seed would hand a later-chunk probe whose event
+        # time precedes the carried observation a wrong stale/NULL
+        # answer. Materialize the whole group, sort ONCE, merge ONCE.
+        chunks = [c for c in pdfs if len(c)]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame(columns=[key_col, ts_col, kind_col, value_col])
+        )
+        pdf = pdf.sort_values(ts_col, kind="stable")
+        upd = pdf[pdf[kind_col] == "update"][[ts_col, value_col]].copy()
+        if last_us >= 0:
+            seed = pd.DataFrame(
+                {ts_col: [pd.Timestamp(last_us * 1000)], value_col: [last_val]}
+            )
+            upd = pd.concat([seed, upd], ignore_index=True)
+        upd = upd.sort_values(ts_col, kind="stable")
+        probes = pdf[pdf[kind_col] == "probe"][[ts_col]].copy()
+        if len(probes):
+            merged = pd.merge_asof(
+                probes.rename(columns={ts_col: "probe_ts"}),
+                upd.rename(columns={ts_col: "obs_ts", value_col: "obs_value"}),
+                left_on="probe_ts",
+                right_on="obs_ts",
+                direction="backward",  # inclusive at equal ts
+            )
+            merged.insert(0, "key", key[0])
+            yield merged[["key", "probe_ts", "obs_ts", "obs_value"]]
+        if len(upd):
+            tail = upd.iloc[-1]
+            last_us = int(pd.Timestamp(tail[ts_col]).value // 1000)
+            last_val = float(tail[value_col])
         state.update((last_us, last_val))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)

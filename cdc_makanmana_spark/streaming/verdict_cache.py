@@ -43,11 +43,16 @@ class VerdictCache:
     # this, enrich_with's returned (lazy) plan would dangle on files the
     # merge just deleted. Version discovery/commit/vacuum go through the
     # Hadoop FileSystem API, so ``path`` may live on any object store.
-    def _versions(self) -> list[str]:
+    # Readers only trust versions stamped with the ``_COMMITTED`` marker
+    # (fs.mark_committed, written LAST): on stores where rename is a
+    # copy, a crash mid-commit leaves a torn un-stamped directory that
+    # must never shadow the previous good version.
+    def _versions(self, committed_only: bool = True) -> list[str]:
         return sorted(
             d
             for d in fs.list_names(self.spark, self.path, dirs_only=True)
             if d.startswith("v")
+            and (not committed_only or fs.is_committed(self.spark, f"{self.path}/{d}"))
         )
 
     def _current(self) -> str | None:
@@ -81,8 +86,16 @@ class VerdictCache:
         if fresh is None:
             return facts.withColumn("__cache_hit", F.lit(False))
         fresh = fresh.withColumnRenamed(self.key_col, "__ck")
+        # No pinned broadcast: the cache holds one row per distinct
+        # ENTITY (lower(name_address)), which tracks fact-table
+        # cardinality in this domain, not dim cardinality — pinning
+        # F.broadcast here is the same driver-OOM class as broadcasting
+        # the fact side of resolve_halal (engine.py). Let AQE pick the
+        # strategy from the actual size at runtime: below
+        # autoBroadcastJoinThreshold it still broadcasts, above it a
+        # shuffled hash join is the correct plan.
         joined = facts.join(
-            F.broadcast(fresh.drop("computed_at")),
+            fresh.drop("computed_at"),
             facts[fact_key] == F.col("__ck"),
             "left",
         )
@@ -106,21 +119,32 @@ class VerdictCache:
             )
         else:
             merged = stamped
-        n = len(self._versions())
-        # Write then rename within the same parent = atomic commit of
-        # version n+1 (atomic on HDFS/file:; on raw S3 a Delta/Iceberg
-        # log supplies the commit — semantics here are identical);
-        # concurrent readers of version <= n are untouched.
+        # Next version = max over ALL v* dirs (committed or torn) + 1,
+        # never len(): vacuum shrinks the list and a torn dir from a
+        # crashed commit still occupies its number — both would cause
+        # number reuse under len()-based naming.
+        all_vs = self._versions(committed_only=False)
+        n = max((int(v[1:]) for v in all_vs), default=0)
+        # Write then rename within the same parent, then stamp the
+        # commit marker LAST — concurrent readers of version <= n are
+        # untouched, and a crash before the stamp leaves an un-stamped
+        # directory that readers ignore.
         tmp = f"{self.path}/.__tmp_v{n + 1:06d}"
+        final = f"{self.path}/v{n + 1:06d}"
         merged.write.mode("overwrite").parquet(tmp)
-        fs.rename(self.spark, tmp, f"{self.path}/v{n + 1:06d}")
+        if not fs.rename(self.spark, tmp, final):
+            raise IOError(f"verdict-cache commit rename failed: {tmp} -> {final}")
+        fs.mark_committed(self.spark, final)
 
     def vacuum(self, keep: int = 2) -> None:
-        """Drop all but the newest ``keep`` versions. Callers must
-        ensure no live query still reads the dropped ones (same
-        contract as Delta VACUUM)."""
-        for d in self._versions()[:-keep]:
-            fs.delete(self.spark, f"{self.path}/{d}", recursive=True)
+        """Drop all but the newest ``keep`` committed versions, plus any
+        torn (un-stamped) directories left by crashed commits. Callers
+        must ensure no live query still reads the dropped ones (same
+        contract as Delta VACUUM). Single-writer assumed, as throughout."""
+        keep_set = set(self._versions()[-keep:])
+        for d in self._versions(committed_only=False):
+            if d not in keep_set:
+                fs.delete(self.spark, f"{self.path}/{d}", recursive=True)
 
     def enrich_with(
         self,

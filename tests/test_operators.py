@@ -411,15 +411,82 @@ def test_embedding_near_duplicates_lsh_vs_blocked(spark):
     for pair, sim in lsh.items():
         assert sim == exact[pair]
 
-    # dim omitted -> probed driver-side; same result (the round-2 bug
-    # was exactly this path)
-    probed = {
+    # dim omitted -> schema-metadata path (round-3 verdict item: no
+    # driver-side first() probe may remain); bare column without
+    # metadata must raise instead of probing
+    import pytest
+
+    stamped = df.withMetadata("embedding", {"dim": dim})
+    via_meta = {
         (r.id_a, r.id_b): r.cosine_sim
         for r in embedding_near_duplicates(
-            df, threshold=0.95, vec_col="embedding", id_col="vec_id", bits=8
+            stamped, threshold=0.95, vec_col="embedding", id_col="vec_id", bits=8
         ).collect()
     }
-    assert probed == lsh
+    assert via_meta == lsh
+    with pytest.raises(ValueError, match="dim"):
+        embedding_near_duplicates(
+            df, threshold=0.95, vec_col="embedding", id_col="vec_id", bits=8
+        )
+
+
+def test_embedding_near_duplicates_banded_recall(spark):
+    """OR-of-bands amplification (round-3 verdict item #6): on planted
+    near-dup pairs at cosine ~0.96-0.99, the single-signature form
+    misses pairs that straddle a bucket boundary; 8 independent bands
+    recover recall >= 0.95, found pairs stay a subset of the exact
+    blocked path with identical cosines, and bands never invent pairs
+    below threshold."""
+    import random
+
+    from cdc_makanmana_spark.operators.ann import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_by_block,
+    )
+
+    rng = random.Random(31)
+    dim = 16
+    rows, planted = [], []
+    for i in range(50):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+        # near-dup twin: small additive noise -> cosine ~0.96-0.995
+        twin = [x + rng.uniform(-0.16, 0.16) for x in v]
+        rows.append((1000 + i, twin))
+        planted.append((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").withColumn(
+        "block", F.lit(1)
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_duplicates_by_block(
+            df, "block", threshold=0.95, vec_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    truth = {p for p in planted if p in exact}  # twins that landed >= 0.95
+    assert len(truth) >= 20  # the fixture really plants enough positives
+
+    def run(bands):
+        return {
+            (r.id_a, r.id_b): r.cosine_sim
+            for r in embedding_near_duplicates(
+                df, threshold=0.95, vec_col="embedding", id_col="vec_id",
+                bits=8, dim=dim, bands=bands,
+            ).collect()
+        }
+
+    single, banded = run(1), run(8)
+    recall_1 = len(truth & set(single)) / len(truth)
+    recall_8 = len(truth & set(banded)) / len(truth)
+    assert recall_1 < 1.0          # single signature genuinely misses here
+    assert recall_8 >= 0.95        # banding buys the recall back
+    assert recall_8 > recall_1
+    # banding changes candidate generation only — never the scores, and
+    # never admits a pair the exact path rejects
+    assert set(banded) <= set(exact)
+    for pair, sim in banded.items():
+        assert sim == exact[pair]
 
 
 def test_asof_join_semantics(spark):
@@ -454,7 +521,8 @@ def test_asof_join_semantics(spark):
 
     # plan shape: no join operator at all — one window over the union
     plan = asof_join(
-        left, right, key_cols=["k"], left_ts="t", right_ts="t", value_cols=["v"]
+        left, right, key_cols=["k"], left_ts="t", right_ts="t",
+        value_cols=["v"], prefix="obs_",
     )._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
@@ -569,3 +637,82 @@ def test_interval_join_matches_naive_reference(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_join_left_null_attrs_and_duplicate_points(spark):
+    """Left interval join must key its matched/unmatched split on row
+    IDENTITY, not column equality: a matched point carrying a NULL
+    attribute must NOT be re-emitted as unmatched (NULL != NULL under
+    plain equality), and identical duplicate point rows must each keep
+    their own fate instead of being collapsed to one."""
+    import datetime as dt
+
+    from cdc_makanmana_spark.operators.range import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    # pid 1: matched, NULL attr (the ADVICE bug: emitted twice before).
+    # pid 2/pid 2 twin: identical duplicate rows, both matched.
+    # pid 3: unmatched, NULL attr.
+    # pid 4/pid 4 twin: identical duplicate rows, both unmatched.
+    points = [
+        (1, 1, ts(10), None),
+        (2, 1, ts(20), "x"),
+        (2, 1, ts(20), "x"),
+        (3, 1, ts(500), None),
+        (4, 1, ts(510), "y"),
+        (4, 1, ts(510), "y"),
+    ]
+    intervals = [(100, 1, ts(0), ts(60))]
+    p = spark.createDataFrame(points, "pid long, k long, t timestamp, attr string")
+    iv = spark.createDataFrame(intervals, "iid long, k long, s timestamp, e timestamp")
+
+    out = interval_join(p, iv, "t", "s", "e", keys=["k"], bin_width_s=1800, how="left")
+    rows = sorted((r.pid, r.iid) for r in out.collect())
+    assert rows == [(1, 100), (2, 100), (2, 100), (3, None), (4, None), (4, None)]
+    # the NULL-attr matched point appears exactly once, as matched
+    assert sum(1 for pid, _ in rows if pid == 1) == 1
+    # internal names stay internal
+    assert "__pid" not in out.columns and "__bin" not in out.columns
+
+    # reserved-name guard
+    import pytest
+
+    bad = p.withColumnRenamed("attr", "__pid")
+    with pytest.raises(ValueError, match="__pid"):
+        interval_join(bad, iv, "t", "s", "e", keys=["k"], how="left")
+
+
+def test_asof_join_rejects_colliding_output_names(spark):
+    """Default prefix='' with a shared timestamp (or value) column name
+    on both sides would silently emit two columns under one name; the
+    operator must refuse instead. Reserved __-internal names on the
+    left must also be rejected."""
+    import pytest
+
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, v double")
+    left = spark.createDataFrame([(1, 5)], "k long, t long")
+
+    with pytest.raises(ValueError, match="prefix"):
+        asof_join(left, right, key_cols=["k"], left_ts="t", right_ts="t",
+                  value_cols=["v"])  # default prefix="" -> duplicate 't'
+
+    left_v = spark.createDataFrame([(1, 5, 0.0)], "k long, t long, v double")
+    with pytest.raises(ValueError, match="prefix"):
+        asof_join(left_v, right, key_cols=["k"], left_ts="t", right_ts="t",
+                  value_cols=["v"], prefix="")
+
+    left_bad = spark.createDataFrame([(1, 5, 7)], "k long, t long, __tag int")
+    with pytest.raises(ValueError, match="__tag"):
+        asof_join(left_bad, right, key_cols=["k"], left_ts="t", right_ts="t",
+                  value_cols=["v"], prefix="obs_")
+
+    # a non-colliding prefix still works unchanged
+    ok = asof_join(left, right, key_cols=["k"], left_ts="t", right_ts="t",
+                   value_cols=["v"], prefix="obs_")
+    assert sorted(ok.columns) == ["k", "obs_t", "obs_v", "t"]

@@ -239,6 +239,92 @@ def test_landing_job_versioning_prune_and_degraded(spark, tmp_path):
     assert job.read_bronze().count() == 0
 
 
+def test_landing_job_crash_window_recovery(spark, tmp_path):
+    """Commit-protocol crash windows (ADVICE r3 + commit-marker
+    protocol): (a) crash AFTER the v{n} rename but BEFORE the marker —
+    the torn dir must be invisible to readers and its number never
+    reused; (b) crash AFTER the marker but BEFORE the sidecar — the
+    stale sidecar must not make the next land() commit into the
+    existing dir (the old sidecar+1 derivation raised forever here)."""
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources import LandingJob, read_json_source
+
+    src = tmp_path / "src.jsonl"
+    src.write_text('{"id": "m1", "name": "one"}\n')
+    schema = StructType(
+        [StructField("id", StringType()), StructField("name", StringType())]
+    )
+    bronze = str(tmp_path / "bronze")
+    job = LandingJob(
+        spark,
+        routes=[lambda: read_json_source(spark, str(src), schema)],
+        schema=schema,
+        bronze_path=bronze,
+        retries=1,
+        backoff_s=(0.0,),
+    )
+    assert job.land(now_s=1.0).version == 1
+
+    # (a) simulate crash between rename and marker: a torn v2 exists,
+    # un-stamped, and the sidecar still points at v1.
+    torn = spark.createDataFrame([("tx", "torn")], schema)
+    torn.write.mode("overwrite").parquet(f"{bronze}/v2")
+    fs.delete(spark, f"{bronze}/v2/{fs.COMMIT_MARKER}")  # parquet _SUCCESS != marker
+    assert job.read_bronze().collect()[0].id == "m1"  # torn v2 ignored
+
+    # next land() must skip to v3, not fight over v2
+    src.write_text('{"id": "m3", "name": "three"}\n')
+    res = job.land(now_s=3.0)
+    assert res.version == 3
+    assert job.read_bronze().collect()[0].id == "m3"
+
+    # (b) simulate crash between marker and sidecar: roll the sidecar
+    # back to version 1 while committed v3 exists. Reader serves the
+    # sidecar's (older, committed) version — consistent, never torn —
+    # and the next land() derives v4 from the dirs, not sidecar+1=2.
+    fs.write_text(
+        spark,
+        f"{bronze}/_landing_meta.json",
+        '{"version": 1, "route": 0, "count": 1, "landed_at_s": 1.0}',
+    )
+    assert job.read_bronze().collect()[0].id == "m1"
+    src.write_text('{"id": "m4", "name": "four"}\n')
+    res = job.land(now_s=4.0)
+    assert res.version == 4
+    assert job.read_bronze().collect()[0].id == "m4"
+
+    # (c) dangling sidecar (points at a pruned/absent version): reader
+    # falls back to the newest committed version instead of raising.
+    fs.write_text(
+        spark,
+        f"{bronze}/_landing_meta.json",
+        '{"version": 99, "route": 0, "count": 1, "landed_at_s": 1.0}',
+    )
+    assert job.read_bronze().collect()[0].id == "m4"
+
+
+def test_snapshot_cache_crash_leaves_previous_version_readable(spark, tmp_path):
+    """A torn save (staging written, rename/marker never completed)
+    must leave the previous committed snapshot served by load(); a
+    marker-less v-dir is garbage, not data."""
+    from cdc_makanmana_spark import fs
+
+    path = str(tmp_path / "snap")
+    cache = SnapshotCache(spark, path, data_version="v1", ttl_hours=24.0)
+    cache.save(spark.createDataFrame(ROWS, SCHEMA), now_s=1.0)
+    assert cache.load().count() == 3
+
+    # simulate a crash mid-save: torn v2 exists without a marker
+    torn = spark.createDataFrame(ROWS[:1], SCHEMA)
+    torn.write.mode("overwrite").parquet(f"{path}/v2")
+    fs.delete(spark, f"{path}/v2/{fs.COMMIT_MARKER}")
+    assert cache.load().count() == 3  # still the committed v1
+
+    # recovery: the next save commits past the torn number
+    cache.save(spark.createDataFrame(ROWS[:2], SCHEMA), now_s=2.0)
+    assert cache.load().count() == 2
+
+
 def test_json_source_quarantines_corrupt_records(spark, tmp_path):
     """Corrupt-record quarantine: a malformed line neither kills the
     read nor vanishes — it surfaces as an all-NULL row carrying the

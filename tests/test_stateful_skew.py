@@ -172,3 +172,60 @@ def test_asof_enrich_stream_within_and_across_batches(spark, tmp_path):
     assert rows[("a", "2024-01-01 01:00:00")] == ("2024-01-01 00:03:00", 2.0)
     assert rows[("b", "2024-01-01 01:02:00")] == ("2024-01-01 01:01:00", 9.0)
     assert len(rows) == 6
+
+
+def test_asof_enrich_stream_group_spanning_arrow_chunks(spark, tmp_path):
+    """One key's micro-batch rows split across several Arrow chunks
+    (arrow.maxRecordsPerBatch=2): a probe delivered in a LATER chunk
+    with event time before an update from an EARLIER chunk must still
+    resolve to the correct at-or-before update. The per-chunk-merge
+    implementation carried only the single latest observation between
+    chunks and answered this probe NULL/stale — the operator must
+    materialize and sort the whole group before merging."""
+    from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream
+
+    tagged_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("ts", TimestampType()),
+            StructField("kind", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    # file order (= chunk order): all updates first, probes with EARLIER
+    # event times afterwards — every probe lands in a later chunk than
+    # the update that answers it.
+    _land(src, "b1.json", [
+        {"key": "a", "ts": "2024-01-01T00:10:00", "kind": "update", "value": 5.0},
+        {"key": "a", "ts": "2024-01-01T00:12:00", "kind": "update", "value": 6.0},
+        {"key": "a", "ts": "2024-01-01T00:14:00", "kind": "update", "value": 7.0},
+        {"key": "a", "ts": "2024-01-01T00:11:00", "kind": "probe", "value": None},
+        {"key": "a", "ts": "2024-01-01T00:13:00", "kind": "probe", "value": None},
+        {"key": "a", "ts": "2024-01-01T00:09:00", "kind": "probe", "value": None},
+    ])
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = read_upsert_stream(spark, src, tagged_schema, max_files_per_trigger=1)
+        out = asof_enrich_stream(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("asof_chunked")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    rows = {
+        str(r.probe_ts): (None if r.obs_ts is None else str(r.obs_ts), r.obs_value)
+        for r in spark.sql("SELECT * FROM asof_chunked").collect()
+    }
+    assert rows["2024-01-01 00:09:00"] == (None, None)
+    assert rows["2024-01-01 00:11:00"] == ("2024-01-01 00:10:00", 5.0)
+    assert rows["2024-01-01 00:13:00"] == ("2024-01-01 00:12:00", 6.0)
+    assert len(rows) == 3

@@ -225,6 +225,72 @@ def test_verdict_cache_merge_newest_wins(spark, tmp_path):
     assert cache.read().collect()[0]["verdict"] == "new"
 
 
+def test_verdict_cache_torn_commit_invisible_and_number_not_reused(spark, tmp_path):
+    """Commit-marker protocol: a torn version dir (rename landed, the
+    _COMMITTED stamp never written — the raw-S3 crash shape) must be
+    invisible to readers, must not steal the next merge's version
+    number, and vacuum must sweep it."""
+    from cdc_makanmana_spark import fs
+
+    path = str(tmp_path / "vc3")
+    cache = VerdictCache(spark, path, key_col="k")
+    cache.merge(
+        spark.createDataFrame([("a", "good")], "k string, verdict string"),
+        computed_at="2024-01-01T00:00:00",
+    )
+    # torn v000002: parquet files present (with Spark's own _SUCCESS,
+    # which must NOT count as the marker), no _COMMITTED
+    spark.createDataFrame(
+        [("a", "torn", "2024-01-02T00:00:00")],
+        "k string, verdict string, computed_at string",
+    ).withColumn("computed_at", F.col("computed_at").cast("timestamp")).write.parquet(
+        f"{path}/v000002"
+    )
+    assert not fs.is_committed(spark, f"{path}/v000002")
+
+    assert cache.read().collect()[0]["verdict"] == "good"  # torn dir skipped
+    cache.merge(
+        spark.createDataFrame([("a", "newer")], "k string, verdict string"),
+        computed_at="2024-01-03T00:00:00",
+    )
+    # merge skipped past the torn number...
+    assert cache._versions() == ["v000001", "v000003"]
+    assert cache.read().collect()[0]["verdict"] == "newer"
+    # ...and the torn row never leaked into the merged lineage
+    assert cache.read().count() == 1
+
+    cache.vacuum(keep=1)
+    names = fs.list_names(spark, path, dirs_only=True)
+    assert names == ["v000003"]  # torn v000002 swept with the old v000001
+
+
+def test_verdict_cache_lookup_does_not_pin_broadcast(spark, tmp_path):
+    """Round-3 verdict item: the cache is entity-cardinality (tracks
+    the fact side), so lookup must not carry a broadcast HINT. With
+    auto-broadcast disabled, only hinted sides can broadcast — the
+    lookup join must degrade to a shuffle join."""
+    cache = VerdictCache(spark, str(tmp_path / "vc4"), key_col="k")
+    cache.merge(
+        spark.createDataFrame([("a", "v")], "k string, verdict string"),
+        computed_at="2024-01-01T00:00:00",
+    )
+    facts = spark.createDataFrame([("a",), ("b",)], "k string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        looked = cache.lookup(facts, "k", now="2024-01-01T01:00:00")
+        plan = looked._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # semantics unchanged
+    hits = {r.k: r["__cache_hit"] for r in looked.collect()}
+    assert hits == {"a": True, "b": False}
+
+
 def test_progress_tracker_reports_per_batch_rows(spark, tmp_path):
     """T5: the listener sees each micro-batch's row count and the
     cumulative total matches the data landed (dataManager.ts:170-172
