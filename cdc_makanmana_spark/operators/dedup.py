@@ -33,6 +33,23 @@ def _norm_text(col):
     return F.trim(F.regexp_replace(F.lower(col), r"[ \t\n\r\f\x0B]+", " "))
 
 
+def _drop_blank_text(df: DataFrame, text_col: str) -> DataFrame:
+    """Operator-level NULL/empty-text policy (round-3 verdict item #4):
+    every near-dup ladder operator drops rows whose text is NULL or
+    whitespace-only BEFORE tokenizing. Without this, each engine
+    invents its own semantics for textless docs (Spark's explode_outer
+    hashes a NULL token / an empty split yields the '' token — so two
+    empty docs would pair at similarity 1.0) and every declared query
+    has to re-patch the divergence against its SQL oracle. A doc with
+    no text has no content to be a near-duplicate OF; it simply does
+    not participate. Oracle SQL replays the same predicate:
+    ``text IS NOT NULL AND trim(regexp_replace(lower(text),
+    '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) <> ''``.
+    """
+    c = F.col(text_col)
+    return df.filter(c.isNotNull() & (_norm_text(c) != ""))
+
+
 def _spread(df: DataFrame) -> DataFrame:
     """Widen a too-narrow input so the expensive shingle/tokenize
     explode runs on every core. A single small parquet file arrives as
@@ -139,7 +156,7 @@ def ngram_jaccard_pairs(
     # per-doc sizes, bucket build) → materialize once instead of
     # re-running the shingle explode per consumer (see _materialize).
     sh = _materialize(
-        _spread(df)
+        _spread(_drop_blank_text(df, text_col))
         .select(
             F.col(id_col).alias("__id"),
             F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
@@ -213,9 +230,11 @@ def minhash_signatures(
     declared q23 reranks with EXACT Jaccard, so results are
     hash-identical either way.
     """
-    sh = df.select(
+    sh = _drop_blank_text(df, text_col).select(
         F.col(id_col).alias("__id"),
-        F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        # plain explode: after the blank-text policy every remaining doc
+        # has >= 1 shingle (word_shingles floors the index range at 1)
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
     ).select("__id", F.xxhash64("__s").alias("__h0"))
     agg = sh.groupBy("__id").agg(
         *[F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
@@ -346,7 +365,7 @@ def winnowing_fingerprint_rows(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.array_join(F.slice(words, i, k), " "),
     )
-    g = _spread(df).select(
+    g = _spread(_drop_blank_text(df, text_col)).select(
         F.col(id_col).alias("__id"),
         F.size(words).alias("__nw"),
         F.posexplode(grams).alias("__idx", "__gram"),
@@ -405,8 +424,9 @@ def simhash_buckets(
     # below then only do integer shift/mask on the precomputed hash
     # (vs. ``bits`` string hashes per row if the hash fn lived inside
     # every aggregate expression).
-    tok = _spread(df).select(
-        F.col(id_col).alias("__id"), F.explode_outer(tokens).alias("__t")
+    tok = _spread(_drop_blank_text(df, text_col)).select(
+        # plain explode: the blank-text policy guarantees >= 1 token
+        F.col(id_col).alias("__id"), F.explode(tokens).alias("__t")
     ).select("__id", hash_expr.alias("__h"))
     h = F.col("__h")
     votes = tok.groupBy("__id").agg(

@@ -798,7 +798,9 @@ _JACCARD_ORACLE = r"""
     WITH d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
-      FROM documents),
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
     s AS (
       SELECT doc_id,
              list_distinct([array_to_string(w[i:i+2], ' ')
@@ -847,7 +849,9 @@ _Q24_ORACLE = rf"""
     WITH d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
-      FROM documents),
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
     s0 AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(w[i:i+2], ' ')
@@ -895,7 +899,9 @@ _Q25_ORACLE = r"""
     WITH d AS (
       SELECT doc_id,
              list_distinct(string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ')) AS toks
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
     tok AS (SELECT doc_id, unnest(toks) AS t FROM d),
     h AS (
       SELECT doc_id,
@@ -934,15 +940,10 @@ def q25_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64 via ``simhash_buckets(token_hash="xxhash64")``."""
     from cdc_makanmana_spark.operators.dedup import simhash_buckets
 
-    # NULL-text docs would survive here (explode_outer gives them a
-    # null token → all-(-1) votes → simhash 0) while DuckDB's
-    # unnest(NULL) drops them from the oracle; exclude them on both
-    # sides so the engines agree on participation (ADVICE r2).
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
-    )
+    # NULL/empty-text docs are excluded INSIDE simhash_buckets (the
+    # operator-level blank-text policy, dedup._drop_blank_text); the
+    # oracle's WHERE clause replays the same predicate.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     sigs = simhash_buckets(d, "text", "doc_id", token_hash="md5_64")
     chunks = sigs.select(
         "__id",
@@ -1461,7 +1462,9 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS w
-      FROM documents),
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) <> ''),
     s0 AS (
       SELECT doc_id,
              unnest(list_distinct([array_to_string(w[i:i+2], ' ')
@@ -2017,7 +2020,9 @@ _Q40_ORACLE = rf"""
     WITH d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
-      FROM documents WHERE text IS NOT NULL),
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
     g AS (
       SELECT doc_id,
              [{_Q40_H64}
@@ -2057,11 +2062,9 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnowing_fingerprint_rows,
     )
 
-    d = (
-        _t(spark, sf_dir, "documents")
-        .select("doc_id", "text")
-        .filter(F.col("text").isNotNull())
-    )
+    # NULL/empty-text docs excluded inside winnowing_fingerprint_rows
+    # (operator-level blank-text policy); oracle replays the predicate.
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # Row-form winnowing (codegen'd gram hashing + window-min — 11x
     # over the interpreted array-HOF form at sf0.1), materialized once
     # for its two consumers (df-count and pair expansion).
@@ -2095,6 +2098,83 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= _Q40_MIN_SHARED)
+    )
+
+
+# Composite-block embedding dedup (round-3 verdict item #2): q35 blocks
+# on the label alone, so block COUNT is fixed by the label dictionary
+# and per-block pair cost grows quadratically with data size (the
+# builder's own 10x probe measured 4x growth). q48 declares the scale
+# path: block = label x coarse-quantizer cell, so block count scales
+# with the quantizer resolution and per-block n stays bounded. The
+# quantizer here is deterministic (centers = the embeddings of the
+# n_cells smallest vec_ids) so the DuckDB oracle can replay the EXACT
+# assignment — argmin of sequential-sum squared L2, ties to the lower
+# cell id, identical to operators/ann.ivf_assign's struct-argmin. A
+# production build swaps in ivf_train's k-means centers through the
+# same assign path (recall/quality covered by tests/test_operators.py
+# test_embedding_neardup_composite_block_scale_path); the blocking
+# STRUCTURE — and therefore the scale shape — is what q48 measures.
+_Q48_N_CELLS = 8
+_Q48_INDEX_CACHE: dict[str, list[list[float]]] = {}
+
+_Q48_ORACLE = f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_Q48_N_CELLS})
+    ),
+    a AS (
+      SELECT e.vec_id, e.label, e.v,
+             min({{'d': list_sum([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+                                   for i in range(1, len(e.v) + 1) ]),
+                  'i': c.cell}}).i AS cell
+      FROM e CROSS JOIN c
+      GROUP BY e.vec_id, e.label, e.v
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+           round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+             6) AS cosine_sim
+    FROM a x JOIN a y ON x.label = y.label AND x.cell = y.cell AND x.vec_id < y.vec_id
+    WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+            6) >= 0.4
+"""
+
+
+@query("q48_embedding_composite_block_neardup", _Q48_ORACLE)
+def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked on label x quantizer cell — the
+    scale-safe form of q35. Candidate pairs must agree on BOTH the
+    label and the coarse cell, so per-block size shrinks with quantizer
+    resolution instead of being pinned to the label dictionary; pair
+    cost stays ~linear where q35's grows quadratically. The cell
+    assignment is ``ivf_assign`` over a deterministic seed-center list
+    (cached per table — the index-as-build-artifact pattern q39 uses),
+    and the oracle replays the identical assignment, so any blocking
+    or tie-break divergence flips the hash."""
+    from cdc_makanmana_spark.operators.ann import (
+        embedding_near_duplicates_by_block,
+        ivf_assign,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    centers = _Q48_INDEX_CACHE.get(sf_dir)
+    if centers is None:
+        # index build: n_cells rows, a few KB — same driver-side budget
+        # as ivf_train's centroid list (the artifact a real deployment
+        # ships to query nodes).
+        centers = [
+            [float(x) for x in r.embedding]
+            for r in e.orderBy("vec_id").limit(_Q48_N_CELLS).collect()
+        ]
+        _Q48_INDEX_CACHE[sf_dir] = centers
+    blocked = ivf_assign(e, centers).withColumn(
+        "__blk", F.concat_ws(":", "label", "__cell")
+    )
+    return embedding_near_duplicates_by_block(
+        blocked, "__blk", threshold=0.4, vec_col="embedding", id_col="vec_id"
     )
 
 
