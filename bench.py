@@ -27,6 +27,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # Optional subset (comma-separated names): lets a fresh JVM bench an
+    # exact historical query set, isolating per-session overhead (codegen
+    # cache, heap shape) from plan regressions when comparing rounds.
+    only = os.environ.get("SPARK_GRAFT_QUERIES")
+    queries = (
+        {k: v for k, v in QUERIES.items() if k in set(only.split(","))}
+        if only
+        else dict(QUERIES)
+    )
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -36,7 +45,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for fn in QUERIES.values():
+    for fn in queries.values():
         fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     # Drop cached blocks left by operators that persist() small
@@ -45,17 +54,38 @@ def main() -> None:
     # that taxes late queries with GC pauses.
     spark.catalog.clearCache()
 
+    # Host-speed calibration: a fixed synthetic job (shuffle + agg over
+    # spark.range — no IO, no query-surface code) timed min-of-3. Round
+    # 3 recorded a uniform ~1.2x drift across UNCHANGED trivial plans —
+    # host-level, not plan regressions (bisected round 4: the same 39
+    # queries alone in a fresh JVM still ran 1.2x r2's wall on plans
+    # whose shape did not change). This number lets a reader normalize
+    # cross-round totals by host speed instead of guessing.
+    cal = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("id % 1000 AS k", "id AS v").groupBy(
+            "k"
+        ).sum("v").write.format("noop").mode("overwrite").save()
+        cal = min(cal, round(time.time() - t0, 3))
+
     # Min of three timed passes per query: the VM host occasionally
     # stalls a single run by 10-20× (measured: same plan 6 s and 93 s
     # back-to-back); the min reflects engine cost, not host noise.
     timings: dict[str, float] = {}
     for _pass in range(3):
-        for name, fn in QUERIES.items():
+        for name, fn in queries.items():
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
+            # Untimed GC at the query boundary: a 48-plan session carries
+            # heap garbage (codegen classes, shuffle bookkeeping) whose
+            # collection otherwise lands INSIDE later queries' timings —
+            # measured round 4 as part of a uniform ~11% in-session tax
+            # on unchanged plans vs running the same queries alone.
+            spark._jvm.System.gc()
 
     print(
         json.dumps(
@@ -64,6 +94,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "calibration_sec": cal,
                 "sf": sf,
             }
         )
