@@ -244,6 +244,33 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a signature table (``__id``, ``signature``) into LSH band
+    buckets: one row per (doc, band) with ``bucket`` = hash of that
+    band's signature slice. Docs sharing any (band, bucket) are LSH
+    candidates."""
+    return sigs.select(
+        "__id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col("signature")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "signature", "bb.band", "bb.bucket")
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     text_col: str,
@@ -270,26 +297,7 @@ def minhash_near_duplicates(
     sigs = _materialize(
         minhash_signatures(_spread(df), text_col, id_col, num_hashes, shingle_n)
     )
-    banded = sigs.select(
-        "__id",
-        "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("__id", "signature", "bb.band", "bb.bucket")
+    banded = _band_buckets(sigs, bands, rows_per_band)
 
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
@@ -551,3 +559,145 @@ def dedup_keep_best(
     else:
         losers = pair_df.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for every training document that
+    shares at least one word ``n``-gram with ANY evaluation document,
+    count how many of its distinct shingles are contaminated.
+
+    The standard pre-training hygiene step (the reference corpus must
+    not contain the eval suite): explode eval shingles → distinct →
+    that set is tiny relative to the corpus (benchmark suites are
+    ~10³-10⁵ docs vs ~10⁹ training docs), so it is BROADCAST and the
+    100 TB training side streams through a map-side hash semi-join —
+    no shuffle of the training corpus at all, the single groupBy
+    shuffles only the hit rows (bounded by the contamination rate).
+    Shingles are xxhash64'd before the join so the broadcast table
+    holds 8-byte keys, not strings.
+
+    ``broadcast_eval=False`` drops the hint for the degenerate case of
+    an eval set that rivals the corpus (AQE then picks the strategy).
+    Returns (``id_col``, n_hits) for contaminated docs only — feed to
+    a left_anti join (see ``decontaminate``) to scrub.
+    """
+    ev = (
+        _drop_blank_text(eval_df, text_col)
+        .select(F.explode(word_shingles(F.col(text_col), n)).alias("__s"))
+        .select(F.xxhash64("__s").alias("__sh"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = _spread(_drop_blank_text(train, text_col)).select(
+        F.col(id_col).alias("__id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__sh"))
+    # word_shingles is distinct-per-doc and ev is distinct, so each
+    # contaminated shingle contributes exactly one row per doc.
+    return (
+        tr.join(ev, "__sh", "left_semi")
+        .groupBy("__id")
+        .agg(F.count("*").alias("n_hits"))
+        .select(F.col("__id").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Drop training docs sharing ≥ ``min_hits`` word n-grams with the
+    eval set (see ``contamination_hits``). Blank/NULL-text training
+    rows have no shingles, are never contaminated, and pass through."""
+    hits = contamination_hits(
+        train, eval_df, text_col, id_col, n, broadcast_eval
+    ).filter(F.col("n_hits") >= min_hits)
+    return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: drop batch docs that duplicate the EXISTING
+    corpus (exact tier, then MinHash-LSH near tier with exact-Jaccard
+    rerank). The growing-corpus ingestion pattern — each new crawl
+    batch is deduped against everything already kept, without ever
+    re-pairing the corpus against itself.
+
+    Tiers:
+    1. exact — md5 content fingerprint anti-join (NULL-text batch rows
+       have a NULL fingerprint, never match, and survive);
+    2. near — band buckets on both sides, equi-join on (band, bucket)
+       restricted to corpus×batch (never corpus×corpus: the corpus is
+       assumed already deduped, so its self-pairs are dead work),
+       distinct candidate pairs, then EXACT Jaccard on word shingles
+       decides the drop. Blank-text rows don't participate (operator
+       blank policy) and survive the near tier.
+
+    Scale shape: the corpus side's signatures are the expensive input —
+    in production they are a build artifact maintained incrementally
+    (append each surviving batch's signatures), so the steady-state
+    cost is ~O(|batch|) per ingest plus the (band,bucket) join against
+    the signature index. All shuffle keys are 8-byte hashes; rerank
+    touches only LSH candidates, never O(|batch|·|corpus|).
+
+    Returns the surviving batch rows (all original columns).
+    """
+    rows_per_band = num_hashes // bands
+
+    fp = doc_fingerprint(F.col(text_col))
+    cfp = corpus.select(fp.alias("__fp")).filter(F.col("__fp").isNotNull()).distinct()
+    survivors = batch.withColumn("__fp", fp).join(cfp, "__fp", "left_anti").drop("__fp")
+
+    bsig = _materialize(
+        minhash_signatures(_spread(survivors), text_col, id_col, num_hashes, shingle_n)
+    )
+    csig = minhash_signatures(_spread(corpus), text_col, id_col, num_hashes, shingle_n)
+    bb = _band_buckets(bsig, bands, rows_per_band).select(
+        F.col("__id").alias("__bid"), "band", "bucket"
+    )
+    cb = _band_buckets(csig, bands, rows_per_band).select(
+        F.col("__id").alias("__cid"), "band", "bucket"
+    )
+    cand = (
+        bb.join(cb, ["band", "bucket"])
+        .select("__bid", "__cid")
+        .dropDuplicates(["__bid", "__cid"])
+    )
+
+    sh_b = _drop_blank_text(survivors, text_col).select(
+        F.col(id_col).alias("__bid"), word_shingles(F.col(text_col), shingle_n).alias("__shb")
+    )
+    sh_c = _drop_blank_text(corpus, text_col).select(
+        F.col(id_col).alias("__cid"), word_shingles(F.col(text_col), shingle_n).alias("__shc")
+    )
+    inter = F.size(F.array_intersect("__shb", "__shc")).cast("double")
+    drop = (
+        cand.join(sh_b, "__bid")
+        .join(sh_c, "__cid")
+        .withColumn("__j", inter / (F.size("__shb") + F.size("__shc") - inter))
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("__bid").alias(id_col))
+        .distinct()
+    )
+    return survivors.join(drop, id_col, "left_anti")

@@ -2178,6 +2178,137 @@ def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+# Benchmark decontamination (q49): eval suite = every 5th doc by id;
+# the oracle replays the 5-gram shingling on both sides and the same
+# distinct-hit count. 5 word-grams is the realistic decontamination
+# unit (eval answers leak through long verbatim spans, not single
+# words); planted near-dups share their base doc's whole word sequence,
+# so a train doc is contaminated iff its base landed in the eval split.
+_Q49_ORACLE = r"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+4], ' ')
+                                   for i in range(1, greatest(len(w) - 4, 1) + 1)])) AS s
+      FROM d),
+    ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 5 = 0)
+    SELECT sh.doc_id, count(*) AS n_hits
+    FROM sh JOIN ev USING (s)
+    WHERE sh.doc_id % 5 <> 0
+    GROUP BY sh.doc_id
+"""
+
+
+@query("q49_benchmark_decontamination", _Q49_ORACLE)
+def q49_benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination scan: training docs sharing any
+    word 5-gram with the eval split, with contaminated-shingle counts.
+    The eval side's distinct shingle hashes are BROADCAST (a benchmark
+    suite is tiny next to a 100 TB corpus), so the training side never
+    shuffles — a map-side hash semi-join plus one groupBy over only the
+    hit rows. Pre-training hygiene the reference's pipeline has no
+    analogue of; first-class here per the brief's LLM-pipeline mandate."""
+    from cdc_makanmana_spark.operators.dedup import contamination_hits
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.filter(F.pmod("doc_id", F.lit(5)) != 0)
+    ev = d.filter(F.pmod("doc_id", F.lit(5)) == 0)
+    return contamination_hits(train, ev, "text", "doc_id", n=5)
+
+
+# Incremental (batch-vs-corpus) dedup (q50). The oracle's near tier is
+# BRUTE-FORCE batch×corpus exact Jaccard — quadratic is fine for an
+# oracle at sf0.01; the engine generates candidates with banded LSH
+# (16 bands × 2 rows: P(miss | J=0.8) = (1-0.8²)¹⁶ ≈ 9e-8, and planted
+# dups sit at J≈0.95 where the miss probability is ~1e-16) and reranks
+# with the SAME exact Jaccard, so the outputs coincide.
+_Q50_ORACLE = r"""
+    WITH norm AS (
+      SELECT doc_id, n_chars,
+             trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS nt
+      FROM documents),
+    cfp AS (
+      SELECT DISTINCT md5(nt) AS fp FROM norm WHERE doc_id % 4 <> 3 AND nt IS NOT NULL),
+    surv AS (
+      SELECT doc_id, n_chars FROM norm
+      WHERE doc_id % 4 = 3
+        AND (nt IS NULL OR md5(nt) NOT IN (SELECT fp FROM cfp))),
+    d AS (
+      SELECT doc_id, string_split(nt, ' ') AS w FROM norm
+      WHERE nt IS NOT NULL AND nt <> ''),
+    shl AS (
+      SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+                                    for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+      FROM d),
+    near_drop AS (
+      SELECT DISTINCT b.doc_id
+      FROM shl b JOIN shl c ON b.doc_id % 4 = 3 AND c.doc_id % 4 <> 3
+      WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+            / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8)
+    SELECT s.doc_id, s.n_chars FROM surv s
+    WHERE s.doc_id NOT IN (SELECT doc_id FROM near_drop)
+"""
+
+
+@query("q50_dedup_incremental_batch", _Q50_ORACLE)
+def q50_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growing-corpus ingestion: dedup the new batch (every 4th doc)
+    against the existing corpus — exact fingerprint anti-join, then
+    corpus×batch LSH candidates with exact-Jaccard rerank; the corpus
+    never re-pairs against itself. Returns the batch rows a real
+    ingest would append."""
+    from cdc_makanmana_spark.operators.dedup import dedup_against_corpus
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
+    batch = d.filter(F.pmod("doc_id", F.lit(4)) == 3)
+    corpus = d.filter(F.pmod("doc_id", F.lit(4)) != 3)
+    return dedup_against_corpus(
+        batch, corpus, "text", "doc_id", num_hashes=32, bands=16, threshold=0.8
+    ).select("doc_id", "n_chars")
+
+
+@query(
+    "q51_group_percentiles",
+    """
+    WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+             cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cd
+      FROM orders)
+    SELECT o_orderpriority,
+           min(CASE WHEN cd >= 0.5 THEN o_totalprice END)  AS p50,
+           min(CASE WHEN cd >= 0.9 THEN o_totalprice END)  AS p90,
+           min(CASE WHEN cd >= 0.99 THEN o_totalprice END) AS p99,
+           max(o_totalprice) AS max_price,
+           count(*) AS n_orders
+    FROM r GROUP BY o_orderpriority
+    """,
+)
+def q51_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group discrete percentiles via cume_dist — the
+    smallest value whose cumulative distribution reaches p, an actual
+    data value (no interpolation arithmetic whose FP rounding could
+    diverge between engines). Declared form pays one sort-shuffle per
+    group (a window); the 100 TB path swaps in mergeable
+    approx_percentile (t-digest) sketches with identical call shape —
+    the oracle pins the exact semantics the sketch approximates."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    r = _t(spark, sf_dir, "orders").withColumn("cd", F.cume_dist().over(w))
+    return r.groupBy("o_orderpriority").agg(
+        F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice"))).alias("p50"),
+        F.min(F.when(F.col("cd") >= 0.9, F.col("o_totalprice"))).alias("p90"),
+        F.min(F.when(F.col("cd") >= 0.99, F.col("o_totalprice"))).alias("p99"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

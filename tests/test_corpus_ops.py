@@ -1,0 +1,167 @@
+"""Tests for the corpus-hygiene operators: benchmark decontamination
+and incremental (batch-vs-corpus) dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark.operators.dedup import (
+    contamination_hits,
+    decontaminate,
+    dedup_against_corpus,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+class TestDecontamination:
+    def test_exact_span_overlap_detected(self, spark):
+        train = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "completely unrelated words about database engines here"),
+            ],
+        )
+        ev = _docs(spark, [(100, "quick brown fox jumps over the lazy dog")])
+        hits = {r["id"]: r["n_hits"] for r in contamination_hits(train, ev, "text", "id", n=5).collect()}
+        # eval doc has 8 words -> 4 distinct 5-grams, all present in doc 1
+        assert hits == {1: 4}
+
+    def test_short_overlap_below_ngram_not_flagged(self, spark):
+        # shares only a 3-word run; 5-gram decontamination must not fire
+        train = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+        ev = _docs(spark, [(100, "gamma delta epsilon nine ten eleven twelve")])
+        assert contamination_hits(train, ev, "text", "id", n=5).count() == 0
+
+    def test_decontaminate_drops_and_keeps(self, spark):
+        train = _docs(
+            spark,
+            [
+                (1, "one two three four five six"),
+                (2, "seven eight nine ten eleven twelve"),
+                (3, None),
+                (4, "   "),
+            ],
+        )
+        ev = _docs(spark, [(100, "one two three four five six seven")])
+        kept = sorted(r["id"] for r in decontaminate(train, ev, "text", "id", n=5).collect())
+        # doc 1 contaminated; blank/NULL docs have no shingles and survive
+        assert kept == [2, 3, 4]
+
+    def test_case_and_whitespace_normalized(self, spark):
+        train = _docs(spark, [(1, "The  Quick\tBrown Fox JUMPS")])
+        ev = _docs(spark, [(100, "the quick brown fox jumps")])
+        assert contamination_hits(train, ev, "text", "id", n=5).count() == 1
+
+    def test_min_hits_threshold(self, spark):
+        # doc 1 shares one 5-gram; min_hits=2 keeps it
+        train = _docs(
+            spark, [(1, "a b c d e unique1 unique2 unique3 unique4 unique5")]
+        )
+        ev = _docs(spark, [(100, "a b c d e other1 other2 other3")])
+        assert decontaminate(train, ev, "text", "id", n=5, min_hits=2).count() == 1
+        assert decontaminate(train, ev, "text", "id", n=5, min_hits=1).count() == 0
+
+    def test_eval_side_is_broadcast(self, spark):
+        train = _docs(spark, [(1, "one two three four five six")])
+        ev = _docs(spark, [(100, "one two three four five")])
+        plan = contamination_hits(train, ev, "text", "id")._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+class TestDedupAgainstCorpus:
+    BASE = "spark dataframes shuffle on wide joins unless the planner broadcasts the small side first"
+
+    def test_exact_and_near_tiers(self, spark):
+        corpus = _docs(
+            spark,
+            [
+                (1, self.BASE),
+                (2, "an entirely different corpus document about nothing in particular at all"),
+            ],
+        )
+        batch = _docs(
+            spark,
+            [
+                (10, self.BASE),  # exact dup of corpus 1
+                (11, self.BASE + " appended"),  # near dup of corpus 1
+                (12, "fresh content that matches no existing corpus document in any way whatsoever"),
+            ],
+        )
+        kept = sorted(
+            r["id"] for r in dedup_against_corpus(batch, corpus, "text", "id").collect()
+        )
+        assert kept == [12]
+
+    def test_corpus_never_self_pairs_and_batch_dups_within_batch_survive(self, spark):
+        # two near-identical docs INSIDE the batch, absent from the corpus:
+        # incremental dedup only removes duplicates OF THE CORPUS — both stay
+        # (within-batch dedup is the self-join operator's job).
+        corpus = _docs(spark, [(1, "nothing shared with the new batch documents here at all")])
+        t = "sequence packing groups short documents into fixed token budget bins greedily"
+        batch = _docs(spark, [(10, t), (11, t + " indeed")])
+        kept = sorted(r["id"] for r in dedup_against_corpus(batch, corpus, "text", "id").collect())
+        assert kept == [10, 11]
+
+    def test_null_and_blank_batch_rows_survive(self, spark):
+        corpus = _docs(spark, [(1, "corpus text that is long enough to shingle properly okay")])
+        batch = _docs(spark, [(10, None), (11, "   ")])
+        kept = sorted(r["id"] for r in dedup_against_corpus(batch, corpus, "text", "id").collect())
+        # NULL fingerprint never matches; whitespace-only doesn't match
+        # any corpus fingerprint here and can't participate in the near tier
+        assert kept == [10, 11]
+
+    def test_blank_batch_row_drops_on_exact_blank_corpus_match(self, spark):
+        # exact tier treats two whitespace-only docs as identical content
+        corpus = _docs(spark, [(1, "  ")])
+        batch = _docs(spark, [(10, " \t ")])
+        assert dedup_against_corpus(batch, corpus, "text", "id").count() == 0
+
+    def test_threshold_respected(self, spark):
+        corpus = _docs(spark, [(1, "one two three four five six seven eight nine ten")])
+        # ~50% shingle overlap: below 0.8 -> kept; at 0.3 -> dropped
+        batch = _docs(spark, [(10, "one two three four five six alpha beta gamma delta epsilon")])
+        assert dedup_against_corpus(batch, corpus, "text", "id", threshold=0.8).count() == 1
+        assert dedup_against_corpus(batch, corpus, "text", "id", threshold=0.3).count() == 0
+
+    def test_matches_brute_force_on_fixture(self, spark, sf_dir):
+        from cdc_makanmana_spark.tables import load_table
+        from cdc_makanmana_spark.operators.dedup import word_shingles, _norm_text
+
+        d = load_table(spark, "documents", sf_dir).select(
+            F.col("doc_id").alias("id"), "text"
+        )
+        batch = d.filter(F.pmod("id", F.lit(4)) == 3)
+        corpus = d.filter(F.pmod("id", F.lit(4)) != 3)
+        got = sorted(
+            r["id"]
+            for r in dedup_against_corpus(batch, corpus, "text", "id", threshold=0.8).collect()
+        )
+
+        # brute force: exact tier on normalized text, near tier all-pairs
+        nb = batch.select("id", _norm_text(F.col("text")).alias("nt"), word_shingles(F.col("text")).alias("sh"))
+        nc = corpus.select(
+            F.col("id").alias("cid"), _norm_text(F.col("text")).alias("cnt"), word_shingles(F.col("text")).alias("csh")
+        )
+        inter = F.size(F.array_intersect("sh", "csh")).cast("double")
+        dropped = (
+            nb.crossJoin(nc)
+            .filter(
+                (F.col("nt") == F.col("cnt"))
+                | (
+                    (F.col("nt") != "") & (F.col("cnt") != "")
+                    & (inter / (F.size("sh") + F.size("csh") - inter) >= 0.8)
+                )
+            )
+            .select("id")
+            .distinct()
+        )
+        want = sorted(
+            r["id"] for r in batch.join(dropped, "id", "left_anti").select("id").collect()
+        )
+        assert got == want
