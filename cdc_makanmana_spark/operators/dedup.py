@@ -125,6 +125,23 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def _pairs_within_sorted(ids_col: str):
+    """Explode all (i < j) element pairs of a sorted id array column —
+    the inverted-index pair-expansion expression shared by the blocked
+    dedup operators."""
+    return F.explode(
+        F.flatten(
+            F.transform(
+                F.col(ids_col),
+                lambda x, i: F.transform(
+                    F.slice(F.col(ids_col), i + 2, F.size(ids_col)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -173,17 +190,7 @@ def ngram_jaccard_pairs(
 
     buckets = sh.groupBy("__sh").agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
     # All (i < j) pairs within a bucket; shared-shingle count per pair.
-    pair = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("__ids"),
-                lambda x, i: F.transform(
-                    F.slice(F.col("__ids"), i + 2, F.size("__ids")),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        )
-    )
+    pair = _pairs_within_sorted("__ids")
     common = (
         buckets.select(pair.alias("__p"))
         .select("__p.id_a", "__p.id_b")
@@ -460,6 +467,104 @@ def simhash_buckets(
     # Signatures feed both sides of the Hamming-bucket self-join →
     # materialize the (id, long) table once (see _materialize).
     return _materialize(votes.select("__id", simhash.alias("simhash")))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    token_hash: str = "xxhash64",
+    bits: int = 64,
+) -> DataFrame:
+    """All document pairs within ``max_distance`` SimHash Hamming
+    distance — value-grouped, multi-chunk-blocked, complete recall.
+
+    Two scale defenses over the naive single-chunk pigeonhole join:
+
+    1. **Group identical signatures first.** Real corpora collapse
+       many docs onto one 64-bit simhash (near-dup clusters, short
+       docs); pairing runs between DISTINCT signature VALUES, and doc
+       pairs are re-expanded from the per-value id lists afterwards.
+       Work between values is independent of duplicate multiplicity;
+       the expansion is output-sized, which is the lower bound anyway.
+    2. **Combination blocking** (the Manku/Jain/Sarma multi-table
+       scheme): 64 bits split into ``max_distance + 3`` chunks; a pair
+       within distance d flips bits in at most d chunks, so at least 3
+       chunks are untouched — every value emits one key per 3-chunk
+       COMBINATION (C(d+3, 3) keys) and candidates must agree on ~32
+       key bits, not 16. Measured on organic 50 k-doc data: 95.3 M
+       single-chunk candidate doc pairs → 3.2 M value-pair candidates
+       (max bucket 7 737 → 366), q25 80.8 s → see PARITY.md.
+
+    Recall is COMPLETE for distance ≤ ``max_distance`` (pigeonhole),
+    so the output equals the brute-force all-pairs result exactly —
+    the declared q25 hash-diffs it against that oracle. Returns
+    (id_a, id_b, hamming), id_a < id_b.
+    """
+    if not 1 <= max_distance <= 8:
+        raise ValueError("max_distance must be in [1, 8]")
+    sigs = simhash_buckets(df, text_col, id_col, bits, token_hash)
+    groups = _materialize(
+        sigs.groupBy("simhash").agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+    )
+
+    # Tier 1: identical-signature pairs (hamming 0) via in-group expansion.
+    within = (
+        groups.filter(F.size("__ids") > 1)
+        .select(_pairs_within_sorted("__ids").alias("__p"))
+        .select("__p.id_a", "__p.id_b", F.lit(0).cast("int").alias("hamming"))
+    )
+
+    # Tier 2: cross-value candidates on 3-chunk combination keys.
+    from itertools import combinations
+
+    n_chunks = max_distance + 3
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def chunk(i):
+        return F.shiftright("simhash", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("k"),
+                F.xxhash64(chunk(a), chunk(b), chunk(c)).alias("v"),
+            )
+            for n, (a, b, c) in enumerate(combinations(range(n_chunks), 3))
+        ]
+    )
+    keyed = groups.select("simhash", F.explode(keys).alias("kk")).select(
+        "simhash", "kk.k", "kk.v"
+    )
+    va = keyed.select(F.col("simhash").alias("__va"), "k", "v")
+    vb = keyed.select(F.col("simhash").alias("__vb"), "k", "v")
+    vpairs = (
+        va.join(vb, ["k", "v"])
+        .filter(F.col("__va") < F.col("__vb"))
+        .select("__va", "__vb")
+        .dropDuplicates(["__va", "__vb"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("__va").bitwiseXOR(F.col("__vb")))
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+    cross = (
+        vpairs.join(groups.select(F.col("simhash").alias("__va"), F.col("__ids").alias("__ia")), "__va")
+        .join(groups.select(F.col("simhash").alias("__vb"), F.col("__ids").alias("__ib")), "__vb")
+        .select(F.explode("__ia").alias("ia"), F.col("__ib"), "hamming")
+        .select("ia", F.explode("__ib").alias("ib"), "hamming")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def connected_components(

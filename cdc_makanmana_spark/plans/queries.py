@@ -932,43 +932,24 @@ _Q25_ORACLE = r"""
 @query("q25_simhash_hamming_pairs", _Q25_ORACLE)
 def q25_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates (dedup ladder tier 3): 64-bit
-    sign-aggregated token hashes, blocked on 16-bit chunks (pigeonhole:
-    a pair within Hamming distance 3 must agree on at least one of the
-    4 chunks → complete recall), pairs kept at distance <= 3.
-    Token hash is md5-derived (``md5_hash64``) so the DuckDB oracle can
-    replay the identical bit votes; the scale path may use the cheaper
-    xxhash64 via ``simhash_buckets(token_hash="xxhash64")``."""
-    from cdc_makanmana_spark.operators.dedup import simhash_buckets
+    sign-aggregated token hashes, identical signatures grouped first,
+    cross-value candidates blocked on 3-of-6 chunk combinations
+    (pigeonhole: distance <= 3 flips bits in <= 3 chunks, so some
+    untouched 3-chunk combination key always agrees → complete recall;
+    see ``simhash_hamming_pairs``). The previous single-16-bit-chunk
+    blocking collapsed on organic data — correlated token vocabularies
+    concentrate chunk values (measured: 95.3 M candidate pairs at 50 k
+    docs, one 7 737-doc bucket). Token hash is md5-derived
+    (``md5_hash64``) so the DuckDB oracle can replay the identical bit
+    votes; the scale path uses the cheaper xxhash64 default."""
+    from cdc_makanmana_spark.operators.dedup import simhash_hamming_pairs
 
-    # NULL/empty-text docs are excluded INSIDE simhash_buckets (the
-    # operator-level blank-text policy, dedup._drop_blank_text); the
-    # oracle's WHERE clause replays the same predicate.
+    # NULL/empty-text docs are excluded INSIDE the operator (the
+    # blank-text policy, dedup._drop_blank_text); the oracle's WHERE
+    # clause replays the same predicate.
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sigs = simhash_buckets(d, "text", "doc_id", token_hash="md5_64")
-    chunks = sigs.select(
-        "__id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("ci"),
-                        F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("ch"),
-    ).select("__id", "simhash", "ch.ci", "ch.cv")
-    a = chunks.select(F.col("__id").alias("id_a"), F.col("simhash").alias("sig_a"), "ci", "cv")
-    b = chunks.select(F.col("__id").alias("id_b"), F.col("simhash").alias("sig_b"), "ci", "cv")
-    return (
-        a.join(b, ["ci", "cv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
+    return simhash_hamming_pairs(
+        d, "text", "doc_id", max_distance=3, token_hash="md5_64"
     )
 
 
@@ -2103,33 +2084,43 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Composite-block embedding dedup (round-3 verdict item #2): q35 blocks
 # on the label alone, so block COUNT is fixed by the label dictionary
-# and per-block pair cost grows quadratically with data size (the
-# builder's own 10x probe measured 4x growth). q48 declares the scale
-# path: block = label x coarse-quantizer cell, so block count scales
-# with the quantizer resolution and per-block n stays bounded. The
-# quantizer here is deterministic (centers = the embeddings of the
-# n_cells smallest vec_ids) so the DuckDB oracle can replay the EXACT
-# assignment — argmin of sequential-sum squared L2, ties to the lower
-# cell id, identical to operators/ann.ivf_assign's struct-argmin. A
-# production build swaps in ivf_train's k-means centers through the
-# same assign path (recall/quality covered by tests/test_operators.py
-# test_embedding_neardup_composite_block_scale_path); the blocking
-# STRUCTURE — and therefore the scale shape — is what q48 measures.
-_Q48_N_CELLS = 8
-_Q48_INDEX_CACHE: dict[str, list[list[float]]] = {}
+# and per-block pair cost grows quadratically with data size. q48
+# declares the scale path: block = label x quantizer cell. Round 4
+# lesson (organic sf1): GLOBAL seed centers degenerate on clustered
+# data — every vector of a tight label cluster snaps to the one center
+# nearest that cluster, cells stop splitting labels, and q48 grew 16x
+# on 10x data, same shape as q35. The fix is PER-LABEL seeds with
+# count-proportional resolution: cells_per_label =
+# ceil(N / (n_labels * 64)), centers = each label's lowest-vec_id
+# members (ann.label_seed_cells), assignment = argmin sequential-sum
+# squared L2 with ties to the lower cell id (ann.label_cell_assign) —
+# all of it replayed exactly by the oracle below, so any blocking or
+# tie-break divergence flips the hash. A production build swaps
+# ivf_train's k-means centers through the same assign path; the
+# blocking STRUCTURE — and the ~linear scale shape — is what q48
+# measures (sf1: 2k-vector label blocks -> ~64-vector composite
+# blocks).
+_Q48_TARGET_BLOCK = 64
+_Q48_M_CACHE: dict[str, int] = {}
 
 _Q48_ORACLE = f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT greatest(1, cast(ceil(count(*)::DOUBLE
+                                   / (count(DISTINCT label) * {_Q48_TARGET_BLOCK})) AS BIGINT)) AS m
+      FROM e
+    ),
     c AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {_Q48_N_CELLS})
+      SELECT label, row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM e
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= (SELECT m FROM p)
     ),
     a AS (
       SELECT e.vec_id, e.label, e.v,
              min({{'d': list_sum([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
                                    for i in range(1, len(e.v) + 1) ]),
                   'i': c.cell}}).i AS cell
-      FROM e CROSS JOIN c
+      FROM e JOIN c ON e.label = c.label
       GROUP BY e.vec_id, e.label, e.v
     )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
@@ -2145,32 +2136,33 @@ _Q48_ORACLE = f"""
 
 @query("q48_embedding_composite_block_neardup", _Q48_ORACLE)
 def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs blocked on label x quantizer cell — the
-    scale-safe form of q35. Candidate pairs must agree on BOTH the
-    label and the coarse cell, so per-block size shrinks with quantizer
-    resolution instead of being pinned to the label dictionary; pair
-    cost stays ~linear where q35's grows quadratically. The cell
-    assignment is ``ivf_assign`` over a deterministic seed-center list
-    (cached per table — the index-as-build-artifact pattern q39 uses),
-    and the oracle replays the identical assignment, so any blocking
-    or tie-break divergence flips the hash."""
+    """Embedding near-dup pairs blocked on label × per-label quantizer
+    cell — the scale-safe form of q35. Cells-per-label grows with the
+    table (ceil(N / (labels × 64))), so per-block size stays ~64 and
+    pair cost ~linear where q35's grows quadratically; centers are
+    drawn INSIDE each label so tight label clusters actually split
+    (global seeds degenerated to label-only blocking on organic data —
+    see the comment above). The only driver-side step is the one-row
+    count that sizes the quantizer (cached per table); centers and
+    assignment stay distributed (broadcast join + struct-argmin)."""
+    import math
+
     from cdc_makanmana_spark.operators.ann import (
         embedding_near_duplicates_by_block,
-        ivf_assign,
+        label_cell_assign,
+        label_seed_cells,
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    centers = _Q48_INDEX_CACHE.get(sf_dir)
-    if centers is None:
-        # index build: n_cells rows, a few KB — same driver-side budget
-        # as ivf_train's centroid list (the artifact a real deployment
-        # ships to query nodes).
-        centers = [
-            [float(x) for x in r.embedding]
-            for r in e.orderBy("vec_id").limit(_Q48_N_CELLS).collect()
-        ]
-        _Q48_INDEX_CACHE[sf_dir] = centers
-    blocked = ivf_assign(e, centers).withColumn(
+    m = _Q48_M_CACHE.get(sf_dir)
+    if m is None:
+        n, n_labels = e.agg(
+            F.count("*"), F.count_distinct("label")
+        ).first()
+        m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
+        _Q48_M_CACHE[sf_dir] = m
+    centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
+    blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")
     )
     return embedding_near_duplicates_by_block(

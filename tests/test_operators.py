@@ -716,3 +716,90 @@ def test_asof_join_rejects_colliding_output_names(spark):
     ok = asof_join(left, right, key_cols=["k"], left_ts="t", right_ts="t",
                    value_cols=["v"], prefix="obs_")
     assert sorted(ok.columns) == ["k", "obs_t", "obs_v", "t"]
+
+
+def test_simhash_hamming_pairs_matches_bruteforce(spark):
+    """Value-grouped + combination-blocked pairing must equal all-pairs
+    XOR/bit_count — including identical-signature groups (d=0), cross-
+    value pairs at d 1-3, and exclusion beyond max_distance."""
+    from cdc_makanmana_spark.operators.dedup import simhash_buckets, simhash_hamming_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta epsilon"),      # exact dup of 1 (d=0 group)
+        (3, "alpha beta gamma delta zeta"),          # near 1/2
+        (4, "alpha beta gamma delta epsilon eta"),   # near 1/2
+        (5, "totally different words everywhere now"),
+        (6, "unrelated content about spark shuffles"),
+        (7, None),
+        (8, "  "),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(df, "text", "id", max_distance=3).collect()
+    }
+
+    sigs = {r["__id"]: r["simhash"] for r in simhash_buckets(df, "text", "id").collect()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((a, b, d))
+    assert got == want
+    # the d=0 group must appear, and blank/NULL docs must not
+    assert (1, 2, 0) in got
+    assert not any(7 in p[:2] or 8 in p[:2] for p in got)
+
+
+def test_simhash_hamming_pairs_rejects_bad_distance(spark):
+    from cdc_makanmana_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+    with pytest.raises(ValueError, match="max_distance"):
+        simhash_hamming_pairs(df, "text", "id", max_distance=0)
+
+
+def test_label_seed_cells_and_assign(spark):
+    """Per-label seeds: each label gets its own cells 0..m-1; every
+    vector is assigned to the nearest center of ITS OWN label (never a
+    foreign label's), ties to the lower cell id."""
+    from cdc_makanmana_spark.operators.ann import label_cell_assign, label_seed_cells
+
+    rows = [
+        # label 0 clusters near (0,0) and (10,10)
+        (1, 0, [0.0, 0.0]),
+        (2, 0, [10.0, 10.0]),
+        (3, 0, [0.4, 0.1]),
+        (4, 0, [9.8, 10.3]),
+        # label 1 near (0,0) too: must NOT share cells with label 0
+        (5, 1, [0.1, 0.1]),
+        (6, 1, [0.2, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    centers = label_seed_cells(df, cells_per_label=2)
+    got_centers = {(r["label"], r["__cell"]) for r in centers.collect()}
+    assert got_centers == {(0, 0), (0, 1), (1, 0), (1, 1)}
+
+    assigned = {r["vec_id"]: r["__cell"] for r in label_cell_assign(df, centers).collect()}
+    # label 0: centers are vecs 1 (cell 0) and 2 (cell 1)
+    assert assigned[1] == 0 and assigned[3] == 0     # near (0,0)
+    assert assigned[2] == 1 and assigned[4] == 1     # near (10,10)
+    # label 1: centers are vecs 5 (cell 0) and 6 (cell 1)
+    assert assigned[5] == 0 and assigned[6] == 1
+
+
+def test_label_cell_assign_tie_breaks_to_lower_cell(spark):
+    from cdc_makanmana_spark.operators.ann import label_cell_assign, label_seed_cells
+
+    rows = [  # two identical centers -> every tie must go to cell 0
+        (1, 0, [1.0, 1.0]),
+        (2, 0, [1.0, 1.0]),
+        (3, 0, [5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    centers = label_seed_cells(df, cells_per_label=2)
+    assigned = {r["vec_id"]: r["__cell"] for r in label_cell_assign(df, centers).collect()}
+    assert assigned == {1: 0, 2: 0, 3: 0}
