@@ -2301,6 +2301,138 @@ def q51_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 ranked search (q52): Okapi scoring with Lucene idf. The oracle
+# recomputes corpus stats (N, total token count) itself; the Spark side
+# derives the SAME integers once per table (index-build artifact,
+# cached), and every float in the formula is built from those integers
+# in the same association order, so 6-dp rounding absorbs only ulp-level
+# libm drift. Query terms are fixture-vocabulary words present at every
+# sf.
+_Q52_TERMS = ("window", "column", "scan")
+_Q52_STATS_CACHE: dict[str, tuple[int, int]] = {}
+
+_Q52_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    base AS (SELECT doc_id, w, len(w) AS dl FROM d),
+    stats AS (SELECT count(*) AS n, sum(dl) AS tdl FROM base),
+    tf AS (
+      SELECT doc_id, t, count(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS t FROM base)
+      WHERE t IN ('window', 'column', 'scan')
+      GROUP BY doc_id, t),
+    dft AS (SELECT t, count(DISTINCT doc_id) AS df FROM tf GROUP BY t),
+    sc AS (
+      SELECT tf.doc_id,
+             round(sum(ln(1 + (stats.n::DOUBLE - dft.df + 0.5) / (dft.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * base.dl * stats.n / stats.tdl))),
+                   6) AS bm25
+      FROM tf JOIN dft USING (t) JOIN base USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, bm25 FROM sc
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+"""
+
+
+@query("q52_bm25_search", _Q52_ORACLE)
+def q52_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 over documents for a 3-term query — the lexical
+    relevance-ranking tier the reference's substring search (F1) has no
+    analogue of. Token rows are filtered to the query terms inside the
+    explode stage (the corpus never shuffles whole), per-term document
+    frequencies join back by broadcast, and the top-k plans
+    TakeOrderedAndProject. Corpus stats (N, Σdl) are the cached
+    index-build artifact."""
+    from cdc_makanmana_spark.operators.search import _norm_split, bm25_rank
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = _Q52_STATS_CACHE.get(sf_dir)
+    if stats is None:
+        base = (
+            d.filter(F.col("text").isNotNull())
+            .select(_norm_split(F.col("text")).alias("__w"))
+            .filter(F.col("__w") != F.array(F.lit("")))
+        )
+        n, tdl = base.agg(F.count("*"), F.sum(F.size("__w"))).first()
+        stats = _Q52_STATS_CACHE[sf_dir] = (int(n), int(tdl))
+    return bm25_rank(
+        d, list(_Q52_TERMS), "text", "doc_id", topk=10, corpus_stats=stats
+    )
+
+
+# Hashed-feature linear model inference (q53): a 64-bucket logistic
+# scorer evaluated as a pure Catalyst expression — the shape of every
+# fasttext-style quality/toxicity filter in a pre-training pipeline,
+# demonstrated without any model library. Weights are frozen literals
+# (embedded identically in the Spark expression and the oracle SQL);
+# the token→bucket hash is md5-derived so both engines compute the
+# identical feature index. exp() ulp drift is absorbed by 6-dp
+# rounding.
+_Q53_WEIGHTS = [round(__import__("math").sin(i * 2.0) * 0.5, 6) for i in range(64)]
+
+_Q53_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+    h AS (
+      SELECT doc_id,
+             ((((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo)
+                % 64) + 64) % 64 AS b
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(t), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(t), 9, 8))::BIGINT AS lo
+            FROM tok)),
+    agg AS (
+      SELECT doc_id, count(*) AS n_tokens,
+             sum({_Q53_WEIGHTS}[b + 1]) AS wsum
+      FROM h GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(wsum / n_tokens))), 6) AS quality_prob
+    FROM agg
+"""
+
+
+@query("q53_hashed_model_score", _Q53_ORACLE)
+def q53_hashed_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference as a codegen expression: tokens hash into 64
+    weight buckets (md5-derived index — oracle-replayable), the doc
+    logit is the mean bucket weight, and the sigmoid gives a quality
+    probability. No UDF, no model object, no shuffle beyond the one
+    per-doc aggregate — at 100 TB this is a map-side-combinable scan,
+    which is why hashed linear scorers are the workhorse quality
+    filter at corpus scale."""
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+    from cdc_makanmana_spark.operators.search import _norm_split
+
+    w_arr = F.array(*[F.lit(float(w)) for w in _Q53_WEIGHTS])
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(_norm_split(F.col("text"))).alias("__t"))
+        .filter(F.col("__t") != "")
+        .withColumn("__b", F.pmod(md5_hash64(F.col("__t")), F.lit(64)))
+    )
+    agg = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.element_at(w_arr, (F.col("__b") + 1).cast("int"))).alias("__ws"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("__ws") / F.col("n_tokens")))), 6
+        ).alias("quality_prob"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -165,3 +165,81 @@ class TestDedupAgainstCorpus:
             r["id"] for r in batch.join(dropped, "id", "left_anti").select("id").collect()
         )
         assert got == want
+
+
+class TestBM25:
+    DOCS = [
+        (1, "spark window functions compute over partitions"),
+        (2, "window window window repeated emphasis document"),
+        (3, "an unrelated essay about sourdough bread"),
+        (4, "scan the column store then scan again"),
+        (5, None),
+        (6, "   "),
+    ]
+
+    def _expected(self, terms, k1=1.2, b=0.75):
+        import math
+
+        docs = {
+            i: t.lower().split()
+            for i, t in self.DOCS
+            if t is not None and t.strip()
+        }
+        n = len(docs)
+        tdl = sum(len(w) for w in docs.values())
+        df = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+        out = {}
+        for i, w in docs.items():
+            s = 0.0
+            for t in terms:
+                tf = w.count(t)
+                if tf == 0 or df[t] == 0:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf / (tf + k1 * (1 - b + b * len(w) * n / tdl))
+            if s > 0:
+                out[i] = round(s, 6)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from cdc_makanmana_spark.operators.search import bm25_rank
+
+        df = spark.createDataFrame(self.DOCS, "id long, text string")
+        got = {
+            r["id"]: r["bm25"]
+            for r in bm25_rank(df, ["window", "scan"], "text", "id", topk=10).collect()
+        }
+        want = self._expected(["window", "scan"])
+        assert got.keys() == want.keys()
+        for i in got:
+            assert abs(got[i] - want[i]) < 1e-6, (i, got[i], want[i])
+
+    def test_repeated_term_scores_higher_but_saturates(self, spark):
+        from cdc_makanmana_spark.operators.search import bm25_rank
+
+        df = spark.createDataFrame(self.DOCS, "id long, text string")
+        ranked = [r["id"] for r in bm25_rank(df, ["window"], "text", "id").collect()]
+        assert ranked[0] == 2          # tf=3 beats tf=1
+        assert set(ranked) == {1, 2}   # non-matching docs absent
+
+    def test_corpus_stats_artifact_equals_computed(self, spark):
+        from cdc_makanmana_spark.operators.search import bm25_rank
+
+        df = spark.createDataFrame(self.DOCS, "id long, text string")
+        auto = sorted(map(tuple, bm25_rank(df, ["scan"], "text", "id").collect()))
+        # stats computed by hand: docs 1-4 valid, total tokens 6+6+6+7
+        pinned = sorted(
+            map(tuple, bm25_rank(df, ["scan"], "text", "id", corpus_stats=(4, 25)).collect())
+        )
+        assert auto == pinned
+
+    def test_topk_and_tiebreak(self, spark):
+        from cdc_makanmana_spark.operators.search import bm25_rank
+
+        # two identical docs tie exactly -> lower id first, topk cuts
+        df = spark.createDataFrame(
+            [(9, "scan scan scan"), (7, "scan scan scan"), (8, "scan scan scan")],
+            "id long, text string",
+        )
+        got = [r["id"] for r in bm25_rank(df, ["scan"], "text", "id", topk=2).collect()]
+        assert got == [7, 8]

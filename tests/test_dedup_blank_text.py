@@ -19,6 +19,12 @@ DEDUP_QUERIES = [
     "q25_simhash_hamming_pairs",
     "q37_duplicate_clusters",
     "q40_winnowing_overlap",
+    # round-4 corpus-hygiene queries: q49's shingle scan skips blank
+    # texts entirely; q50's exact tier deliberately treats two blank
+    # docs as identical content (dropped, hence absent from output)
+    # while its near tier skips them
+    "q49_benchmark_decontamination",
+    "q50_dedup_incremental_batch",
 ]
 
 # Planted content: two exact-dup pairs + one long-shared-passage pair so
