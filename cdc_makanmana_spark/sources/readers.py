@@ -111,6 +111,45 @@ def write_json_sink(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def read_columnar_source(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Columnar source (parquet or ORC) with enforced schema — the
+    bronze/silver interchange formats. Both carry column statistics
+    and support predicate pushdown + column pruning at the scan, so a
+    filtered 2-column projection over a 16-column table reads only
+    those columns' pages/stripes (asserted in tests). Schema-on-read
+    stays banned at the boundary (SURVEY.md §1.3): the declared schema
+    is enforced, not inferred."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format {fmt!r}")
+    return spark.read.schema(schema).format(fmt).load(path)
+
+
+def write_columnar_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Columnar sink (parquet or ORC). ``partition_by`` writes
+    hive-style directory partitions — the 100 TB layout lever that
+    turns partition-key predicates into directory pruning (zero I/O
+    for excluded partitions) instead of row-level filtering."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError(f"unsupported columnar format {fmt!r}")
+    w = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
+    w.save(path)
+
+
 def with_retries(
     acquire: Callable[[], DataFrame],
     empty_schema: StructType,

@@ -350,3 +350,144 @@ def test_json_source_quarantines_corrupt_records(spark, tmp_path):
     assert len(q) == 1 and q[0].id is None and "Broken" in q[0]._corrupt
     # without corrupt_col the schema is untouched (back-compat)
     assert read_json_source(spark, str(src), schema).columns == ["id", "name"]
+
+
+def test_orc_roundtrip_pushdown_and_partition_pruning(spark, tmp_path):
+    """ORC source/sink: schema-enforced roundtrip, predicate pushdown
+    into the stripe scan, and hive-partitioned layout pruning."""
+    from cdc_makanmana_spark.sources.readers import (
+        read_columnar_source,
+        write_columnar_sink,
+    )
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("long").alias("bucket"),
+        F.concat(F.lit("row-"), F.col("id")).alias("name"),
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("bucket", LongType()),
+            StructField("name", StringType()),
+        ]
+    )
+
+    flat = str(tmp_path / "flat_orc")
+    write_columnar_sink(df, flat, fmt="orc")
+    back = read_columnar_source(spark, flat, schema, fmt="orc")
+    assert back.count() == 1000 and sorted(back.columns) == ["bucket", "id", "name"]
+
+    filtered = back.filter(F.col("id") < 10).select("id")
+    plan = filtered._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(id), LessThan(id,10)]" in plan
+    read_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "name" not in read_line  # column pruning reaches the ORC scan
+
+    part = str(tmp_path / "part_orc")
+    write_columnar_sink(df, part, fmt="orc", partition_by=["bucket"])
+    pdf = read_columnar_source(spark, part, schema, fmt="orc")
+    pruned = pdf.filter(F.col("bucket") == 2)
+    pplan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert pruned.count() == 250
+    # partition predicate becomes directory pruning, not a data filter
+    assert "PartitionFilters: [isnotnull(bucket" in pplan
+
+    with pytest.raises(ValueError, match="unsupported"):
+        write_columnar_sink(df, flat, fmt="avro")
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from cdc_makanmana_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "many_small")
+    spark.range(0, 10_000).repartition(64).write.parquet(p)
+    import os
+
+    before = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(before) == 64
+
+    stats = compact_parquet(spark, p, target_file_bytes=10 * 1024 * 1024)
+    assert stats["compacted"] and stats["files"] == 64 and stats["rows"] == 10_000
+    after = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(after) == stats["target_files"] < 64
+    assert spark.read.parquet(p).count() == 10_000
+    # already compact -> no-op
+    assert compact_parquet(spark, p, target_file_bytes=10 * 1024 * 1024)["compacted"] is False
+
+
+def test_compact_parquet_crash_windows_repair(spark, tmp_path):
+    """Every interruption point leaves the table recoverable: staged-
+    uncommitted is swept; the mid-swap hole is finished from committed
+    staging; a hole with no staging rolls back from __old."""
+    import os
+    import shutil
+
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources.maintenance import compact_parquet, repair
+
+    p = str(tmp_path / "tbl")
+    spark.range(0, 1000).repartition(16).write.parquet(p)
+
+    # window 1: crash after staging write, before _COMMITTED
+    shutil.copytree(p, p + ".__compact_staging")
+    assert repair(spark, p) == "swept"
+    assert not os.path.exists(p + ".__compact_staging")
+    assert spark.read.parquet(p).count() == 1000
+
+    # window 2: crash between the two renames — table dir is the hole,
+    # staging is committed
+    shutil.copytree(p, p + ".__compact_staging")
+    fs.mark_committed(spark, p + ".__compact_staging")
+    shutil.move(p, p + ".__compact_old")
+    assert repair(spark, p) == "finished_swap"
+    assert spark.read.parquet(p).count() == 1000
+    assert not os.path.exists(p + ".__compact_old")
+
+    # window 3: hole with only __old (staging never committed)
+    shutil.move(p, p + ".__compact_old")
+    assert repair(spark, p) == "rolled_back"
+    assert spark.read.parquet(p).count() == 1000
+
+    # repair() is what compact_parquet runs first, so a crashed run is
+    # healed by simply invoking compaction again (stale staging swept,
+    # then this 16-file table compacts to 1)
+    shutil.copytree(p, p + ".__compact_staging")
+    stats = compact_parquet(spark, p, target_file_bytes=1 << 30)
+    assert stats["compacted"] is True and stats["rows"] == 1000
+    assert not os.path.exists(p + ".__compact_staging")
+    assert spark.read.parquet(p).count() == 1000
+
+
+def test_compact_parquet_verify_counts_aborts_on_mismatch(spark, tmp_path, monkeypatch):
+    """If the staged copy somehow loses rows, the swap must not happen."""
+    from cdc_makanmana_spark.sources import maintenance
+
+    p = str(tmp_path / "tbl2")
+    spark.range(0, 500).repartition(32).write.parquet(p)
+
+    # simulate a staged copy losing rows: the second count() call in
+    # compact_parquet (the staged-copy verification) reports one less
+    calls = {"n": 0}
+    import pyspark.sql.classic.dataframe as dfmod
+
+    real_count = dfmod.DataFrame.count
+
+    def fake_count(self):
+        calls["n"] += 1
+        n = real_count(self)
+        return n - 1 if calls["n"] == 2 else n
+
+    monkeypatch.setattr(dfmod.DataFrame, "count", fake_count)
+    with pytest.raises(RuntimeError, match="compaction aborted"):
+        maintenance.compact_parquet(spark, p, target_file_bytes=1 << 30)
+    monkeypatch.undo()
+    import os
+
+    assert not os.path.exists(p + ".__compact_staging")
+    assert spark.read.parquet(p).count() == 500

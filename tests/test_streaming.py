@@ -325,3 +325,55 @@ def test_progress_tracker_reports_per_batch_rows(spark, tmp_path):
     assert tracker.total_rows == 3
     batch_rows = sorted(b["num_input_rows"] for b in tracker.batches if b["num_input_rows"])
     assert batch_rows == [1, 2]
+
+
+def test_streaming_decontamination_foreach_batch(spark, tmp_path):
+    """Streaming ingest hygiene: each micro-batch of arriving documents
+    is decontaminated against the static eval suite inside foreachBatch
+    (the batch-operator-reuse pattern the CDC upsert sink also uses),
+    so contaminated docs never reach the clean landing zone — across
+    multiple batches and restarts of the source."""
+    from cdc_makanmana_spark.operators.dedup import decontaminate
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "clean")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = spark.createDataFrame(
+        [(100, "the forbidden benchmark passage that must never leak through")],
+        "doc_id long, text string",
+    )
+
+    def clean_batch(batch_df, batch_id):
+        decontaminate(batch_df, ev, "text", "doc_id", n=5).write.mode(
+            "append"
+        ).parquet(out)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(clean_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _land(src, "b1.jsonl", [
+        {"doc_id": 1, "text": "clean content about window aggregation in spark"},
+        {"doc_id": 2, "text": "prefix words then the forbidden benchmark passage that must never leak through"},
+    ])
+    run_once()
+    _land(src, "b2.jsonl", [
+        {"doc_id": 3, "text": "more clean content entirely unrelated to the eval suite"},
+        {"doc_id": 4, "text": "the forbidden benchmark passage that must never leak verbatim again"},
+    ])
+    run_once()
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 3]  # 2 and 4 each share a 5-gram with the eval doc
