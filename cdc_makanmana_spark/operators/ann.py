@@ -262,6 +262,11 @@ def label_cell_assign(
     zip_with sum, so a SQL oracle's list_sum comprehension reproduces
     it bit-for-bit); the difference is centers come from a DataFrame
     (no driver round-trip) and the argmin is per (vector, label).
+
+    The center join is INNER: a vector whose label has no center row
+    is dropped. Centers built by :func:`label_seed_cells` over the same
+    ``df`` cover every label by construction; pass externally-built
+    centers only if they span the label dictionary.
     """
     j = df.select(id_col, label_col, vec_col).join(F.broadcast(centers), label_col)
     dist = F.aggregate(

@@ -114,6 +114,10 @@ def bm25_rank(
         n_docs, total_dl = base.agg(F.count("*"), F.sum("__dl")).first()
     else:
         n_docs, total_dl = corpus_stats
+    if not n_docs or not total_dl:  # empty corpus: nothing can match
+        return base.select(
+            F.col("__id").alias(id_col), F.lit(0.0).alias("bm25")
+        ).limit(0)
 
     tf = (
         base.select("__id", "__dl", F.explode("__w").alias("__t"))

@@ -2433,6 +2433,46 @@ def q53_hashed_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q54_json_props_rollup",
+    r"""
+    WITH e AS (
+      SELECT event_type,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+             user_id, value
+      FROM events)
+    SELECT event_type, k - (k % 10) AS k_bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM e GROUP BY event_type, k - (k % 10)
+    """,
+)
+def q54_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON attribute extraction: the events table's
+    ``props`` payload is parsed with a DECLARED schema (``from_json`` —
+    schema-on-read stays banned even for embedded JSON, SURVEY.md
+    §1.3), the attribute buckets by integer arithmetic (``k - k%10`` —
+    identical in both engines; a float-division-then-cast would round
+    in DuckDB but truncate in Spark), and the rollup is one hash
+    aggregate. At 100 TB the parse is codegen inside the scan
+    projection — no UDF, no second pass."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT")["k"]
+    return (
+        ev.withColumn("__k", k)
+        .groupBy(
+            "event_type",
+            (F.col("__k") - F.pmod("__k", F.lit(10))).alias("k_bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

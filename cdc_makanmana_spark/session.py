@@ -50,3 +50,40 @@ def get_spark(app_name: str = "cdc-makanmana-spark") -> SparkSession:
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     return builder.getOrCreate()
+
+
+def cluster_conf(executors: int = 1000, cores_per_executor: int = 8) -> dict[str, str]:
+    """Recommended conf overrides for the 100 TB / ~1000-executor
+    design point — the knobs whose LOCAL defaults above are deliberate
+    scale-downs. Returns a plain dict to feed ``spark-submit --conf``
+    or ``SparkSession.builder.config(map=...)``; every value carries
+    its rationale here rather than in a wiki:
+
+    - ``shuffle.partitions`` starts at 4× total cores: AQE coalesces
+      DOWN cheaply after seeing real map output sizes, but can never
+      split an oversized reduce partition (only skew-join handles
+      those) — so err high.
+    - ``files.maxPartitionBytes`` 256 MB: scan tasks sized so a
+      100 TB table yields ~400 k tasks, amortizing scheduler overhead
+      without starving parallelism.
+    - ``adaptive.advisoryPartitionSizeInBytes`` 128 MB: the
+      post-shuffle target AQE coalesces toward — matches the parquet
+      write target so shuffle output and storage layout agree.
+    - shuffle compression + io encryption left at defaults; tune
+      ``spark.shuffle.io.*`` only against observed fetch failures.
+    """
+    total_cores = executors * cores_per_executor
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(4 * total_cores),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.dynamicAllocation.enabled": "true",
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+    }

@@ -243,3 +243,10 @@ class TestBM25:
         )
         got = [r["id"] for r in bm25_rank(df, ["scan"], "text", "id", topk=2).collect()]
         assert got == [7, 8]
+
+    def test_empty_corpus_returns_empty(self, spark):
+        from cdc_makanmana_spark.operators.search import bm25_rank
+
+        df = spark.createDataFrame([(1, None), (2, "  ")], "id long, text string")
+        out = bm25_rank(df, ["scan"], "text", "id")
+        assert out.count() == 0 and out.columns == ["id", "bm25"]

@@ -113,3 +113,103 @@ def test_exact_dedup_idempotence_property(spark, texts):
     assert a == sorted(r.doc_id for r in twice.collect())
     normed = [r.n for r in once.select(_norm_text(F.col("text")).alias("n")).collect()]
     assert len(normed) == len(set(normed))
+
+
+@given(texts=_texts)
+@settings(max_examples=8, deadline=None)
+def test_simhash_pairs_equal_bruteforce_property(spark, texts):
+    """simhash_hamming_pairs (value-grouped, combination-blocked) must
+    equal the all-pairs XOR/bit_count result on arbitrary corpora —
+    complete recall is a pigeonhole theorem, so ANY divergence is a
+    bug, including empty/duplicate/near-identical texts."""
+    from cdc_makanmana_spark.operators.dedup import (
+        simhash_buckets,
+        simhash_hamming_pairs,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_hamming_pairs(df, "text", "id", max_distance=3).collect()
+    }
+    sigs = {r["__id"]: r["simhash"] for r in simhash_buckets(df, "text", "id").collect()}
+    ids = sorted(sigs)
+    want = {
+        (a, b, bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    assert got == want
+
+
+@given(texts=_texts, ev_texts=_texts)
+@settings(max_examples=8, deadline=None)
+def test_decontaminate_sound_and_idempotent_property(spark, texts, ev_texts):
+    """decontaminate output is always a subset of the input, contains
+    NO doc sharing an n-gram with the eval set (soundness), and a
+    second pass removes nothing more (idempotence)."""
+    from cdc_makanmana_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    ev = spark.createDataFrame(list(enumerate(ev_texts)), "id long, text string")
+    n = 3
+    once = decontaminate(train, ev, "text", "id", n=n)
+    kept = {r["id"] for r in once.collect()}
+    assert kept <= {r["id"] for r in train.collect()}
+
+    def grams(t):
+        w = t.lower().split()
+        if not w:
+            return set()
+        k = max(len(w) - (n - 1), 1)
+        return {" ".join(w[i:i + n]) for i in range(k)}
+
+    ev_grams = set().union(*(grams(t) for t in ev_texts)) if ev_texts else set()
+    for i, t in enumerate(texts):
+        if i in kept and t.strip():
+            assert not (grams(t) & ev_grams), (i, t)
+    twice = {r["id"] for r in decontaminate(once, ev, "text", "id", n=n).collect()}
+    assert twice == kept
+
+
+@given(texts=_texts)
+@settings(max_examples=6, deadline=None)
+def test_dedup_against_corpus_soundness_property(spark, texts):
+    """Every surviving batch doc is genuinely novel: no corpus doc has
+    the same normalized content, and no corpus doc clears the Jaccard
+    threshold against it (checked by brute force)."""
+    from cdc_makanmana_spark.operators.dedup import dedup_against_corpus
+
+    rows = list(enumerate(texts))
+    batch = spark.createDataFrame(
+        [(i, t) for i, t in rows if i % 2 == 0], "id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in rows if i % 2 == 1] or [(999, "corpus seed text")],
+        "id long, text string",
+    )
+    kept = {r["id"] for r in dedup_against_corpus(batch, corpus, "text", "id", threshold=0.8).collect()}
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def sh(t, n=3):
+        w = norm(t).split(" ") if norm(t) else []
+        if not w:
+            return set()
+        return {" ".join(w[i:i + n]) for i in range(max(len(w) - (n - 1), 1))}
+
+    corpus_rows = [(i, t) for i, t in rows if i % 2 == 1] or [(999, "corpus seed text")]
+    cnorm = {norm(t) for _, t in corpus_rows if t is not None}
+    for i, t in [(i, t) for i, t in rows if i % 2 == 0]:
+        if i not in kept:
+            continue
+        assert norm(t) not in cnorm, (i, t, "exact dup survived")
+        if norm(t):
+            for _, ct in corpus_rows:
+                if not norm(ct):
+                    continue
+                a, b = sh(t), sh(ct)
+                j = len(a & b) / (len(a) + len(b) - len(a & b))
+                assert j < 0.8, (i, t, ct, j)

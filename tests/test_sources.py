@@ -491,3 +491,13 @@ def test_compact_parquet_verify_counts_aborts_on_mismatch(spark, tmp_path, monke
 
     assert not os.path.exists(p + ".__compact_staging")
     assert spark.read.parquet(p).count() == 500
+
+
+def test_cluster_conf_profile_shape():
+    from cdc_makanmana_spark.session import cluster_conf
+
+    c = cluster_conf(executors=500, cores_per_executor=4)
+    assert c["spark.sql.shuffle.partitions"] == str(4 * 500 * 4)
+    assert c["spark.dynamicAllocation.maxExecutors"] == "500"
+    assert all(isinstance(v, str) for v in c.values())
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
