@@ -72,12 +72,32 @@ def tokenize_words(col: Column | str, min_len: int = 3) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace-ish token count (BPE-approximating regex: words,
-    numbers, and individual punctuation marks each count)."""
+    """Whitespace token count (words separated by the explicit
+    whitespace class; empty fragments don't count). For a
+    tokenizer-shaped estimate use :func:`token_count_bpe`."""
     c = F.col(col) if isinstance(col, str) else col
     # explicit class (not \s): Java \s has \x0B, RE2 \s does not
     toks = F.split(F.trim(c), r"[ \t\n\r\f\x0B]+")
     return F.size(F.filter(toks, lambda t: t != F.lit("")))
+
+
+# GPT-2-style pre-tokenizer classes: letter runs, digit runs, and
+# non-letter/digit/space symbol runs each become one token. \p{L}/\p{N}
+# have identical semantics in Java regex and RE2/DuckDB; whitespace is
+# the explicit class (Java \s ⊃ RE2 \s).
+BPE_TOKEN_PATTERN = r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\r\f\x0B]+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Tokenizer-shaped token count: one token per letter run, digit
+    run, or punctuation/symbol run (the GPT-2 pre-tokenizer's split
+    classes, minus byte-level merges). Counts what a real BPE vocab
+    would see as merge INPUT units — a far better length estimate for
+    packing/budgeting (q43's consumer) than whitespace words on
+    punctuation-heavy or CJK-adjacent text, while staying a pure
+    codegen ``regexp_count`` any SQL engine reproduces."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
 
 
 LANG_MARKERS = {

@@ -2473,6 +2473,38 @@ def q54_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q55_token_stats",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'), x -> x <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N} \t\n\r\f\x0B]+'))
+             AS n_bpe_tokens,
+           length(text) AS n_chars,
+           strlen(text) AS n_bytes
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+)
+def q55_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length accounting, both ways a budgeting pipeline
+    needs it: whitespace words AND tokenizer-shaped units (GPT-2
+    pre-tokenizer split classes via ``token_count_bpe`` — the better
+    packing/budget estimate on punctuation-heavy text), plus char and
+    UTF-8 byte lengths. Pure codegen scan, no shuffle at all."""
+    from cdc_makanmana_spark.functions.text import token_count, token_count_bpe
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        token_count_bpe("text").alias("n_bpe_tokens"),
+        F.length("text").alias("n_chars"),
+        F.octet_length("text").alias("n_bytes"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -314,3 +314,43 @@ def test_repetition_metrics_known_values(spark, tmp_path):
     assert out[1].rep_word_frac == 0.75 and out[1].top_bigram_frac == 1.0
     assert out[2].rep_word_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 6)
     assert out[3].rep_word_frac == 0.0 and out[3].top_bigram_frac == 0.0
+
+
+def test_token_count_bpe_matches_python_reference(spark):
+    """GPT-2-style pre-tokenizer split classes: letter runs, digit
+    runs, symbol runs — verified against a pure-Python re2-free
+    reference on punctuation-heavy, numeric, unicode, and blank text."""
+    import re as _re
+
+    from cdc_makanmana_spark.functions.text import token_count, token_count_bpe
+
+    cases = [
+        "hello world",                     # 2
+        "don't stop!!!",                   # don + ' + t + stop + !!! = 5
+        "v2.0-rc1 (beta)",                 # v 2 . 0 - rc 1 ( beta ) = 10
+        "3.14159 x 10^2",                  # 3 . 14159 x 10 ^ 2 = 7
+        "naïve café — déjà-vu",            # unicode letters + dashes
+        "",                                # 0
+        "   \t ",                          # 0
+        "a,b,c",                           # a , b , c = 5
+    ]
+    def py_count(t):
+        # reference via explicit classes: letter runs / digit runs /
+        # other non-space runs (mirrors BPE_TOKEN_PATTERN semantics)
+        toks = _re.findall(r"[^\W\d_]+|\d+|[^ \t\n\r\f\x0b\w]+|_+", t)
+        return len(toks)
+
+    df = spark.createDataFrame(list(enumerate(cases)), "id long, text string")
+    got = {
+        r["id"]: (r["bpe"], r["ws"])
+        for r in df.select(
+            "id", token_count_bpe("text").alias("bpe"), token_count("text").alias("ws")
+        ).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i][0] == py_count(t), (t, got[i][0], py_count(t))
+    # and the headline examples pin exact values
+    assert got[1][0] == 5 and got[2][0] == 10 and got[3][0] == 7
+    assert got[5] == (0, 0) and got[6] == (0, 0)
+    # whitespace counting differs where punctuation clusters
+    assert got[1][1] == 2

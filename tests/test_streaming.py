@@ -377,3 +377,65 @@ def test_streaming_decontamination_foreach_batch(spark, tmp_path):
 
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 3]  # 2 and 4 each share a 5-gram with the eval doc
+
+
+def test_streaming_incremental_ingest_dedup_against_landed_corpus(spark, tmp_path):
+    """The growing-corpus ingest pipeline end-to-end: each arriving
+    micro-batch is deduped against everything ALREADY LANDED
+    (dedup_against_corpus inside foreachBatch), survivors append to the
+    corpus, and later batches dedup against earlier batches' survivors
+    — exact dups, near dups, and cross-batch dups all die; novel docs
+    accumulate."""
+    from cdc_makanmana_spark.operators.dedup import dedup_against_corpus
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    A = "the first novel document about adaptive query execution in distributed engines"
+    B = "a second unrelated piece concerning columnar storage layouts and encodings"
+    C = "fresh third content mentioning watermarks and state store eviction policies"
+
+    def ingest(batch_df, batch_id):
+        import os
+
+        if os.path.isdir(corpus) and any(
+            f.endswith(".parquet") for f in os.listdir(corpus)
+        ):
+            existing = spark.read.schema(doc_schema).parquet(corpus)
+            keep = dedup_against_corpus(batch_df, existing, "text", "doc_id")
+        else:
+            keep = batch_df
+        keep.write.mode("append").parquet(corpus)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _land(src, "b1.jsonl", [{"doc_id": 1, "text": A}, {"doc_id": 2, "text": B}])
+    run_once()
+    _land(src, "b2.jsonl", [
+        {"doc_id": 3, "text": A},                 # exact dup of landed 1
+        {"doc_id": 4, "text": A + " postscript"}, # near dup of landed 1
+        {"doc_id": 5, "text": C},                 # novel
+    ])
+    run_once()
+    _land(src, "b3.jsonl", [
+        {"doc_id": 6, "text": C},                 # exact dup of batch-2 survivor
+        {"doc_id": 7, "text": B + " addendum"},   # near dup of landed 2
+    ])
+    run_once()
+
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert landed == [1, 2, 5]
