@@ -133,6 +133,33 @@ def is_committed(spark: SparkSession, dir_str: str) -> bool:
     return exists(spark, f"{dir_str}/{COMMIT_MARKER}")
 
 
+def adopt_unmarked_versions(
+    spark: SparkSession, root: str, prefix: str = "v"
+) -> list[str]:
+    """ONE-TIME migration for version roots written BEFORE the commit-
+    marker protocol: stamp ``_COMMITTED`` into every ``{prefix}N``
+    subdirectory that lacks it, making legacy snapshots visible to the
+    marker-requiring readers (SnapshotCache/VerdictCache/LandingJob)
+    instead of silently invisible — and, worse, vacuumable as torn.
+
+    Run exactly once, on a root KNOWN to predate the protocol, before
+    the first new-style read or vacuum. Do NOT run routinely: on a
+    post-protocol root an unmarked dir means a crashed commit, and
+    adopting it would publish a version that was never committed.
+    Returns the adopted directory paths.
+    """
+    adopted = []
+    r = root.rstrip("/")
+    for name in list_names(spark, r, dirs_only=True):
+        if not (name.startswith(prefix) and name[len(prefix):].isdigit()):
+            continue
+        d = f"{r}/{name}"
+        if not is_committed(spark, d):
+            mark_committed(spark, d)
+            adopted.append(d)
+    return adopted
+
+
 def byte_string_as_bytes(spark: SparkSession, s: str) -> int:
     """Parse a Spark size string ('128MB', '134217728b') to bytes."""
     try:

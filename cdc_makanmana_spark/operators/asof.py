@@ -73,6 +73,15 @@ def asof_join(
             f"asof_join output column(s) {shadowed} collide with left columns; "
             "pass a non-empty prefix (e.g. prefix='r_')"
         )
+    dupes = sorted({a for a in out_aliases if out_aliases.count(a) > 1})
+    if dupes:
+        # value_cols repeating right_ts (or each other) would emit two
+        # output columns under one name — the same silent-shadowing
+        # failure the left-side guard exists for
+        raise ValueError(
+            f"asof_join output aliases collide with each other: {dupes}; "
+            "deduplicate value_cols / right_ts"
+        )
     carried = F.struct(
         F.col(right_ts).alias(right_ts), *[F.col(c).alias(c) for c in value_cols]
     )

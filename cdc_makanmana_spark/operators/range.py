@@ -78,11 +78,18 @@ def interval_join(
     # NOT on the point columns: plain column equality never matches NULLs
     # to themselves, so a matched point carrying a NULL attribute would
     # be re-emitted as unmatched, and identical duplicate point rows
-    # would be collapsed to one fate. The id is assigned once, before
-    # both branches, so both sides of the anti-join see the same values.
-    p = points.withColumn("__pid", F.monotonically_increasing_id()).withColumn(
-        "__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw_us)
-    )
+    # would be collapsed to one fate. monotonically_increasing_id is
+    # NON-deterministic across plan re-evaluations (partition-order
+    # dependent), and `matched`/`unmatched` are two separate evaluations
+    # of this subplan — so the id-tagged points are MATERIALIZED once
+    # (lineage cut) and both branches read the same stored rows; without
+    # this, an upstream shuffle with unstable intra-partition order
+    # silently duplicates or drops points.
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    p = _materialize(
+        points.withColumn("__pid", F.monotonically_increasing_id())
+    ).withColumn("__bin", F.floor(F.unix_micros(F.col(point_ts)) / bw_us))
     matched = p.join(ibins, [*keys, "__bin"]).filter(contained).drop("__bin")
     unmatched = p.drop("__bin").join(matched.select("__pid"), "__pid", "left_anti")
     for c in ivl.columns:

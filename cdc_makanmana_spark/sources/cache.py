@@ -34,7 +34,10 @@ class SnapshotCache:
     the marker, so a crash anywhere mid-save leaves the previous
     committed snapshot live — the round-1 in-place overwrite could tear
     the only copy. The old version is kept until the next save commits
-    (reader isolation for lazy plans already handed out)."""
+    (reader isolation for lazy plans already handed out).
+
+    Version dirs written BEFORE the marker protocol are invisible to
+    these readers; migrate once with ``fs.adopt_unmarked_versions``."""
 
     def __init__(self, spark: SparkSession, path: str, data_version: str, ttl_hours: float = 24.0):
         self.spark = spark
@@ -71,13 +74,16 @@ class SnapshotCache:
         return None
 
     def is_fresh(self, now_s: float | None = None) -> bool:
-        """Version match AND age < TTL (dataManager.ts:32-51). ``now_s``
-        injectable for deterministic tests."""
+        """Version match AND age < TTL (dataManager.ts:32-51) AND a
+        committed snapshot actually resolvable — a sidecar that outlived
+        its version dirs (legacy layout, manual cleanup) must report
+        stale so ``load_or_refresh`` falls through to refresh instead of
+        crash-looping in ``load``. ``now_s`` injectable for tests."""
         meta = self._read_meta()
         if meta is None or meta.get("data_version") != self.data_version:
             return False
         age_h = ((now_s or time.time()) - meta["last_update_s"]) / 3600.0
-        return age_h < self.ttl_hours
+        return age_h < self.ttl_hours and self._current_path() is not None
 
     def save(self, df: DataFrame, now_s: float | None = None) -> int:
         """Write snapshot + watermark metadata (S5). Returns row count
@@ -105,10 +111,20 @@ class SnapshotCache:
                 }
             ),
         )
-        # Keep one prior committed version (reader isolation); drop the
-        # rest plus any torn dirs from crashed saves.
-        for stale in self._version_numbers()[:-2]:
-            fs.delete(self.spark, f"{self.path}/v{stale}", recursive=True)
+        # Keep one prior COMMITTED version (reader isolation for lazy
+        # plans already handed out); sweep everything older than it,
+        # committed or torn. Counting torn dirs toward the keep-window
+        # would evict the real prior version while retaining garbage
+        # (the verdict-cache vacuum's committed-only rule, mirrored).
+        committed = [
+            v
+            for v in self._version_numbers()
+            if fs.is_committed(self.spark, f"{self.path}/v{v}")
+        ]
+        floor_v = committed[-2] if len(committed) >= 2 else version
+        for stale in self._version_numbers():
+            if stale < floor_v or stale not in committed:
+                fs.delete(self.spark, f"{self.path}/v{stale}", recursive=True)
         return n
 
     def load(self) -> DataFrame:

@@ -11,8 +11,12 @@ never loses the table.
 
 Reference analogue: the cache rewrite-in-place the reference performs on
 every refresh (src/services/dataManager.ts:68-77) — generalized to a
-maintenance operation that is safe to run concurrently with readers
-(readers see either the old or the new directory, never a torn mix).
+maintenance operation. Readers never see a torn MIX of old and new
+files, but the two-rename swap does leave a brief window where the
+directory is absent (generic filesystems have no atomic directory
+swap): run compaction in the ingest pause of a maintenance window, or
+point readers through a versioned layout (LandingJob) where the swap
+problem disappears entirely.
 """
 
 from __future__ import annotations
@@ -28,11 +32,23 @@ _OLD = ".__compact_old"
 
 
 def _data_files(spark: SparkSession, path: str) -> list[str]:
-    return [
+    names = [
         n
         for n in fs.list_names(spark, path)
         if not (n.startswith(".") or n.startswith("_"))
     ]
+    subdirs = [n for n in names if fs.is_dir(spark, f"{path}/{n}")]
+    if subdirs:
+        # a hive-partitioned layout: a flat rewrite would both mis-size
+        # (directories stat as 0 bytes) and DESTROY the partitioning —
+        # compact each partition directory individually instead.
+        raise ValueError(
+            f"{path} contains subdirectories ({subdirs[:3]}...): "
+            "compact_parquet operates on flat table directories; for a "
+            "partitioned layout, compact each partition directory "
+            "(they are independent flat directories)"
+        )
+    return names
 
 
 def repair(spark: SparkSession, path: str) -> str:
@@ -115,8 +131,19 @@ def compact_parquet(
             )
     fs.mark_committed(spark, staging)
     fs.delete(spark, old)
-    fs.rename(spark, p, old)
-    fs.rename(spark, staging, p)
+    # Hadoop rename returns False instead of raising; every failure
+    # must fail CLOSED with the original data reachable (directly or
+    # via repair()), never delete-and-report-success.
+    if not fs.rename(spark, p, old):
+        fs.delete(spark, staging)
+        raise RuntimeError(f"compaction aborted: could not move {p} aside")
+    if not fs.rename(spark, staging, p):
+        rolled_back = fs.rename(spark, old, p)
+        raise RuntimeError(
+            f"compaction failed installing the compacted copy at {p}; "
+            + ("original restored" if rolled_back else
+               "original preserved at " + old + " (run repair())")
+        )
     fs.delete(spark, old)
     return {
         "compacted": True,

@@ -803,3 +803,53 @@ def test_label_cell_assign_tie_breaks_to_lower_cell(spark):
     centers = label_seed_cells(df, cells_per_label=2)
     assigned = {r["vec_id"]: r["__cell"] for r in label_cell_assign(df, centers).collect()}
     assert assigned == {1: 0, 2: 0, 3: 0}
+
+
+def test_asof_join_rejects_self_colliding_aliases(spark):
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 10, 1.0)], "k long, t long, v double")
+    left = spark.createDataFrame([(1, 5)], "k long, ts long")
+    # value_cols repeating the right ts name under one prefix
+    with pytest.raises(ValueError, match="collide with each other"):
+        asof_join(left, right, key_cols=["k"], left_ts="ts", right_ts="t",
+                  value_cols=["t", "v"], prefix="r_")
+    with pytest.raises(ValueError, match="collide with each other"):
+        asof_join(left, right, key_cols=["k"], left_ts="ts", right_ts="t",
+                  value_cols=["v", "v"], prefix="r_")
+
+
+def test_interval_join_left_stable_under_shuffled_input(spark):
+    """The left join's anti-join id must be assigned ONCE: with a
+    shuffled/duplicated points input, total output rows must equal
+    matched + truly-unmatched on every run (a re-evaluated
+    nondeterministic id would duplicate or drop points)."""
+    from cdc_makanmana_spark.operators.range import interval_join
+
+    pts = (
+        spark.range(0, 400)
+        .select(
+            F.timestamp_micros((F.col("id") % 100) * 60_000_000).alias("ts"),
+            (F.col("id") % 3).alias("k"),
+            F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("attr"),
+        )
+        .repartition(7)  # upstream shuffle: partition order not stable
+    )
+    ivl = spark.createDataFrame(
+        [(0, 600, 1800), (1, 0, 1200), (2, 3000, 3600)],
+        "k long, s long, e long",
+    ).select(
+        "k",
+        F.timestamp_micros(F.col("s") * 1_000_000).alias("start"),
+        F.timestamp_micros(F.col("e") * 1_000_000).alias("end"),
+    )
+    out = interval_join(pts, ivl, "ts", "start", "end", keys=["k"], how="left",
+                        bin_width_s=600)
+    n_pts = pts.count()
+    inner = interval_join(pts, ivl, "ts", "start", "end", keys=["k"], how="inner",
+                          bin_width_s=600).count()
+    for _ in range(3):
+        total = out.count()
+        nulls = out.filter(F.col("start").isNull()).count()
+        assert total == n_pts  # every point exactly once (each matches <= 1 interval)
+        assert total - nulls == inner

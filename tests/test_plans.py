@@ -172,3 +172,30 @@ def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, tmp_path):
+    """The 100 TB star-join layout: a fact table partitioned on the
+    join key is pruned at RUNTIME by the dim side's filter (DPP) — the
+    fact scan's partition filter must carry a dynamicpruning subquery,
+    so only the dim-selected partitions are read at all."""
+    from pyspark.sql import functions as F
+
+    fact = str(tmp_path / "fact")
+    spark.range(0, 20_000).select(
+        F.col("id"),
+        (F.col("id") % 20).alias("k"),
+        (F.col("id") * 2).alias("v"),
+    ).write.partitionBy("k").parquet(fact)
+
+    dim = spark.createDataFrame(
+        [(i, "keep" if i in (3, 7) else "drop") for i in range(20)],
+        "k long, tag string",
+    )
+    f = spark.read.parquet(fact)
+    j = f.join(dim.filter(F.col("tag") == "keep"), "k").groupBy("k").agg(
+        F.sum("v").alias("sv")
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert j.count() == 2

@@ -501,3 +501,87 @@ def test_cluster_conf_profile_shape():
     assert c["spark.dynamicAllocation.maxExecutors"] == "500"
     assert all(isinstance(v, str) for v in c.values())
     assert int(c["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+
+
+def test_compact_parquet_refuses_partitioned_layout(spark, tmp_path):
+    from cdc_makanmana_spark.sources.maintenance import compact_parquet
+    from cdc_makanmana_spark.sources.readers import write_columnar_sink
+
+    p = str(tmp_path / "part_tbl")
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 4).alias("bucket"))
+    write_columnar_sink(df, p, partition_by=["bucket"])
+    with pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, p)
+    # the partition directories themselves are flat and compactable
+    stats = compact_parquet(spark, f"{p}/bucket=1", target_file_bytes=1 << 30)
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_snapshot_cache_stale_when_sidecar_outlives_versions(spark, tmp_path):
+    """A fresh sidecar with no committed version dir must report stale
+    and refresh — not crash-loop in load() (legacy layout / manual
+    cleanup)."""
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources import SnapshotCache
+
+    cache = SnapshotCache(spark, str(tmp_path / "c"), data_version="v1")
+    df = spark.createDataFrame([(1, "a", 0.0, True)], SCHEMA)
+    t0 = 1_700_000_000.0
+    cache.save(df, now_s=t0)
+    # wipe the version dirs, keep the sidecar
+    for n in fs.list_names(spark, cache.path, dirs_only=True):
+        fs.delete(spark, f"{cache.path}/{n}", recursive=True)
+    assert cache.is_fresh(now_s=t0 + 60) is False
+    refreshed = []
+
+    def refresh():
+        refreshed.append(1)
+        return df
+
+    out = cache.load_or_refresh(refresh, now_s=t0 + 60)
+    assert out.count() == 1 and refreshed == [1]
+
+
+def test_snapshot_cache_retention_keeps_committed_not_torn(spark, tmp_path):
+    """The keep-2 window counts COMMITTED versions: a torn dir from a
+    crashed save is swept and must not evict the real prior version."""
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources import SnapshotCache
+
+    cache = SnapshotCache(spark, str(tmp_path / "c"), data_version="v1")
+    df = spark.createDataFrame([(1, "a", 0.0, True)], SCHEMA)
+    cache.save(df, now_s=1.0)   # v1 committed
+    cache.save(df, now_s=2.0)   # v2 committed
+    # simulate a crashed save: torn v3 (renamed, never marked)
+    df.write.mode("overwrite").parquet(f"{cache.path}/v3")
+    cache.save(df, now_s=3.0)   # v4 committed; cleanup runs
+    names = set(fs.list_names(spark, cache.path, dirs_only=True))
+    assert "v3" not in names            # torn dir swept
+    assert "v2" in names and "v4" in names   # prior committed kept
+    assert "v1" not in names            # older committed dropped
+
+
+def test_adopt_unmarked_versions_migration(spark, tmp_path):
+    """Legacy (pre-marker) version dirs become visible after the
+    explicit one-time adoption, and only version-shaped dirs are
+    touched."""
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.sources import SnapshotCache
+
+    root = str(tmp_path / "legacy")
+    df = spark.createDataFrame([(1, "a", 0.0, True)], SCHEMA)
+    df.write.parquet(f"{root}/v1")
+    df.write.parquet(f"{root}/v2")
+    df.write.parquet(f"{root}/_staging_v3")  # must NOT be adopted
+    fs.write_text(
+        spark,
+        f"{root}/_cache_meta.json",
+        '{"count": 1, "last_update_s": 1700000000.0, "data_version": "v1", "version": 2}',
+    )
+    cache = SnapshotCache(spark, root, data_version="v1")
+    assert cache.is_fresh(now_s=1_700_000_060.0) is False  # invisible pre-adoption
+    adopted = fs.adopt_unmarked_versions(spark, root)
+    assert sorted(a.rsplit("/", 1)[1] for a in adopted) == ["v1", "v2"]
+    assert cache.is_fresh(now_s=1_700_000_060.0) is True
+    assert cache.load().count() == 1
+    assert not fs.is_committed(spark, f"{root}/_staging_v3")
