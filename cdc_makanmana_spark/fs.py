@@ -133,6 +133,44 @@ def is_committed(spark: SparkSession, dir_str: str) -> bool:
     return exists(spark, f"{dir_str}/{COMMIT_MARKER}")
 
 
+def list_versions(
+    spark: SparkSession, root: str, prefix: str = "v"
+) -> list[tuple[int, str]]:
+    """All ``{prefix}N`` version directories under ``root`` as
+    (number, name) pairs sorted by number — committed or not. The
+    single source for version enumeration (SnapshotCache, LandingJob,
+    VerdictCache all resolve through here, so padded and unpadded
+    naming schemes behave identically)."""
+    out = []
+    for name in list_names(spark, root.rstrip("/"), dirs_only=True):
+        if name.startswith(prefix) and name[len(prefix):].isdigit():
+            out.append((int(name[len(prefix):]), name))
+    return sorted(out)
+
+
+def newest_committed(
+    spark: SparkSession,
+    root: str,
+    preferred_name: str | None = None,
+    prefix: str = "v",
+) -> str | None:
+    """Resolve the current committed version directory (full path):
+    the sidecar-preferred name if it carries ``_COMMITTED``, else the
+    highest-numbered committed version, else None. The shared reader
+    half of the commit protocol — a torn directory from a crashed
+    commit is never returned."""
+    r = root.rstrip("/")
+    if preferred_name is not None:
+        candidate = f"{r}/{preferred_name}"
+        if is_committed(spark, candidate):
+            return candidate
+    for _, name in reversed(list_versions(spark, r, prefix)):
+        candidate = f"{r}/{name}"
+        if is_committed(spark, candidate):
+            return candidate
+    return None
+
+
 def adopt_unmarked_versions(
     spark: SparkSession, root: str, prefix: str = "v"
 ) -> list[str]:

@@ -54,24 +54,15 @@ class SnapshotCache:
         return json.loads(raw) if raw is not None else None
 
     def _version_numbers(self) -> list[int]:
-        return sorted(
-            int(name[1:])
-            for name in fs.list_names(self.spark, self.path, dirs_only=True)
-            if name.startswith("v") and name[1:].isdigit()
-        )
+        return [n for n, _ in fs.list_versions(self.spark, self.path)]
 
     def _current_path(self) -> str | None:
         """Newest committed snapshot dir (sidecar-preferred), or None."""
         meta = self._read_meta()
-        if meta is not None and "version" in meta:
-            candidate = f"{self.path}/v{meta['version']}"
-            if fs.is_committed(self.spark, candidate):
-                return candidate
-        for n in reversed(self._version_numbers()):
-            candidate = f"{self.path}/v{n}"
-            if fs.is_committed(self.spark, candidate):
-                return candidate
-        return None
+        preferred = (
+            f"v{meta['version']}" if meta is not None and "version" in meta else None
+        )
+        return fs.newest_committed(self.spark, self.path, preferred)
 
     def is_fresh(self, now_s: float | None = None) -> bool:
         """Version match AND age < TTL (dataManager.ts:32-51) AND a

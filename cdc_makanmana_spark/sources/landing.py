@@ -138,11 +138,7 @@ class LandingJob:
         return json.loads(raw) if raw is not None else None
 
     def _version_numbers(self) -> list[int]:
-        return sorted(
-            int(name[1:])
-            for name in fs.list_names(self.spark, self.bronze_path, dirs_only=True)
-            if name.startswith("v") and name[1:].isdigit()
-        )
+        return [n for n, _ in fs.list_versions(self.spark, self.bronze_path)]
 
     def _next_version(self) -> int:
         """max(existing v* dirs, sidecar version) + 1 — NOT sidecar+1
@@ -209,12 +205,6 @@ class LandingJob:
         version that carries ``_COMMITTED``. None if nothing has ever
         fully committed."""
         meta = self._read_meta()
-        if meta is not None:
-            candidate = f"{self.bronze_path}/v{meta['version']}"
-            if fs.is_committed(self.spark, candidate):
-                return self.spark.read.parquet(candidate)
-        for n in reversed(self._version_numbers()):
-            candidate = f"{self.bronze_path}/v{n}"
-            if fs.is_committed(self.spark, candidate):
-                return self.spark.read.parquet(candidate)
-        return None
+        preferred = f"v{meta['version']}" if meta is not None else None
+        current = fs.newest_committed(self.spark, self.bronze_path, preferred)
+        return self.spark.read.parquet(current) if current else None

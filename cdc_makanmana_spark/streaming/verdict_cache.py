@@ -48,16 +48,14 @@ class VerdictCache:
     # copy, a crash mid-commit leaves a torn un-stamped directory that
     # must never shadow the previous good version.
     def _versions(self, committed_only: bool = True) -> list[str]:
-        return sorted(
-            d
-            for d in fs.list_names(self.spark, self.path, dirs_only=True)
-            if d.startswith("v")
-            and (not committed_only or fs.is_committed(self.spark, f"{self.path}/{d}"))
-        )
+        return [
+            name
+            for _, name in fs.list_versions(self.spark, self.path)
+            if not committed_only or fs.is_committed(self.spark, f"{self.path}/{name}")
+        ]
 
     def _current(self) -> str | None:
-        vs = self._versions()
-        return f"{self.path}/{vs[-1]}" if vs else None
+        return fs.newest_committed(self.spark, self.path)
 
     def _exists(self) -> bool:
         return self._current() is not None
