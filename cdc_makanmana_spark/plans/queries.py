@@ -2505,6 +2505,203 @@ def q55_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pivot value list is DECLARED, not discovered: at 100 TB an implicit
+# pivot runs an extra distinct job over the fact table just to learn
+# the output schema, and a stray new value silently widens every
+# downstream consumer. The fixture corpus carries exactly these five.
+_Q56_LANGS = ("de", "en", "es", "fr", "zh")
+
+_Q56_ORACLE = (
+    "SELECT source, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE lang = '{lg}') AS {lg}" for lg in _Q56_LANGS
+    )
+    + ", count(*) AS n_docs FROM documents GROUP BY source"
+)
+
+
+@query("q56_lang_source_pivot", _Q56_ORACLE)
+def q56_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long→wide rollup): per-source document counts with one
+    column per language. ``pivot`` with an explicit value list is one
+    hash aggregate — each partial agg carries |langs| counters per
+    source, merged map-side, so the shuffle moves 20 sources × 6
+    longs, not rows. Empty (source, lang) cells surface as NULL from
+    PivotFirst and are coalesced to 0 to match COUNT semantics."""
+    d = _t(spark, sf_dir, "documents")
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", list(_Q56_LANGS))
+        .agg(F.count(F.lit(1)))
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return wide.join(counts, "source").select(
+        "source",
+        *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in _Q56_LANGS],
+        "n_docs",
+    )
+
+
+# Blocklist scrubbing (q57): the PII-redaction shape — match a term
+# list under word boundaries, count hits, emit the scrubbed text's
+# accounting. Word-boundary \b and alternation behave identically in
+# Java regex (Spark) and RE2 (DuckDB) over ASCII word characters; the
+# fixture vocabulary is ASCII.
+_Q57_BLOCKLIST = ("customer", "merge", "vector")
+_Q57_PAT = r"\b(" + "|".join(_Q57_BLOCKLIST) + r")\b"
+
+_Q57_ORACLE = rf"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_Q57_PAT}'))::INT AS n_redactions,
+           length(regexp_replace(text, '{_Q57_PAT}', '[REDACTED]', 'g'))
+             AS clean_len
+    FROM documents
+    WHERE text IS NOT NULL AND regexp_matches(text, '{_Q57_PAT}')
+"""
+
+
+@query("q57_blocklist_scrub", _Q57_ORACLE)
+def q57_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-blocklist redaction over the corpus (the PII-scrub
+    primitive: emails/phones/IDs are the same shape with different
+    patterns): count word-boundary matches and replace them, keeping
+    only affected docs. Pure codegen scan — regexp_count /
+    regexp_replace run inside the scan projection, the filter pushes
+    to the parquet reader's row-group stats where possible, and there
+    is no shuffle at all; at 100 TB this is the embarrassingly
+    parallel map pass it should be."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n = F.regexp_count("text", F.lit(_Q57_PAT))
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_redactions"),
+            F.length(F.regexp_replace("text", _Q57_PAT, "[REDACTED]")).alias(
+                "clean_len"
+            ),
+        )
+        .filter(F.col("n_redactions") > 0)
+    )
+
+
+# Per-source cap sampling (q58): keep ~CAP docs per source in
+# expectation — the source-balancing primitive (a 100 TB crawl is
+# dominated by a few mega-domains; capping per registered domain is
+# how real corpora bound them). All-integer rate arithmetic so the
+# oracle replays keep decisions bit-exactly.
+_Q58_CAP = 15
+
+_Q58_ORACLE = f"""
+    WITH c AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY source) AS n_source
+      FROM documents)
+    SELECT doc_id, source, n_source,
+           least(100, ({_Q58_CAP} * 100) // n_source)::BIGINT AS keep_pct
+    FROM c
+    WHERE (({_h64_sql("doc_id::VARCHAR || ':cap'")} % 100) + 100) % 100
+          < least(100, ({_Q58_CAP} * 100) // n_source)
+"""
+
+
+@query("q58_source_cap_sample", _Q58_ORACLE)
+def q58_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source cap sampling: keep a doc iff its
+    salted hash bucket falls under ``min(100, CAP*100 div n_source)``
+    — expectation ~CAP docs per source regardless of source size.
+    Same order/partitioning/rerun-independence as q41/q42 (membership
+    is a pure function of the key), with one extra tiny aggregate:
+    the per-source counts (20 rows) come from a groupBy and join back
+    — AQE broadcasts the agg side, so the fact table is never
+    shuffled; the rate math stays in integers (div, not /) so Spark
+    and the oracle agree bit-for-bit at the keep boundary."""
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    keep_pct = F.least(F.lit(100), F.expr(f"{_Q58_CAP * 100} div n_source"))
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":cap"))),
+        F.lit(100),
+    )
+    return (
+        d.join(counts, "source")
+        .withColumn("keep_pct", keep_pct)
+        .filter(bucket < F.col("keep_pct"))
+        .select("doc_id", "source", "n_source", "keep_pct")
+    )
+
+
+# q59: the DECLARED 100 TB path for q34/q51's exact order statistics —
+# mergeable sketches (HLL++ distinct counts, t-digest-style quantiles).
+# Estimator internals are engine-specific, so there is deliberately NO
+# oracle SQL (the driver records the weaker rows-only check);
+# tests/test_corpus_ops.py pins the estimates against the exact
+# aggregates within the estimators' published error bounds instead.
+@query("q59_approx_group_sketches")
+def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based group stats: approx_count_distinct (HLL++, rsd 1%)
+    and percentile_approx (accuracy 10k) per return flag — the same
+    call shape as q34's exact forms but mergeable and bounded-memory:
+    partial sketches combine map-side, the shuffle moves one ~KB
+    sketch per group instead of the expand + two-phase distinct and
+    full-sort percentile q34 pays. At 100 TB the exact forms are the
+    bottleneck; these are the plan you actually run."""
+    li = _t(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.9)), F.lit(10000)
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pcts[0], 4).alias("median_price_est"),
+        F.round(pcts[1], 4).alias("p90_price_est"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("n_suppliers_est"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q60_user_event_features",
+    """
+    SELECT event_id, user_id,
+           lag(value)  OVER w AS prev_value,
+           lead(value) OVER w AS next_value,
+           min(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_min,
+           max(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_max,
+           count(*)   OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll_n,
+           ntile(4) OVER w AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q60_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence features — the remaining window surface
+    (lag/lead offsets, a bounded sliding frame, ntile bucketing) in
+    one pass: ONE hash shuffle on user_id and one per-partition sort
+    serve all six window expressions (they share the same window
+    spec, so Catalyst plans a single Window operator — no repeated
+    exchanges). The frame aggregates stay exact (min/max/count; a
+    sliding float SUM would associate differently between engines'
+    window implementations — segment tree vs running frame — and is
+    deliberately absent). This is the feature-engineering shape of a
+    training pipeline: sequence context columns computed at corpus
+    scale without a self-join."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-4, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.min("value").over(wf).alias("roll_min"),
+        F.max("value").over(wf).alias("roll_max"),
+        F.count(F.lit(1)).over(wf).alias("roll_n"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -123,7 +123,8 @@ def main() -> None:
         else:
             print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
 
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES) if not only else len(only)} pass")
+    ran = [n for n in QUERIES if not only or n in only]
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} pass")
     spark.stop()
     sys.exit(1 if failures else 0)
 

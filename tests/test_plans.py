@@ -124,6 +124,24 @@ def test_resolve_halal_never_hints_broadcast_of_fact_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q57_scrub_plans_shuffle_free(spark):
+    """q57 is a pure scan→project→filter: any Exchange in its plan
+    means the regex work left the embarrassingly parallel map pass."""
+    plan = _plan(spark, "q57_blocklist_scrub")
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+
+
+def test_q58_count_side_broadcasts_fact_never_shuffles(spark):
+    """q58's per-source counts (20 rows) must come back to the fact
+    table as a broadcast join: the only Exchange allowed in the plan
+    is the count aggregation's own 20-row shuffle, never a
+    repartition of the documents fact side."""
+    plan = _plan(spark, "q58_source_cap_sample")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
     """Bucketed layout (sources/layout.py): two tables bucketed on the
     join key with equal bucket counts join with NO Exchange on either
