@@ -118,6 +118,64 @@ def synthetic_media_table(spark, n: int = 100, seed: int = 7) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# extension → (kind, codec) for the file-ingest path; anything else
+# rides through as an opaque ("binary", <ext>) payload.
+_EXT_MEDIA = {"ppm": ("image", "ppm"), "wav": ("audio", "pcm16")}
+
+
+def read_media_dir(
+    spark, path: str, glob: str = "*", recursive: bool = False
+) -> DataFrame:
+    """Media-file source: ``binaryFile`` scan → the engine's
+    MEDIA_SCHEMA, so the decode/resize/feature stages run unchanged on
+    directories of files. ``media_id`` is the xxhash64 of the file
+    path (rerun/partitioning-stable); kind+codec come from the
+    extension; image dimensions are parsed from the PPM header inside
+    the same Arrow-batched ``mapInPandas`` pass — payload bytes never
+    visit the driver, and Spark's binaryFile source streams each file
+    as one row (files > 2 GiB are its documented limit; shard bigger
+    media upstream). Unknown extensions stay ("binary", ext) with
+    zeroed dims — honest passthrough, not a guess."""
+    from cdc_makanmana_spark.multimodal import kernels
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true" if recursive else "false")
+        .load(path)
+        .select(
+            F.xxhash64("path").alias("media_id"),
+            F.lower(F.element_at(F.split("path", r"\."), -1)).alias("__ext"),
+            F.col("content").alias("payload"),
+        )
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid, ext, payload in zip(
+                pdf["media_id"], pdf["__ext"], pdf["payload"]
+            ):
+                kind, codec = _EXT_MEDIA.get(ext, ("binary", ext))
+                w = h = 0
+                n_frames = 1
+                if codec == "ppm":
+                    try:
+                        arr = kernels.decode_ppm(bytes(payload))
+                        h, w = int(arr.shape[0]), int(arr.shape[1])
+                    except ValueError:
+                        kind, codec = "binary", "corrupt-ppm"
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {"codec": codec, "width": w, "height": h, "n_frames": n_frames}
+                )
+            yield pd.DataFrame(out)
+
+    return raw.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def _decode_stub(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
     """STUB decode+featurize kernel for codec-REQUIRING formats (JPEG
     etc. — the container has no codec libs): derives a deterministic

@@ -150,6 +150,50 @@ def write_columnar_sink(
     w.save(path)
 
 
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.txt",
+    whole_files: bool = True,
+) -> DataFrame:
+    """Raw-text corpus source → the engine's ``documents`` shape
+    (doc_id, text, lang, source, n_chars), so every dedup / quality /
+    token query runs unchanged on ingested files.
+
+    ``whole_files=True`` (default): one document per file; ``doc_id``
+    is the xxhash64 of the file path (stable across reruns and
+    re-partitioning — the property the deterministic split/sample
+    queries require of keys). ``False``: one document per line;
+    ``doc_id`` hashes (path, line text), so byte-identical repeated
+    lines within one file share an id — by construction they are
+    exact duplicates, which the exact-dedup tier collapses anyway.
+
+    ``source`` is the file's parent directory name (the crawl-shard /
+    domain-bucket convention); ``lang`` is the engine's own n-gram
+    marker heuristic (functions/text.py:111). Scale shape: a pure
+    file-scan projection — text never touches the driver, lang-id and
+    lengths are codegen expressions, and file listing is Spark's
+    distributed InMemoryFileIndex, not an os.walk."""
+    from cdc_makanmana_spark.functions.text import language_id
+
+    raw = (
+        spark.read.option("pathGlobFilter", glob)
+        .option("wholetext", "true" if whole_files else "false")
+        .text(path)
+        .select(F.col("value").alias("text"), F.col("_metadata.file_path").alias("__fp"))
+    )
+    doc_key = (
+        F.col("__fp") if whole_files else F.concat_ws("\x00", "__fp", "text")
+    )
+    return raw.select(
+        F.xxhash64(doc_key).alias("doc_id"),
+        "text",
+        language_id("text").alias("lang"),
+        F.element_at(F.split("__fp", "/"), -2).alias("source"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
 def with_retries(
     acquire: Callable[[], DataFrame],
     empty_schema: StructType,

@@ -133,3 +133,41 @@ def test_sample_frames_explodes_per_frame(spark):
     for r in frames.collect():
         assert r.frame_idx % 2 == 0
         assert len(bytes(r.frame_payload)) > 0
+
+
+def test_read_media_dir_from_files(spark, tmp_path):
+    """binaryFile ingest: PPM/WAV files land as typed media rows with
+    header-parsed dims; unknown extensions pass through opaque; the
+    decode stage runs unchanged on the ingested table."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+    from cdc_makanmana_spark.multimodal.binary import (
+        decode_image_features,
+        read_media_dir,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    arr = np.zeros((5, 7, 3), dtype=np.uint8)
+    arr[:, :, 0] = 200
+    (d / "img.ppm").write_bytes(kernels.encode_ppm(arr))
+    (d / "snd.wav").write_bytes(
+        kernels.encode_wav_pcm16(np.sin(np.linspace(0, 20, 800)), 8000)
+    )
+    (d / "blob.xyz").write_bytes(b"\x00\x01\x02")
+    (d / "bad.ppm").write_bytes(b"P6 not really")
+
+    media = read_media_dir(spark, str(d))
+    rows = {r["meta"]["codec"]: r for r in media.collect()}
+    assert rows["ppm"]["kind"] == "image"
+    assert (rows["ppm"]["meta"]["width"], rows["ppm"]["meta"]["height"]) == (7, 5)
+    assert rows["pcm16"]["kind"] == "audio"
+    assert rows["xyz"]["kind"] == "binary"
+    assert rows["corrupt-ppm"]["kind"] == "binary"  # quarantined, not crashed
+    assert len({r["media_id"] for r in rows.values()}) == 4
+
+    feats = decode_image_features(media.filter(F.col("kind") == "image")).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+    # red-dominant image: first channel-mean feature ~200/255
+    assert abs(feats[0]["feature"][0] - 200 / 255) < 0.02

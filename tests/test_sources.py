@@ -585,3 +585,47 @@ def test_adopt_unmarked_versions_migration(spark, tmp_path):
     assert cache.is_fresh(now_s=1_700_000_060.0) is True
     assert cache.load().count() == 1
     assert not fs.is_committed(spark, f"{root}/_staging_v3")
+
+
+def test_read_text_corpus_whole_files(spark, tmp_path):
+    """Whole-file text ingest lands in the documents shape with
+    rerun-stable ids, parent-dir source, and the engine's lang-id."""
+    from cdc_makanmana_spark.sources.readers import read_text_corpus
+
+    (tmp_path / "shard_a").mkdir()
+    (tmp_path / "shard_b").mkdir()
+    (tmp_path / "shard_a" / "one.txt").write_text("the quick brown fox with and")
+    (tmp_path / "shard_a" / "two.txt").write_text("der schnelle braune fuchs und der")
+    (tmp_path / "shard_b" / "three.txt").write_text("table scan filter join")
+    (tmp_path / "shard_a" / "skip.json").write_text("not text")
+
+    df = read_text_corpus(spark, str(tmp_path / "*"), glob="*.txt")
+    rows = {r["text"]: r for r in df.collect()}
+    assert set(df.columns) == {"doc_id", "text", "lang", "source", "n_chars"}
+    assert len(rows) == 3  # .json filtered out by the glob
+    assert rows["table scan filter join"]["source"] == "shard_b"
+    assert rows["the quick brown fox with and"]["lang"] == "en"
+    assert rows["der schnelle braune fuchs und der"]["lang"] == "de"
+    for r in rows.values():
+        assert r["n_chars"] == len(r["text"])
+    # ids are a pure function of the path: a second read is identical
+    again = {r["text"]: r["doc_id"] for r in read_text_corpus(
+        spark, str(tmp_path / "*"), glob="*.txt").collect()}
+    assert {t: r["doc_id"] for t, r in rows.items()} == again
+
+
+def test_read_text_corpus_line_mode(spark, tmp_path):
+    from cdc_makanmana_spark.sources.readers import read_text_corpus
+
+    (tmp_path / "d").mkdir()
+    (tmp_path / "d" / "a.txt").write_text("line one\nline two\nline one\n")
+    df = read_text_corpus(spark, str(tmp_path / "d"), whole_files=False)
+    rows = df.collect()
+    assert len(rows) == 3
+    ids = {}
+    for r in rows:
+        ids.setdefault(r["text"], set()).add(r["doc_id"])
+    # identical repeated lines in one file share an id (documented);
+    # distinct lines never collide
+    assert len(ids["line one"]) == 1
+    assert ids["line one"] != ids["line two"]
