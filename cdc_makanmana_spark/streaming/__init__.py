@@ -8,6 +8,7 @@ from cdc_makanmana_spark.streaming.cdc import (
     upsert_to_parquet,
     windowed_agg_stream,
 )
+from cdc_makanmana_spark.streaming.joins import stream_stream_interval_join
 from cdc_makanmana_spark.streaming.progress import ProgressTracker, last_progress_summary
 from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream, running_stats_per_key
 from cdc_makanmana_spark.streaming.verdict_cache import VerdictCache
@@ -21,6 +22,7 @@ __all__ = [
     "upsert_to_parquet",
     "running_stats_per_key",
     "asof_enrich_stream",
+    "stream_stream_interval_join",
     "ProgressTracker",
     "last_progress_summary",
     "VerdictCache",

@@ -439,3 +439,74 @@ def test_streaming_incremental_ingest_dedup_against_landed_corpus(spark, tmp_pat
 
     landed = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert landed == [1, 2, 5]
+
+
+def test_stream_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Two live file streams (impressions, clicks) joined within an
+    attribution band; the finished result must equal the identical
+    batch join — and the plan must carry watermarks on BOTH sides
+    (the state-eviction contract)."""
+    from cdc_makanmana_spark.streaming.joins import stream_stream_interval_join
+
+    imp_schema = StructType([
+        StructField("key", LongType()),
+        StructField("imp_ts", TimestampType()),
+        StructField("campaign", StringType()),
+    ])
+    clk_schema = StructType([
+        StructField("key", LongType()),
+        StructField("clk_ts", TimestampType()),
+        StructField("target", StringType()),
+    ])
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    _land(imp_dir, "i.json", [
+        {"key": 1, "imp_ts": "2024-01-01T00:00:00", "campaign": "a"},
+        {"key": 1, "imp_ts": "2024-01-01T00:10:00", "campaign": "b"},
+        {"key": 2, "imp_ts": "2024-01-01T00:00:00", "campaign": "c"},
+        {"key": 3, "imp_ts": "2024-01-01T00:00:00", "campaign": "d"},
+    ])
+    _land(clk_dir, "c.json", [
+        # in-band for campaign a (+30 s) and campaign b (+9 min < 10 min? no: band is 60 s) …
+        {"key": 1, "clk_ts": "2024-01-01T00:00:30", "target": "x"},
+        {"key": 1, "clk_ts": "2024-01-01T00:10:45", "target": "y"},
+        {"key": 2, "clk_ts": "2024-01-01T00:05:00", "target": "z"},  # out of band
+        {"key": 4, "clk_ts": "2024-01-01T00:00:10", "target": "w"},  # no impression
+    ])
+    imp = spark.readStream.schema(imp_schema).json(imp_dir)
+    clk = spark.readStream.schema(clk_schema).json(clk_dir)
+    joined = stream_stream_interval_join(
+        imp, clk, ["key"], "imp_ts", "clk_ts", lower_s=0, upper_s=60,
+    )
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    _run_available(joined, sink, ckpt)
+    got = {
+        (r.key, r.campaign, r.target)
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, "a", "x"), (1, "b", "y")}
+
+    # batch twin on the same files agrees
+    bi = spark.read.schema(imp_schema).json(imp_dir)
+    bc = spark.read.schema(clk_schema).json(clk_dir)
+    twin = {
+        (r.key, r.campaign, r.target)
+        for r in bi.join(
+            bc,
+            (bi["key"] == bc["key"])
+            & (bc["clk_ts"] >= bi["imp_ts"])
+            & (bc["clk_ts"] <= bi["imp_ts"] + F.expr("INTERVAL 60 SECONDS")),
+        ).collect()
+    }
+    assert got == twin
+
+
+def test_stream_stream_join_refuses_colliding_columns(spark, tmp_path):
+    from cdc_makanmana_spark.streaming.joins import stream_stream_interval_join
+
+    (tmp_path / "src").mkdir()
+    s = spark.readStream.schema(
+        StructType([StructField("key", LongType()), StructField("ts", TimestampType()),
+                    StructField("v", DoubleType())])
+    ).json(str(tmp_path / "src"))
+    with pytest.raises(ValueError, match="re-uses left column names"):
+        stream_stream_interval_join(s, s, ["key"], "ts", "ts", 0, 60)
