@@ -1,0 +1,219 @@
+"""Persisted MinHash signature index — the incremental-dedup artifact.
+
+``dedup_against_corpus`` (dedup.py) recomputes the corpus's
+fingerprints and MinHash signatures on every ingest; its docstring
+notes that in production those are a build artifact maintained
+incrementally. This module IS that artifact: a parquet-backed index
+holding, per kept document,
+
+- ``fp``       — md5 content fingerprint (exact-dup tier),
+- ``signature``— MinHash signature array (LSH candidate tier),
+- ``sh``       — xxhash64'd distinct word shingles (exact-Jaccard
+                 rerank WITHOUT the original text: Jaccard over
+                 distinct 64-bit shingle hashes equals Jaccard over
+                 the shingle strings up to hash collisions — the same
+                 trade ``ngram_jaccard_pairs`` already makes when it
+                 shuffles hashes instead of strings),
+
+plus a pre-exploded ``buckets`` table (band, bucket, id) so each
+ingest joins the batch's buckets straight against stored buckets —
+steady-state cost is O(|batch|) signature computation plus one
+equi-join against the index; the corpus text is never re-read.
+
+Layout & idempotency: each append writes ``docs/b{batch_id}`` and
+``buckets/b{batch_id}`` with OVERWRITE semantics — a foreachBatch
+retry of the same batch_id rewrites the same directories instead of
+duplicating rows (the exactly-once pattern for streaming ingest).
+Readers list batch directories through the Hadoop FS API. Every
+shuffle key in the dedup path is an 8-byte hash. At 100 TB the batch
+directories would graduate to a single bucketed table (band, bucket
+as the bucketing key — sources/layout.py) compacted periodically
+(sources/maintenance.py), which this per-batch layout is the
+append-friendly precursor of; Spark's multi-root partition discovery
+rules out partitionBy inside per-batch dirs, so band stays a plain
+column here.
+
+Reference analogue: the TTL'd verdict cache as a persistent lookup
+artifact (src/services/externalData.ts:191-224) — here the "cache" is
+the corpus's similarity structure rather than per-entity verdicts.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark import fs
+from cdc_makanmana_spark.functions.text import doc_fingerprint
+from cdc_makanmana_spark.operators.dedup import (
+    _band_buckets,
+    _drop_blank_text,
+    _materialize,
+    _spread,
+    minhash_signatures,
+    word_shingles,
+)
+
+_META = "_index_meta.json"
+
+
+def _shingle_hashes(text_col, shingle_n: int):
+    return F.transform(word_shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+
+
+class SignatureIndex:
+    """Incrementally maintained dedup index over a growing corpus.
+
+    Parameters are pinned in a sidecar on first use; reopening with
+    different parameters raises (mixed-parameter signatures silently
+    stop matching — fail loudly instead).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        num_hashes: int = 32,
+        bands: int = 16,
+        shingle_n: int = 3,
+    ):
+        if num_hashes % bands != 0:
+            raise ValueError(f"num_hashes ({num_hashes}) must divide into bands ({bands})")
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.shingle_n = shingle_n
+        params = {
+            "text_col": text_col,
+            "id_col": id_col,
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "shingle_n": shingle_n,
+        }
+        raw = fs.read_text(spark, f"{self.path}/{_META}")
+        if raw is None:
+            fs.mkdirs(spark, self.path)
+            fs.write_text(spark, f"{self.path}/{_META}", json.dumps(params))
+        elif json.loads(raw) != params:
+            raise ValueError(
+                f"SignatureIndex at {self.path} was built with {json.loads(raw)}, "
+                f"reopened with {params}; signatures would not match"
+            )
+
+    # ---- storage ----------------------------------------------------------
+
+    def _batch_names(self, sub: str) -> list[str]:
+        root = f"{self.path}/{sub}"
+        if not fs.exists(self.spark, root):
+            return []
+        return sorted(
+            n for n in fs.list_names(self.spark, root, dirs_only=True) if n.startswith("b")
+        )
+
+    def _read(self, sub: str) -> DataFrame | None:
+        names = self._batch_names(sub)
+        if not names:
+            return None
+        return self.spark.read.parquet(*[f"{self.path}/{sub}/{n}" for n in names])
+
+    def docs(self) -> DataFrame | None:
+        """(id, fp, signature, sh) for every indexed doc, or None."""
+        return self._read("docs")
+
+    def buckets(self) -> DataFrame | None:
+        """(band, bucket, id) LSH postings, or None."""
+        return self._read("buckets")
+
+    # ---- writes -----------------------------------------------------------
+
+    def _entries(self, df: DataFrame) -> DataFrame:
+        """Per-doc index rows. ``fp`` covers every row (NULL text →
+        NULL fp, matching the operator blank policy); signature and
+        shingle hashes exist only for non-blank texts."""
+        ids = df.select(
+            F.col(self.id_col).alias("id"),
+            doc_fingerprint(F.col(self.text_col)).alias("fp"),
+        )
+        sig = minhash_signatures(
+            _spread(df), self.text_col, self.id_col, self.num_hashes, self.shingle_n
+        ).select(F.col("__id").alias("id"), "signature")
+        sh = _drop_blank_text(df, self.text_col).select(
+            F.col(self.id_col).alias("id"),
+            _shingle_hashes(F.col(self.text_col), self.shingle_n).alias("sh"),
+        )
+        return ids.join(sig, "id", "left").join(sh, "id", "left")
+
+    def append(self, df: DataFrame, batch_id: int) -> None:
+        """Index ``df``'s docs under ``batch_id``. Overwrite semantics
+        per batch directory: retrying the same batch_id is idempotent."""
+        entries = _materialize(self._entries(df))
+        entries.write.mode("overwrite").parquet(f"{self.path}/docs/b{batch_id}")
+        rows_per_band = self.num_hashes // self.bands
+        buckets = _band_buckets(
+            entries.filter(F.col("signature").isNotNull()).select(
+                F.col("id").alias("__id"), "signature"
+            ),
+            self.bands,
+            rows_per_band,
+        ).select("band", "bucket", F.col("__id").alias("id"))
+        buckets.write.mode("overwrite").parquet(f"{self.path}/buckets/b{batch_id}")
+
+    # ---- the ingest-side dedup -------------------------------------------
+
+    def dedup_batch(self, batch: DataFrame, threshold: float = 0.8) -> DataFrame:
+        """Batch rows that survive against the INDEX (exact fingerprint
+        tier, then LSH candidates + exact Jaccard over stored shingle
+        hashes). The corpus's text is never touched — only its stored
+        signatures. Same semantics as ``dedup_against_corpus`` minus
+        the corpus recompute; within-batch duplicates survive (dedup
+        the batch separately if ingest order matters)."""
+        docs = self.docs()
+        if docs is None:
+            return batch
+        fp = doc_fingerprint(F.col(self.text_col))
+        known_fp = docs.select("fp").filter(F.col("fp").isNotNull()).distinct()
+        survivors = (
+            batch.withColumn("__fp", fp)
+            .join(known_fp.withColumnRenamed("fp", "__fp"), "__fp", "left_anti")
+            .drop("__fp")
+        )
+        bsig = _materialize(
+            minhash_signatures(
+                _spread(survivors), self.text_col, self.id_col,
+                self.num_hashes, self.shingle_n,
+            )
+        )
+        rows_per_band = self.num_hashes // self.bands
+        bb = _band_buckets(bsig, self.bands, rows_per_band).select(
+            F.col("__id").alias("__bid"), "band", "bucket"
+        )
+        ib = self.buckets().select("band", "bucket", F.col("id").alias("__cid"))
+        cand = (
+            bb.join(ib, ["band", "bucket"])
+            .select("__bid", "__cid")
+            .dropDuplicates(["__bid", "__cid"])
+        )
+        sh_b = _drop_blank_text(survivors, self.text_col).select(
+            F.col(self.id_col).alias("__bid"),
+            _shingle_hashes(F.col(self.text_col), self.shingle_n).alias("__shb"),
+        )
+        sh_c = docs.filter(F.col("sh").isNotNull()).select(
+            F.col("id").alias("__cid"), F.col("sh").alias("__shc")
+        )
+        inter = F.size(F.array_intersect("__shb", "__shc")).cast("double")
+        drop = (
+            cand.join(sh_b, "__bid")
+            .join(sh_c, "__cid")
+            .withColumn("__j", inter / (F.size("__shb") + F.size("__shc") - inter))
+            .filter(F.col("__j") >= threshold)
+            .select(F.col("__bid").alias(self.id_col))
+            .distinct()
+        )
+        return survivors.join(drop, self.id_col, "left_anti")

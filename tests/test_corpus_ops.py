@@ -250,3 +250,60 @@ class TestBM25:
         df = spark.createDataFrame([(1, None), (2, "  ")], "id long, text string")
         out = bm25_rank(df, ["scan"], "text", "id")
         assert out.count() == 0 and out.columns == ["id", "bm25"]
+
+
+class TestSignatureIndex:
+    A = "the first novel document about adaptive query execution in distributed engines"
+    B = "a second unrelated piece concerning columnar storage layouts and encodings"
+    C = "fresh third content mentioning watermarks and state store eviction policies"
+
+    def test_incremental_dedup_matches_recompute_operator(self, spark, tmp_path):
+        """Index-backed dedup must agree with dedup_against_corpus on
+        the same corpus/batch — exact dups, near dups, novel docs."""
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        corpus = _docs(spark, [(1, self.A), (2, self.B)])
+        batch = _docs(
+            spark,
+            [
+                (3, self.A),                  # exact dup
+                (4, self.A + " postscript"),  # near dup
+                (5, self.C),                  # novel
+                (6, None),                    # blank survives
+            ],
+        )
+        idx = SignatureIndex(spark, str(tmp_path / "idx"), id_col="id")
+        idx.append(corpus, batch_id=0)
+        got = sorted(r["id"] for r in idx.dedup_batch(batch).collect())
+        twin = sorted(
+            r["id"] for r in dedup_against_corpus(batch, corpus, "text", "id").collect()
+        )
+        assert got == twin == [5, 6]
+
+    def test_append_grows_index_and_is_idempotent(self, spark, tmp_path):
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        idx = SignatureIndex(spark, str(tmp_path / "idx"), id_col="id")
+        idx.append(_docs(spark, [(1, self.A)]), batch_id=0)
+        # batch 2 survivor C gets appended; a later near-dup of C dies
+        b2 = idx.dedup_batch(_docs(spark, [(7, self.C)]))
+        assert [r["id"] for r in b2.collect()] == [7]
+        idx.append(b2, batch_id=1)
+        idx.append(b2, batch_id=1)  # retry of the same micro-batch
+        assert idx.docs().count() == 2  # no duplicate index rows
+        b3 = idx.dedup_batch(_docs(spark, [(8, self.C + " addendum"), (9, self.B)]))
+        assert sorted(r["id"] for r in b3.collect()) == [9]
+
+    def test_empty_index_passes_batch_through(self, spark, tmp_path):
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        idx = SignatureIndex(spark, str(tmp_path / "idx"), id_col="id")
+        batch = _docs(spark, [(1, self.A)])
+        assert idx.dedup_batch(batch).count() == 1
+
+    def test_parameter_mismatch_raises(self, spark, tmp_path):
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        SignatureIndex(spark, str(tmp_path / "idx"), id_col="id", num_hashes=32)
+        with pytest.raises(ValueError, match="was built with"):
+            SignatureIndex(spark, str(tmp_path / "idx"), id_col="id", num_hashes=64)

@@ -510,3 +510,59 @@ def test_stream_stream_join_refuses_colliding_columns(spark, tmp_path):
     ).json(str(tmp_path / "src"))
     with pytest.raises(ValueError, match="re-uses left column names"):
         stream_stream_interval_join(s, s, ["key"], "ts", "ts", 0, 60)
+
+
+def test_streaming_ingest_with_signature_index(spark, tmp_path):
+    """Steady-state ingest: each micro-batch dedups against the
+    PERSISTED signature index (no corpus recompute, corpus text never
+    re-read), survivors land AND index themselves under the batch_id —
+    same end state as the recompute-based pipeline above."""
+    from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+    doc_schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    A = "the first novel document about adaptive query execution in distributed engines"
+    B = "a second unrelated piece concerning columnar storage layouts and encodings"
+    C = "fresh third content mentioning watermarks and state store eviction policies"
+
+    idx = SignatureIndex(spark, str(tmp_path / "sigidx"))
+
+    def ingest(batch_df, batch_id):
+        keep = idx.dedup_batch(batch_df)
+        keep.write.mode("append").parquet(corpus)
+        idx.append(keep, batch_id)
+
+    def run_once():
+        q = (
+            spark.readStream.schema(doc_schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _land(src, "b1.jsonl", [{"doc_id": 1, "text": A}, {"doc_id": 2, "text": B}])
+    run_once()
+    _land(src, "b2.jsonl", [
+        {"doc_id": 3, "text": A},                 # exact dup of landed 1
+        {"doc_id": 4, "text": A + " postscript"}, # near dup of landed 1
+        {"doc_id": 5, "text": C},                 # novel
+    ])
+    run_once()
+    _land(src, "b3.jsonl", [
+        {"doc_id": 6, "text": C},                 # exact dup of batch-2 survivor
+        {"doc_id": 7, "text": B + " addendum"},   # near dup of landed 2
+    ])
+    run_once()
+
+    landed = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert landed == [1, 2, 5]
+    assert idx.docs().count() == 3  # index tracked exactly the survivors
