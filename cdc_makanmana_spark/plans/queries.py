@@ -2702,6 +2702,73 @@ def q60_user_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q61_BITS = 8
+_Q61_BANDS = 4
+_Q61_SEED = 42
+_Q61_THRESHOLD = 0.4  # fixture vectors top out at cos ≈ 0.51 (see q35)
+
+
+def _q61_oracle() -> str:
+    """Replay the banded hyperplane-LSH candidate generation with the
+    SAME literal planes and derived band seeds as the operator, so the
+    oracle checks the whole path (per-band sign signatures, OR-of-bands
+    bucket join, pair dedup, exact cosine rerank) — the q27 oracle's
+    transcription approach, extended to the pair-generation shape."""
+    from cdc_makanmana_spark.operators.ann import _hyperplanes
+
+    band_selects = []
+    for bi in range(_Q61_BANDS):
+        planes = _hyperplanes(64, _Q61_BITS, _Q61_SEED + 1_000_003 * bi)
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(emb, {p!r}::DOUBLE[]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        band_selects.append(f"SELECT vec_id, {bi} AS band, {terms} AS sig FROM e")
+    union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    s AS ({union}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
+                              AND a.vec_id < b.vec_id),
+    scored AS (
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(ea.emb, eb.emb)
+               / (sqrt(list_dot_product(ea.emb, ea.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine_sim
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b)
+    SELECT * FROM scored WHERE cosine_sim >= {_Q61_THRESHOLD}
+    """
+
+
+@query("q61_embedding_lsh_neardup", _q61_oracle())
+def q61_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via BANDED hyperplane LSH — the
+    blocking-free tier of the embedding dedup ladder (q35 blocks on an
+    attribute, q48 on attribute × quantizer cell; this one needs no
+    attribute at all): vectors sharing a full sign-signature in ANY of
+    the bands become candidates, exact cosine confirms. Recall is the
+    banding amplification 1-(1-p^bits)^bands; the oracle replays the
+    identical candidate generation, so the hash checks the LSH path
+    itself, not just the rerank. Scale shape: shuffle key is the
+    8-byte (band, signature) pair, candidates dedup before the rerank,
+    never O(n²)."""
+    from cdc_makanmana_spark.operators.ann import embedding_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        e,
+        threshold=_Q61_THRESHOLD,
+        bits=_Q61_BITS,
+        bands=_Q61_BANDS,
+        dim=64,
+        seed=_Q61_SEED,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

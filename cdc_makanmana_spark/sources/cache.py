@@ -118,12 +118,34 @@ class SnapshotCache:
                 fs.delete(self.spark, f"{self.path}/v{stale}", recursive=True)
         return n
 
-    def load(self) -> DataFrame:
-        """Read the cached snapshot (S4); raises if never committed."""
+    def load(self, version: int | None = None) -> DataFrame:
+        """Read the cached snapshot (S4); raises if never committed.
+
+        ``version`` time-travels to a specific committed snapshot
+        (versions survive until pruned by subsequent saves — the same
+        read-your-history lever a transaction-log table format sells).
+        Raises ``FileNotFoundError`` for a missing or torn
+        (uncommitted) version."""
+        if version is not None:
+            candidate = f"{self.path}/v{version}"
+            if not fs.is_committed(self.spark, candidate):
+                raise FileNotFoundError(
+                    f"no committed snapshot v{version} under {self.path} "
+                    f"(committed: {self.versions()})"
+                )
+            return self.spark.read.parquet(candidate)
         current = self._current_path()
         if current is None:
             raise FileNotFoundError(f"no committed snapshot under {self.path}")
         return self.spark.read.parquet(current)
+
+    def versions(self) -> list[int]:
+        """Committed snapshot versions available for time travel."""
+        return [
+            n
+            for n in self._version_numbers()
+            if fs.is_committed(self.spark, f"{self.path}/v{n}")
+        ]
 
     def load_or_refresh(self, refresh, now_s: float | None = None) -> DataFrame:
         """Stale-while-revalidate entry (T6/EP2): serve the fresh

@@ -629,3 +629,20 @@ def test_read_text_corpus_line_mode(spark, tmp_path):
     # distinct lines never collide
     assert len(ids["line one"]) == 1
     assert ids["line one"] != ids["line two"]
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """load(version=N) reads a specific committed snapshot while it
+    survives the keep-window; torn/pruned versions raise."""
+    from cdc_makanmana_spark.sources import SnapshotCache
+
+    cache = SnapshotCache(spark, str(tmp_path / "snap"), data_version="v1")
+    cache.save(spark.createDataFrame([(1, "a", 0.0, True)], SCHEMA), now_s=1.0)
+    cache.save(spark.createDataFrame([(2, "b", 0.0, True)], SCHEMA), now_s=2.0)
+    assert cache.versions() == [1, 2]
+    assert cache.load(version=1).collect()[0][0] == 1
+    assert cache.load().collect()[0][0] == 2  # default = newest
+    cache.save(spark.createDataFrame([(3, "c", 0.0, True)], SCHEMA), now_s=3.0)
+    assert cache.versions() == [2, 3]  # v1 swept by the keep-window
+    with pytest.raises(FileNotFoundError, match="no committed snapshot v1"):
+        cache.load(version=1)
