@@ -145,8 +145,21 @@ def read_media_dir(
         .load(path)
         .select(
             F.xxhash64("path").alias("media_id"),
-            F.lower(F.element_at(F.split("path", r"\."), -1)).alias("__ext"),
+            # extension of the BASENAME — splitting the whole URI on '.'
+            # would leak path fragments into meta.codec for dot-less
+            # filenames or dotted directory names
+            F.element_at(F.split("path", "/"), -1).alias("__base"),
             F.col("content").alias("payload"),
+        )
+        .select(
+            "media_id",
+            F.when(
+                F.col("__base").contains("."),
+                F.lower(F.element_at(F.split("__base", r"\."), -1)),
+            )
+            .otherwise(F.lit(""))
+            .alias("__ext"),
+            "payload",
         )
     )
 

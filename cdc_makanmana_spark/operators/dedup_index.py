@@ -21,9 +21,13 @@ steady-state cost is O(|batch|) signature computation plus one
 equi-join against the index; the corpus text is never re-read.
 
 Layout & idempotency: each append writes ``docs/b{batch_id}`` and
-``buckets/b{batch_id}`` with OVERWRITE semantics — a foreachBatch
-retry of the same batch_id rewrites the same directories instead of
-duplicating rows (the exactly-once pattern for streaming ingest).
+``buckets/b{batch_id}`` WRITE-ONCE, commit-marked (buckets first,
+docs last — the docs marker is the batch's commit point, readers see
+committed dirs only). A foreachBatch retry of a committed batch is a
+no-op (rewriting it from the retry's re-dedup — which sees the
+batch's own rows — would wipe its entries); a retry of a crashed,
+uncommitted append overwrites the unmarked leftovers. ``ingest`` is
+the composed foreachBatch body with the recovery path.
 Readers list batch directories through the Hadoop FS API. Every
 shuffle key in the dedup path is an 8-byte hash. At 100 TB the batch
 directories would graduate to a single bucketed table (band, bucket
@@ -110,11 +114,16 @@ class SignatureIndex:
     # ---- storage ----------------------------------------------------------
 
     def _batch_names(self, sub: str) -> list[str]:
+        """COMMITTED batch dirs only — a crash mid-append leaves an
+        unmarked directory that must stay invisible to readers (same
+        reader rule as the versioned snapshot caches)."""
         root = f"{self.path}/{sub}"
         if not fs.exists(self.spark, root):
             return []
         return sorted(
-            n for n in fs.list_names(self.spark, root, dirs_only=True) if n.startswith("b")
+            n
+            for n in fs.list_names(self.spark, root, dirs_only=True)
+            if n.startswith("b") and fs.is_committed(self.spark, f"{root}/{n}")
         )
 
     def _read(self, sub: str) -> DataFrame | None:
@@ -150,11 +159,24 @@ class SignatureIndex:
         )
         return ids.join(sig, "id", "left").join(sh, "id", "left")
 
-    def append(self, df: DataFrame, batch_id: int) -> None:
-        """Index ``df``'s docs under ``batch_id``. Overwrite semantics
-        per batch directory: retrying the same batch_id is idempotent."""
-        entries = _materialize(self._entries(df))
-        entries.write.mode("overwrite").parquet(f"{self.path}/docs/b{batch_id}")
+    def _is_appended(self, batch_id: int) -> bool:
+        return fs.is_committed(self.spark, f"{self.path}/docs/b{batch_id}")
+
+    def append(self, df: DataFrame, batch_id: int, _entries: DataFrame | None = None) -> None:
+        """Index ``df``'s docs under ``batch_id``. WRITE-ONCE per
+        batch_id: if this batch already committed, the call is a no-op
+        — a retry must never rewrite a completed batch, because on the
+        retry the batch's own rows are already in the index, the
+        re-run dedup yields zero survivors, and an overwrite would
+        silently WIPE the batch's entries (every future duplicate of
+        them would then pass dedup). Write order is buckets → docs,
+        each marked after its write, so the docs marker is the batch's
+        commit point (docs committed ⇒ buckets committed); a crash
+        anywhere mid-append leaves only unmarked dirs, which readers
+        ignore and the retry overwrites."""
+        if self._is_appended(batch_id):
+            return
+        entries = _materialize(self._entries(df)) if _entries is None else _entries
         rows_per_band = self.num_hashes // self.bands
         buckets = _band_buckets(
             entries.filter(F.col("signature").isNotNull()).select(
@@ -163,20 +185,22 @@ class SignatureIndex:
             self.bands,
             rows_per_band,
         ).select("band", "bucket", F.col("__id").alias("id"))
-        buckets.write.mode("overwrite").parquet(f"{self.path}/buckets/b{batch_id}")
+        bdir = f"{self.path}/buckets/b{batch_id}"
+        ddir = f"{self.path}/docs/b{batch_id}"
+        buckets.write.mode("overwrite").parquet(bdir)
+        fs.mark_committed(self.spark, bdir)
+        entries.write.mode("overwrite").parquet(ddir)
+        fs.mark_committed(self.spark, ddir)
 
     # ---- the ingest-side dedup -------------------------------------------
 
-    def dedup_batch(self, batch: DataFrame, threshold: float = 0.8) -> DataFrame:
-        """Batch rows that survive against the INDEX (exact fingerprint
-        tier, then LSH candidates + exact Jaccard over stored shingle
-        hashes). The corpus's text is never touched — only its stored
-        signatures. Same semantics as ``dedup_against_corpus`` minus
-        the corpus recompute; within-batch duplicates survive (dedup
-        the batch separately if ingest order matters)."""
+    def _dedup(self, batch: DataFrame, threshold: float):
+        """(survivors, bsig) — bsig is the materialized survivor
+        signature table (None when the index is empty), reusable by
+        ``ingest`` so indexing never recomputes the MinHash pass."""
         docs = self.docs()
         if docs is None:
-            return batch
+            return batch, None
         fp = doc_fingerprint(F.col(self.text_col))
         known_fp = docs.select("fp").filter(F.col("fp").isNotNull()).distinct()
         survivors = (
@@ -190,13 +214,18 @@ class SignatureIndex:
                 self.num_hashes, self.shingle_n,
             )
         )
+        ib = self.buckets()
+        if ib is None:
+            return survivors, bsig
         rows_per_band = self.num_hashes // self.bands
         bb = _band_buckets(bsig, self.bands, rows_per_band).select(
             F.col("__id").alias("__bid"), "band", "bucket"
         )
-        ib = self.buckets().select("band", "bucket", F.col("id").alias("__cid"))
         cand = (
-            bb.join(ib, ["band", "bucket"])
+            bb.join(
+                ib.select("band", "bucket", F.col("id").alias("__cid")),
+                ["band", "bucket"],
+            )
             .select("__bid", "__cid")
             .dropDuplicates(["__bid", "__cid"])
         )
@@ -216,4 +245,56 @@ class SignatureIndex:
             .select(F.col("__bid").alias(self.id_col))
             .distinct()
         )
-        return survivors.join(drop, self.id_col, "left_anti")
+        return survivors.join(drop, self.id_col, "left_anti"), bsig
+
+    def dedup_batch(self, batch: DataFrame, threshold: float = 0.8) -> DataFrame:
+        """Batch rows that survive against the INDEX (exact fingerprint
+        tier, then LSH candidates + exact Jaccard over stored shingle
+        hashes). The corpus's text is never touched — only its stored
+        signatures. Same semantics as ``dedup_against_corpus`` minus
+        the corpus recompute; within-batch duplicates survive (dedup
+        the batch separately if ingest order matters)."""
+        return self._dedup(batch, threshold)[0]
+
+    def ingest(self, batch: DataFrame, batch_id: int, threshold: float = 0.8) -> DataFrame:
+        """The foreachBatch body: dedup ``batch`` against the index,
+        append the survivors' entries (REUSING the dedup pass's
+        signatures — the MinHash computation runs once per batch, not
+        twice), and return the materialized survivors for the caller's
+        corpus sink.
+
+        Retry contract: the index append is the batch's commit record.
+        A retry of an already-committed batch recovers the original
+        survivors from the stored entries instead of re-deduping (the
+        batch's own rows are in the index by then, so a re-dedup would
+        wrongly yield zero). Callers must make their OWN sink
+        idempotent per batch_id — e.g. overwrite a per-batch corpus
+        directory — since this method cannot transact across two
+        stores."""
+        if self._is_appended(batch_id):
+            kept = self.spark.read.parquet(f"{self.path}/docs/b{batch_id}").select(
+                F.col("id").alias(self.id_col)
+            )
+            return batch.join(kept, self.id_col, "left_semi")
+        survivors, bsig = self._dedup(batch, threshold)
+        survivors = _materialize(survivors)
+        if bsig is None:
+            entries = _materialize(self._entries(survivors))
+        else:
+            nonblank = F.col(self.text_col).isNotNull() & (
+                F.trim(F.col(self.text_col)) != ""
+            )
+            base = survivors.select(
+                F.col(self.id_col).alias("id"),
+                doc_fingerprint(F.col(self.text_col)).alias("fp"),
+                F.when(
+                    nonblank, _shingle_hashes(F.col(self.text_col), self.shingle_n)
+                ).alias("sh"),
+            )
+            entries = _materialize(
+                base.join(
+                    bsig.select(F.col("__id").alias("id"), "signature"), "id", "left"
+                )
+            )
+        self.append(survivors, batch_id, _entries=entries)
+        return survivors

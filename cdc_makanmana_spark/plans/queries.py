@@ -2252,8 +2252,11 @@ _Q50_ORACLE = r"""
 # one-time corpus indexing is paid on first call (min-of-3 reports the
 # served path). SignatureIndex.dedup_batch reranks over xxhash64'd
 # shingle sets — equal to the oracle's string-shingle Jaccard modulo
-# 64-bit hash collisions.
-_Q50_INDEX_CACHE: dict[str, object] = {}
+# 64-bit hash collisions. The cache stores the index PATH, not the
+# SignatureIndex object: the object pins the building SparkSession,
+# and serving a later session a handle on a stopped context is the
+# trap every other per-sf_dir cache here avoids by storing plain data.
+_Q50_INDEX_CACHE: dict[str, str] = {}
 
 
 @query("q50_dedup_incremental_batch", _Q50_ORACLE)
@@ -2270,20 +2273,20 @@ def q50_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
     batch = d.filter(F.pmod("doc_id", F.lit(4)) == 3)
-    idx = _Q50_INDEX_CACHE.get(sf_dir)
-    if idx is None:
+    path = _Q50_INDEX_CACHE.get(sf_dir)
+    if path is None:
         import tempfile
 
+        path = tempfile.mkdtemp(prefix="q50_sigidx_")
         idx = SignatureIndex(
-            spark,
-            tempfile.mkdtemp(prefix="q50_sigidx_"),
-            text_col="text",
-            id_col="doc_id",
-            num_hashes=32,
-            bands=16,
+            spark, path, text_col="text", id_col="doc_id", num_hashes=32, bands=16
         )
         idx.append(d.filter(F.pmod("doc_id", F.lit(4)) != 3), batch_id=0)
-        _Q50_INDEX_CACHE[sf_dir] = idx
+        _Q50_INDEX_CACHE[sf_dir] = path
+    else:
+        idx = SignatureIndex(
+            spark, path, text_col="text", id_col="doc_id", num_hashes=32, bands=16
+        )
     return idx.dedup_batch(batch, threshold=0.8).select("doc_id", "n_chars")
 
 
@@ -2546,22 +2549,21 @@ _Q56_ORACLE = (
 @query("q56_lang_source_pivot", _Q56_ORACLE)
 def q56_lang_source_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (long→wide rollup): per-source document counts with one
-    column per language. ``pivot`` with an explicit value list is one
-    hash aggregate — each partial agg carries |langs| counters per
-    source, merged map-side, so the shuffle moves 20 sources × 6
-    longs, not rows. Empty (source, lang) cells surface as NULL from
-    PivotFirst and are coalesced to 0 to match COUNT semantics."""
+    column per language, plus the row total — ONE hash aggregate of
+    conditional counts (exactly what ``groupBy().pivot(values)``
+    lowers to, fused with the ``n_docs`` total a pivot call can't
+    carry in the same pass — the API form would cost a second scan
+    and a join just for the total). Each partial agg carries |langs|+1
+    counters per source, merged map-side, so the shuffle moves 20
+    sources × 6 longs, not rows; COUNT of an empty cell is 0, no NULL
+    handling needed."""
     d = _t(spark, sf_dir, "documents")
-    wide = (
-        d.groupBy("source")
-        .pivot("lang", list(_Q56_LANGS))
-        .agg(F.count(F.lit(1)))
-    )
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return wide.join(counts, "source").select(
-        "source",
-        *[F.coalesce(F.col(lg), F.lit(0)).alias(lg) for lg in _Q56_LANGS],
-        "n_docs",
+    return d.groupBy("source").agg(
+        *[
+            F.count(F.when(F.col("lang") == lg, F.lit(1))).alias(lg)
+            for lg in _Q56_LANGS
+        ],
+        F.count(F.lit(1)).alias("n_docs"),
     )
 
 

@@ -307,3 +307,48 @@ class TestSignatureIndex:
         SignatureIndex(spark, str(tmp_path / "idx"), id_col="id", num_hashes=32)
         with pytest.raises(ValueError, match="was built with"):
             SignatureIndex(spark, str(tmp_path / "idx"), id_col="id", num_hashes=64)
+
+    def test_completed_batch_retry_never_wipes_index(self, spark, tmp_path):
+        """The composed foreachBatch retry: after a COMPLETED ingest of
+        batch 1, re-running the same batch must (a) not wipe the
+        batch's index entries and (b) return the original survivors —
+        the re-run dedup sees the batch's own rows in the index, so a
+        naive re-dedup-and-overwrite would yield zero survivors and
+        empty the batch's directories."""
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        idx = SignatureIndex(spark, str(tmp_path / "idx"), id_col="id")
+        idx.append(_docs(spark, [(1, self.A)]), batch_id=0)
+        batch = _docs(spark, [(5, self.C), (6, self.A)])  # novel + dup
+        first = sorted(r["id"] for r in idx.ingest(batch, batch_id=1).collect())
+        assert first == [5]
+        # driver crashed before the streaming checkpoint committed;
+        # Spark re-runs batch 1 verbatim
+        retry = sorted(r["id"] for r in idx.ingest(batch, batch_id=1).collect())
+        assert retry == [5]                       # original survivors recovered
+        assert idx.docs().count() == 2            # batch 1's entry still indexed
+        # future dups of the batch-1 survivor still die
+        later = idx.ingest(_docs(spark, [(9, self.C + " tail")]), batch_id=2)
+        assert later.count() == 0
+
+    def test_ingest_computes_minhash_once_and_matches_two_step(self, spark, tmp_path):
+        """ingest == dedup_batch + append in one pass; the resulting
+        index state must be equivalent (same docs, same postings)."""
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        a = SignatureIndex(spark, str(tmp_path / "a"), id_col="id")
+        b = SignatureIndex(spark, str(tmp_path / "b"), id_col="id")
+        corpus = _docs(spark, [(1, self.A), (2, self.B)])
+        a.append(corpus, batch_id=0)
+        b.append(corpus, batch_id=0)
+        batch = _docs(spark, [(5, self.C), (6, self.A), (7, None)])
+        got = sorted(r["id"] for r in a.ingest(batch, batch_id=1).collect())
+        keep = b.dedup_batch(batch)
+        b.append(keep, batch_id=1)
+        assert got == sorted(r["id"] for r in keep.collect()) == [5, 7]
+        rows_a = sorted(map(tuple, a.docs().select("id", "fp").collect()))
+        rows_b = sorted(map(tuple, b.docs().select("id", "fp").collect()))
+        assert rows_a == rows_b
+        pa = sorted(map(tuple, a.buckets().collect()))
+        pb = sorted(map(tuple, b.buckets().collect()))
+        assert pa == pb

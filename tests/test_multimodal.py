@@ -157,15 +157,18 @@ def test_read_media_dir_from_files(spark, tmp_path):
     )
     (d / "blob.xyz").write_bytes(b"\x00\x01\x02")
     (d / "bad.ppm").write_bytes(b"P6 not really")
+    (d / "README").write_bytes(b"dotless filename")
 
     media = read_media_dir(spark, str(d))
     rows = {r["meta"]["codec"]: r for r in media.collect()}
+    # dot-less basename: empty-extension opaque binary, never a path leak
+    assert rows[""]["kind"] == "binary"
     assert rows["ppm"]["kind"] == "image"
     assert (rows["ppm"]["meta"]["width"], rows["ppm"]["meta"]["height"]) == (7, 5)
     assert rows["pcm16"]["kind"] == "audio"
     assert rows["xyz"]["kind"] == "binary"
     assert rows["corrupt-ppm"]["kind"] == "binary"  # quarantined, not crashed
-    assert len({r["media_id"] for r in rows.values()}) == 4
+    assert len({r["media_id"] for r in rows.values()}) == 5
 
     feats = decode_image_features(media.filter(F.col("kind") == "image")).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8

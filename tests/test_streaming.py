@@ -513,10 +513,12 @@ def test_stream_stream_join_refuses_colliding_columns(spark, tmp_path):
 
 
 def test_streaming_ingest_with_signature_index(spark, tmp_path):
-    """Steady-state ingest: each micro-batch dedups against the
-    PERSISTED signature index (no corpus recompute, corpus text never
-    re-read), survivors land AND index themselves under the batch_id —
-    same end state as the recompute-based pipeline above."""
+    """Steady-state ingest via the composed ``ingest`` body: each
+    micro-batch dedups against the PERSISTED signature index (no
+    corpus recompute, corpus text never re-read, MinHash computed once
+    per batch), survivors land in a PER-BATCH corpus dir (the caller's
+    half of the idempotency contract) and index themselves under the
+    batch_id — same end state as the recompute-based pipeline above."""
     from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
 
     doc_schema = StructType(
@@ -533,9 +535,10 @@ def test_streaming_ingest_with_signature_index(spark, tmp_path):
     idx = SignatureIndex(spark, str(tmp_path / "sigidx"))
 
     def ingest(batch_df, batch_id):
-        keep = idx.dedup_batch(batch_df)
-        keep.write.mode("append").parquet(corpus)
-        idx.append(keep, batch_id)
+        keep = idx.ingest(batch_df, batch_id)
+        # overwrite a per-batch dir: a foreachBatch retry rewrites the
+        # same dir instead of appending duplicate corpus rows
+        keep.write.mode("overwrite").parquet(f"{corpus}/b{batch_id}")
 
     def run_once():
         q = (
@@ -563,6 +566,8 @@ def test_streaming_ingest_with_signature_index(spark, tmp_path):
     ])
     run_once()
 
-    landed = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    landed = sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{corpus}/b*").collect()
+    )
     assert landed == [1, 2, 5]
     assert idx.docs().count() == 3  # index tracked exactly the survivors
