@@ -348,3 +348,66 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=out_schema)
+
+
+AHASH_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("ahash", LongType())]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """64-bit average-hash perceptual signature per image: decode →
+    luminance → nearest-neighbor downsample to ``grid``×``grid`` →
+    bit i set iff cell i's luminance exceeds the grid mean. Small
+    edits (noise, re-encode, minor crops) flip few bits, so
+    near-duplicate images sit within a small Hamming distance — the
+    image analogue of text SimHash, and deliberately the same 64-bit
+    shape so ``operators.dedup.hamming_pairs`` consumes it unchanged.
+
+    PPM payloads take the real kernel path; codec-requiring formats
+    fall back to the deterministic stub vector's bits (honest stand-in
+    until a codec lib is swapped in — the pipeline contract is the
+    point). Runs as one Arrow-batched ``mapInPandas``; payloads never
+    visit the driver."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def one(p: bytes, m: dict) -> int:
+        if m["codec"] == "ppm":
+            arr = kernels.decode_ppm(p)
+            lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
+        else:
+            feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)
+            lum = np.asarray(feats, dtype=np.float64).reshape(grid, grid)
+        bits = (lum > lum.mean()).flatten()
+        h = 0
+        for i, b in enumerate(bits[:64]):
+            if b:
+                h |= 1 << i
+        # two's-complement into a signed 64-bit long for the LongType col
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": [
+                        one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+def image_near_duplicates(media: DataFrame, max_distance: int = 6) -> DataFrame:
+    """Near-duplicate image pairs: perceptual aHash + the text ladder's
+    Hamming pair machinery (value-grouped, combination-blocked,
+    complete recall within ``max_distance``). Returns
+    (id_a, id_b, hamming), id_a < id_b — multimodal dedup riding the
+    exact same scale path as q25's SimHash tier."""
+    from cdc_makanmana_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(image_ahash(media), "ahash", "media_id", max_distance)

@@ -502,9 +502,27 @@ def simhash_hamming_pairs(
     the declared q25 hash-diffs it against that oracle. Returns
     (id_a, id_b, hamming), id_a < id_b.
     """
+    sigs = simhash_buckets(df, text_col, id_col, bits, token_hash)
+    return hamming_pairs(sigs, "simhash", "__id", max_distance, bits)
+
+
+def hamming_pairs(
+    df: DataFrame,
+    sig_col: str,
+    id_col: str,
+    max_distance: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """All id pairs whose integer signatures are within
+    ``max_distance`` Hamming distance — the signature-agnostic core of
+    ``simhash_hamming_pairs`` (same value-grouping + 3-chunk
+    combination blocking, complete recall by pigeonhole), reusable for
+    ANY 64-bit locality-preserving signature: text SimHash, image
+    perceptual hashes (multimodal/binary.py ``image_ahash``), audio
+    fingerprints. Returns (id_a, id_b, hamming), id_a < id_b."""
     if not 1 <= max_distance <= 8:
         raise ValueError("max_distance must be in [1, 8]")
-    sigs = simhash_buckets(df, text_col, id_col, bits, token_hash)
+    sigs = df.select(F.col(sig_col).alias("simhash"), F.col(id_col).alias("__id"))
     groups = _materialize(
         sigs.groupBy("simhash").agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
     )

@@ -174,3 +174,69 @@ def test_read_media_dir_from_files(spark, tmp_path):
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8
     # red-dominant image: first channel-mean feature ~200/255
     assert abs(feats[0]["feature"][0] - 200 / 255) < 0.02
+
+
+def test_image_ahash_near_duplicates(spark):
+    """Perceptual-hash dedup: a lightly-noised re-encode of an image
+    must pair with its original at small Hamming distance; a
+    structurally different image must not."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+    from cdc_makanmana_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        image_ahash,
+        image_near_duplicates,
+    )
+
+    yy, xx = np.mgrid[0:40, 0:40]
+    base = np.stack([xx * 6, yy * 6, (xx + yy) * 3], axis=2).astype(np.uint8)
+    noisy = base.copy()
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 40, (10, 2))
+    for r, c in idx:  # touch 10 of 1600 pixels
+        noisy[r, c] = 255 - noisy[r, c]
+    different = base[::-1, ::-1].copy()  # 180° rotation — different layout
+    rows = [
+        (1, "image", bytearray(kernels.encode_ppm(base)), ("ppm", 40, 40, 1)),
+        (2, "image", bytearray(kernels.encode_ppm(noisy)), ("ppm", 40, 40, 1)),
+        (3, "image", bytearray(kernels.encode_ppm(different)), ("ppm", 40, 40, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert len(hashes) == 3
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_duplicates(media, max_distance=6).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 3
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hamming_pairs_matches_bruteforce(spark):
+    """The signature-agnostic pair core: complete recall within the
+    distance bound on arbitrary 64-bit values, including identical
+    signatures and sign-bit (negative long) values."""
+    from itertools import combinations
+
+    from cdc_makanmana_spark.operators.dedup import hamming_pairs
+
+    vals = [
+        0, 1, 3, 7, (1 << 63) - 1, -(1 << 63), -(1 << 63) + 5, -1, -9,
+        0x0F0F0F0F0F0F0F0F, 0x0F0F0F0F0F0F0F0E, 42, 42,
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, sig long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_pairs(df, "sig", "id", max_distance=3).collect()
+    }
+    expect = {}
+    for (i, a), (j, b) in combinations(enumerate(vals), 2):
+        d = bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
+        if d <= 3:
+            expect[(min(i, j), max(i, j))] = d
+    assert got == expect
