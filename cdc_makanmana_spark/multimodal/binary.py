@@ -411,3 +411,58 @@ def image_near_duplicates(media: DataFrame, max_distance: int = 6) -> DataFrame:
     from cdc_makanmana_spark.operators.dedup import hamming_pairs
 
     return hamming_pairs(image_ahash(media), "ahash", "media_id", max_distance)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("afp", LongType())]
+)
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """64-bit spectral fingerprint per audio row (kernels.
+    audio_fingerprint_bits — log-band energy-difference signs, the
+    Haitsma-Kalker shape): level-invariant, noise-tolerant, and the
+    same 64-bit signature contract as ``image_ahash``/text SimHash, so
+    ``hamming_pairs`` consumes it unchanged. PCM16 decodes for real;
+    codec formats take the stub bits."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def one(p: bytes, m: dict) -> int:
+        if m["codec"] == "pcm16":
+            samples, rate = kernels.decode_wav_pcm16(p)
+            h = kernels.audio_fingerprint_bits(samples, rate)
+        else:
+            feats = _decode_stub(p, m["width"], m["height"], dim=32)
+            h = 0
+            for i, f in enumerate(feats[:32]):
+                if f > 0.5:
+                    h |= 1 << i
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "afp": [
+                        one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])
+                    ],
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+def audio_near_duplicates(media: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs via spectral fingerprints + the
+    shared Hamming pair core. Returns (id_a, id_b, hamming). Note the
+    threshold semantics: the fingerprint is a SPARSE band bitmap for
+    tonal content (few active bands), so even disjoint content can sit
+    within ~2x the active-band count — pick max_distance well below
+    that (the default suits a handful of active bands; spectrally
+    dense audio tolerates larger thresholds)."""
+    from cdc_makanmana_spark.operators.dedup import hamming_pairs
+
+    return hamming_pairs(audio_fingerprint(media), "afp", "media_id", max_distance)

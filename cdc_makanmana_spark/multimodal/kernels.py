@@ -127,3 +127,32 @@ def audio_features(samples: np.ndarray, rate: int) -> list[float]:
     spec[0] = 0.0  # ignore DC
     dom = float(np.argmax(spec) * rate / n)
     return [n / rate, rms, zcr, dom]
+
+
+def audio_fingerprint_bits(samples: np.ndarray, rate: int, n_bands: int = 64) -> int:
+    """64-bit spectral fingerprint: power in ``n_bands`` log-spaced
+    frequency bands; bit i = band i's energy exceeds the across-band
+    MEAN. The mean threshold (not the Haitsma-Kalker adjacent-band
+    difference, whose sign is a coin flip between noise-floor bands)
+    is gain-invariant — scaling the signal scales both sides — and
+    stable under additive noise: content bands sit orders of magnitude
+    above the energy mean, noise bands far below, so near-identical
+    clips differ in few bits while different tonal content moves which
+    bands carry the energy. Returns an unsigned 64-bit int."""
+    n = len(samples)
+    if n == 0:
+        return 0
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    lo, hi = 50.0, max(rate / 2.0 * 0.9, 100.0)
+    edges = np.geomspace(lo, hi, n_bands + 1)
+    energy = np.empty(n_bands)
+    for b in range(n_bands):
+        mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        energy[b] = spec[mask].sum() if mask.any() else 0.0
+    thresh = energy.mean()
+    h = 0
+    for i in range(min(64, n_bands)):
+        if energy[i] > thresh:
+            h |= 1 << i
+    return h

@@ -240,3 +240,39 @@ def test_hamming_pairs_matches_bruteforce(spark):
         if d <= 3:
             expect[(min(i, j), max(i, j))] = d
     assert got == expect
+
+
+def test_audio_fingerprint_near_duplicates(spark):
+    """Spectral-fingerprint dedup: the same tone mix re-recorded with
+    different low-level noise (and different gain) pairs at small
+    Hamming distance; different tonal content does not."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+    from cdc_makanmana_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        audio_near_duplicates,
+    )
+
+    rate = 8000
+    t = np.arange(rate) / rate
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 950 * t)
+    rng = np.random.default_rng(11)
+    a = tone + 0.01 * rng.standard_normal(len(t))
+    b = 0.8 * tone + 0.01 * np.random.default_rng(12).standard_normal(len(t))
+    c = 0.5 * np.sin(2 * np.pi * 1800 * t) + 0.2 * np.sin(2 * np.pi * 300 * t)
+    rows = [
+        (1, "audio", bytearray(kernels.encode_wav_pcm16(a, rate)), ("pcm16", 0, 0, 1)),
+        (2, "audio", bytearray(kernels.encode_wav_pcm16(b, rate)), ("pcm16", 0, 0, 1)),
+        (3, "audio", bytearray(kernels.encode_wav_pcm16(c, rate)), ("pcm16", 0, 0, 1)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert len(fps) == 3
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_duplicates(media, max_distance=2).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
