@@ -354,3 +354,29 @@ def test_token_count_bpe_matches_python_reference(spark):
     assert got[5] == (0, 0) and got[6] == (0, 0)
     # whitespace counting differs where punctuation clusters
     assert got[1][1] == 2
+
+
+class TestObserveQC:
+    def test_counters_ride_the_action(self, spark, tmp_path):
+        """observe() metrics come back from the write itself — no
+        second scan — and count exactly the rows that flowed through."""
+        from cdc_makanmana_spark.observe import observe_qc
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, None), (3, "   "), (4, "data")],
+            "id long, text string",
+        )
+        observed, obs = observe_qc(df, text_col="text")
+        observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+        got = obs.get
+        assert got["n_rows"] == 4
+        assert got["n_blank_text"] == 2          # NULL and whitespace-only
+        assert got["n_text_chars"] == len("hello world") + 3 + len("data")
+
+    def test_counts_post_filter_rows_only(self, spark):
+        from cdc_makanmana_spark.observe import observe_qc
+
+        df = spark.range(100).filter("id % 2 = 0")
+        observed, obs = observe_qc(df, name="after_filter")
+        assert observed.count() == 50
+        assert obs.get["n_rows"] == 50
