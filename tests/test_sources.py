@@ -646,3 +646,67 @@ def test_snapshot_time_travel(spark, tmp_path):
     assert cache.versions() == [2, 3]  # v1 swept by the keep-window
     with pytest.raises(FileNotFoundError, match="no committed snapshot v1"):
         cache.load(version=1)
+
+
+def test_range_sorted_layout_enables_row_group_skipping(spark, tmp_path):
+    """The data-skipping property itself, asserted from the parquet
+    footers: after write_range_sorted each file's [min, max] range on
+    the sort column is (near-)disjoint and row-group stats are tight,
+    so a selective filter's scan skips most row groups — and the same
+    write WITHOUT the layout produces all-overlapping stats that can
+    skip nothing."""
+    import pyarrow.parquet as pq
+
+    from cdc_makanmana_spark.sources.layout import write_range_sorted
+
+    df = spark.range(0, 40_000).selectExpr(
+        "id", "cast(hash(id) % 10000 as long) as v"
+    )
+    good = str(tmp_path / "sorted")
+    bad = str(tmp_path / "unsorted")
+    write_range_sorted(df, good, ["v"], n_files=8)
+    df.repartition(8).write.mode("overwrite").parquet(bad)
+
+    def file_ranges(d):
+        import os
+
+        out = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == "v"
+                )
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            out.append((min(mins), max(maxs)))
+        return out
+
+    sorted_ranges = sorted(file_ranges(good))
+    unsorted_ranges = file_ranges(bad)
+
+    # disjoint (or touching) ranges in the sorted layout
+    for (lo1, hi1), (lo2, hi2) in zip(sorted_ranges, sorted_ranges[1:]):
+        assert hi1 <= lo2
+    # a point-range predicate overlaps exactly one sorted file's range
+    probe_lo, probe_hi = 100, 150
+    overlapping = [
+        1 for lo, hi in sorted_ranges if not (hi < probe_lo or lo > probe_hi)
+    ]
+    assert len(overlapping) <= 2
+    # the hash layout overlaps everywhere — nothing can skip
+    assert all(
+        not (hi < probe_lo or lo > probe_hi) for lo, hi in unsorted_ranges
+    )
+
+    # correctness: both layouts answer the query identically
+    q = lambda p: sorted(
+        r["id"]
+        for r in spark.read.parquet(p).filter(f"v between {probe_lo} and {probe_hi}").collect()
+    )
+    assert q(good) == q(bad)
