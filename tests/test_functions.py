@@ -380,3 +380,33 @@ class TestObserveQC:
         observed, obs = observe_qc(df, name="after_filter")
         assert observed.count() == 50
         assert obs.get["n_rows"] == 50
+
+
+class TestSentenceSplitUDTF:
+    def test_dataframe_and_sql_lateral(self, spark):
+        from cdc_makanmana_spark.functions.table_functions import (
+            SentenceSplit,
+            register_table_functions,
+        )
+
+        register_table_functions(spark)
+        spark.createDataFrame(
+            [
+                (1, "Dr. Smith arrived. He sat down! Was it 3.14? Yes..."),
+                (2, None),
+                (3, "One sentence without terminator"),
+            ],
+            "id long, text string",
+        ).createOrReplaceTempView("t_sent")
+        rows = spark.sql(
+            "SELECT t.id, s.idx, s.sentence FROM t_sent t, "
+            "LATERAL split_sentences(t.text) s ORDER BY t.id, s.idx"
+        ).collect()
+        got = [(r["id"], r["idx"], r["sentence"]) for r in rows]
+        assert got == [
+            (1, 0, "Dr. Smith arrived."),     # abbreviation did not split
+            (1, 1, "He sat down!"),
+            (1, 2, "Was it 3.14?"),           # decimal point did not split
+            (1, 3, "Yes..."),                 # terminator run swallowed
+            (3, 0, "One sentence without terminator"),
+        ]                                      # NULL text: no rows
