@@ -2794,6 +2794,122 @@ def q61_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q62_cohort_retention",
+    """
+    WITH f AS (SELECT user_id, min(ts::DATE) AS first_date
+               FROM events GROUP BY user_id)
+    SELECT datediff('day', DATE '2024-01-01', f.first_date) // 7 AS cohort_week,
+           datediff('day', f.first_date, e.ts::DATE) // 7 AS week_offset,
+           count(DISTINCT e.user_id) AS n_users,
+           count(*) AS n_events
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q62_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the activation-analytics shape: users
+    cohorted by first-activity week, activity bucketed by weeks-since-
+    cohort, counted per cell. Self-join-free: ONE tiny per-user
+    aggregate (|users| rows) joined back onto the fact table — AQE
+    broadcasts the aggregate side, so events shuffle only for the
+    final (cohort, offset) rollup. Week arithmetic stays in integer
+    day-diffs (div 7) — identical in both engines, no ISO-week or
+    timezone semantics to diverge on."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("first_date"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.expr("datediff(first_date, DATE '2024-01-01') div 7").alias(
+                "cohort_week"
+            ),
+            F.expr("datediff(d, first_date) div 7").alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "q63_event_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+      FROM events GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'view' AND e.ts > s1.t1 THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t2 THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id)
+    SELECT count(s1.t1) AS n_signup,
+           count(s2.t2) AS n_viewed_after,
+           count(s3.t3) AS n_purchased_after
+    FROM s1
+    JOIN s2 ON s1.user_id = s2.user_id
+    JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q63_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order funnel (signup → first view AFTER signup → first
+    purchase after that view): each stage is a per-user conditional-min
+    aggregate over events joined with the previous stage's timestamp —
+    three key-shuffles total, never a per-user sort or an event×event
+    self-join (the naive funnel query is quadratic per user). COUNT
+    over a nullable stage timestamp counts only converters, so the
+    final single row is the funnel. NULL comparisons drop
+    non-converters at each stage by SQL semantics — identical in both
+    engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "view") & (F.col("ts") > F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+    )
+    s3 = (
+        ev.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+    )
+    return (
+        s1.join(s2, "user_id")
+        .join(s3, "user_id")
+        .agg(
+            F.count("t1").alias("n_signup"),
+            F.count("t2").alias("n_viewed_after"),
+            F.count("t3").alias("n_purchased_after"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
