@@ -427,6 +427,7 @@ def embedding_near_duplicates(
     seed: int = 42,
     dim: int | None = None,
     bands: int = 1,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, LSH-blocked: vectors sharing an
     exact signature bucket in ANY band are candidates; exact cosine
@@ -446,6 +447,18 @@ def embedding_near_duplicates(
     pair candidates — each band's buckets shrink the same way), and
     pair dedup runs BEFORE the cosine rerank so each candidate pair is
     scored once.
+
+    ``max_bucket`` is the HOT-KEY CAP — the embedding twin of the text
+    ladder's ``max_shingle_df``: a dense near-identical cluster
+    concentrates thousands of vectors into the same signature bucket
+    in EVERY band, and its pair expansion is quadratic in cluster size
+    (measured: 3.3 s → 43 s for 10× organic data at bits=8). Buckets
+    over the cap are dropped before pairing; pairs living only inside
+    mega-buckets are lost — deliberately, because enumerating a dense
+    cluster's pairs is quadratic BY DEFINITION and the scale-correct
+    treatment of such clusters is cluster-level dedup (composite-block
+    q48 + connected-components keep-best), not pair output. None
+    disables the cap.
 
     ``dim`` (embedding dimensionality) comes from the argument or the
     vector column's schema metadata — see :func:`resolve_dim`; there is
@@ -468,6 +481,12 @@ def embedding_near_duplicates(
         F.col(vec_col).alias("__vec"),
         F.explode(F.array(*band_sigs)).alias("__bs"),
     )
+    if max_bucket is not None:
+        counts = sigs.groupBy("__bs").agg(F.count(F.lit(1)).alias("__bn"))
+        sigs = (
+            sigs.join(counts.filter(F.col("__bn") <= max_bucket), "__bs")
+            .drop("__bn")
+        )
     a = sigs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__bs")
     b = sigs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__bs")
     candidates = (

@@ -2731,6 +2731,13 @@ _Q61_BITS = 8
 _Q61_BANDS = 4
 _Q61_SEED = 42
 _Q61_THRESHOLD = 0.4  # fixture vectors top out at cos ≈ 0.51 (see q35)
+# hot-bucket cap (the embedding max_shingle_df): dense clusters
+# concentrate into few signature buckets whose pair expansion is
+# quadratic in cluster size — measured 3.3 s → 43 s for 10× organic
+# data without the cap. Sized above every sf0.01 bucket (measured max
+# 8 per band) so the fixture result is unchanged; at sf1 the dense
+# cluster buckets drop and the query stays linear (measured 4.4 s).
+_Q61_MAX_BUCKET = 64
 
 
 def _q61_oracle() -> str:
@@ -2753,7 +2760,9 @@ def _q61_oracle() -> str:
     union = " UNION ALL ".join(band_selects)
     return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-    s AS ({union}),
+    s0 AS ({union}),
+    s AS (SELECT * FROM s0
+          QUALIFY count(*) OVER (PARTITION BY band, sig) <= {_Q61_MAX_BUCKET}),
     cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
              FROM s a JOIN s b ON a.band = b.band AND a.sig = b.sig
                               AND a.vec_id < b.vec_id),
@@ -2777,10 +2786,12 @@ def q61_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute at all): vectors sharing a full sign-signature in ANY of
     the bands become candidates, exact cosine confirms. Recall is the
     banding amplification 1-(1-p^bits)^bands; the oracle replays the
-    identical candidate generation, so the hash checks the LSH path
-    itself, not just the rerank. Scale shape: shuffle key is the
-    8-byte (band, signature) pair, candidates dedup before the rerank,
-    never O(n²)."""
+    identical candidate generation INCLUDING the hot-bucket cap, so
+    the hash checks the LSH path itself, not just the rerank. Scale
+    shape: shuffle key is the 8-byte (band, signature) pair, buckets
+    above the cap drop before pairing (dense-cluster pair output is
+    quadratic by definition — that case belongs to q48 + cluster
+    keep-best), candidates dedup before the rerank, never O(n²)."""
     from cdc_makanmana_spark.operators.ann import embedding_near_duplicates
 
     e = _t(spark, sf_dir, "embeddings")
@@ -2791,6 +2802,7 @@ def q61_embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=_Q61_BANDS,
         dim=64,
         seed=_Q61_SEED,
+        max_bucket=_Q61_MAX_BUCKET,
     )
 
 
