@@ -2922,6 +2922,209 @@ def q63_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# q64-q67: chunking, corpus LM commonness, event transition matrix,
+# cluster-dedup survivors — the remaining training-pipeline prep stages.
+# ---------------------------------------------------------------------------
+
+_Q64_WINDOW = 64  # words per chunk
+_Q64_STRIDE = 48  # chunk start stride (overlap = window - stride = 16)
+
+_Q64_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    b AS (SELECT doc_id, w, len(w) AS n_words FROM d),
+    s AS (SELECT doc_id, w, n_words,
+                 unnest(range(1, n_words + 1, {_Q64_STRIDE})) AS st
+          FROM b)
+    SELECT doc_id,
+           (st - 1) // {_Q64_STRIDE} AS chunk_id,
+           len(w[st : st + {_Q64_WINDOW} - 1]) AS n_chunk_words,
+           array_to_string(w[st : st + {_Q64_WINDOW} - 1], ' ') AS chunk_text
+    FROM s
+    WHERE st = 1 OR st - {_Q64_STRIDE} + {_Q64_WINDOW} - 1 < n_words
+"""
+
+
+@query("q64_document_chunks", _Q64_ORACLE)
+def q64_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking (64-word chunks, stride 48 —
+    the RAG/context-window prep stage): chunk starts are a codegen
+    ``sequence(1, n_words, stride)`` explode, the chunk itself an
+    ``array_join(slice(...))`` — no Python, no shuffle at all (pure
+    per-row expansion; the plan is scan → generate → project, and at
+    100 TB it parallelizes per input split). A start past the previous
+    chunk's end-of-text is dropped (``st - stride + window - 1 <
+    n_words``) so tail chunks fully contained in their predecessor are
+    never emitted — deterministic, and replayed verbatim by the
+    oracle. Blank/NULL texts are dropped (the ladder's blank policy)."""
+    from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        d, "text", "doc_id", window=_Q64_WINDOW, stride=_Q64_STRIDE
+    )
+
+
+_Q65_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+    bi AS (
+      SELECT doc_id,
+             unnest([array_to_string(w[i:i+1], ' ')
+                     for i in range(1, greatest(len(w) - 1, 0) + 1)]) AS b
+      FROM d WHERE len(w) >= 2),
+    bh AS (SELECT doc_id, {{h}} AS h FROM bi),
+    wc AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS c FROM bh)
+    SELECT doc_id,
+           count(*)                               AS n_bigrams,
+           sum(c)::BIGINT                         AS sum_freq,
+           round(sum(c)::DOUBLE / count(*), 6)    AS avg_bigram_freq
+    FROM wc GROUP BY doc_id
+"""
+
+
+@query("q65_bigram_commonness", _Q65_ORACLE.format(h=_h64_sql("b")))
+def q65_bigram_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM commonness score (the CCNet-style statistical quality
+    signal without the external LM): each document's average corpus
+    frequency of its word bigrams — boilerplate scores high (its
+    bigrams appear everywhere), unusual/garbled text low. Join-free:
+    corpus frequencies come from ONE window count over the exploded
+    bigram frame partitioned by the 64-bit bigram hash (an 8-byte
+    shuffle key — the string never shuffles), then a per-doc rollup.
+    Two shuffles total, both map-side combinable or sort-based on
+    fixed-width keys. The score is an exact-integer sum divided once —
+    no FP accumulation-order noise for the oracle hash to trip on.
+    Hashing is md5-derived (``md5_hash64``) so DuckDB replays bit-
+    identically; a 64-bit collision would merge two bigrams' counts
+    identically in both engines."""
+    from cdc_makanmana_spark.operators.corpus import bigram_commonness
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_commonness(d, "text", "doc_id")
+
+
+@query(
+    "q66_event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events)
+    SELECT event_type AS from_type, nxt AS to_type, count(*) AS n_transitions
+    FROM s WHERE nxt IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q66_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix (Markov counts — the
+    behavioral-sequence shape that feeds both product analytics and
+    sequence-model training prep): per user, each event is paired with
+    its successor via ``lead`` over (ts, event_id) — the unique
+    sequence column makes intra-timestamp order deterministic in both
+    engines — then rolled up to (from, to) counts. One key shuffle for
+    the window, one tiny map-side-combinable agg on a |types|² result.
+    Never a self-join: the naive ``e1.ts < e2.ts`` pairing is
+    quadratic per user."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+_Q67_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    s0 AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
+      FROM d),
+    freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
+    s1 AS (
+      SELECT doc_id, list(s0.sh) AS sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
+      GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      WITH RECURSIVE r(id, anc) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, r.anc FROM r JOIN edges e ON e.src = r.id)
+      SELECT * FROM r),
+    comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE id <> component)
+    SELECT dd.source,
+           count(*)                                            AS n_docs,
+           count(*) - count(l.id)                              AS n_kept,
+           count(l.id)                                         AS n_dropped
+    FROM documents dd LEFT JOIN losers l ON dd.doc_id = l.id
+    GROUP BY dd.source
+"""
+
+
+@query("q67_cluster_dedup_report", _Q67_ORACLE)
+def q67_cluster_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level dedup impact report: q37's near-dup clusters
+    resolved to one survivor per cluster (``dedup_keep_best`` — min-id
+    representative, correct on chains via exact connected components),
+    rolled up per source as kept/dropped counts — the corpus-shrink
+    number a 100 TB dedup run is sized by. This declares the
+    previously tests-only ``dedup_keep_best`` composition on the
+    oracle surface: the recursive-CTE oracle recomputes the identical
+    clusters and survivor rule. Scale shape inherits q37's (blocked
+    pair generation, iterative min-label with lineage cuts); the
+    report itself is one broadcast-size anti-join + rollup."""
+    from cdc_makanmana_spark.operators.dedup import (
+        dedup_keep_best,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
+    )
+    kept = dedup_keep_best(d, pairs, "doc_id").select(
+        "doc_id", F.lit(1).alias("__kept")
+    )
+    return (
+        d.join(kept, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__kept").alias("n_kept"),
+            (F.count(F.lit(1)) - F.count("__kept")).alias("n_dropped"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -352,3 +352,119 @@ class TestSignatureIndex:
         pa = sorted(map(tuple, a.buckets().collect()))
         pb = sorted(map(tuple, b.buckets().collect()))
         assert pa == pb
+
+
+class TestChunkDocuments:
+    """chunk_documents (operators/corpus.py, declared as q64)."""
+
+    def _chunks(self, spark, rows, window, stride):
+        from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+        df = _docs(spark, rows)
+        return {
+            (r["id"], r["chunk_id"]): (r["n_chunk_words"], r["chunk_text"])
+            for r in chunk_documents(df, "text", "id", window, stride).collect()
+        }
+
+    def _reference(self, text, window, stride):
+        """Plain-Python chunker: starts at 1, 1+S, ...; keep a start iff
+        it's the first or the previous chunk didn't already reach the
+        end of the words."""
+        words = text.lower().split()
+        out = {}
+        cid = 0
+        for s in range(1, len(words) + 1, stride):
+            if not (s == 1 or s - stride + window - 1 < len(words)):
+                continue
+            w = words[s - 1 : s - 1 + window]
+            out[cid] = (len(w), " ".join(w))
+            cid += 1
+        return out
+
+    def test_matches_python_reference(self, spark):
+        text = " ".join(f"w{i}" for i in range(25))
+        got = self._chunks(spark, [(1, text)], window=8, stride=6)
+        ref = self._reference(text, 8, 6)
+        assert got == {(1, cid): v for cid, v in ref.items()}
+
+    def test_short_doc_single_chunk(self, spark):
+        got = self._chunks(spark, [(1, "only three words")], window=64, stride=48)
+        assert got == {(1, 0): (3, "only three words")}
+
+    def test_blank_and_null_dropped(self, spark):
+        got = self._chunks(
+            spark, [(1, None), (2, "   "), (3, "a b")], window=4, stride=4
+        )
+        assert got == {(3, 0): (2, "a b")}
+
+    def test_no_tail_chunk_contained_in_predecessor(self, spark):
+        # 100 words, window 64 stride 48: start 97 would yield a chunk
+        # fully inside 49..100 — must be dropped; ids stay contiguous
+        text = " ".join(f"w{i}" for i in range(100))
+        got = self._chunks(spark, [(1, text)], window=64, stride=48)
+        assert set(got) == {(1, 0), (1, 1)}
+        assert got[(1, 1)] == (52, " ".join(f"w{i}" for i in range(48, 100)))
+
+    def test_overlap_reassembles_exactly(self, spark):
+        """Dropping each chunk's first (window-stride) overlap words
+        after chunk 0 reconstructs the normalized document."""
+        text = " ".join(f"tok{i}" for i in range(137))
+        got = self._chunks(spark, [(7, text)], window=32, stride=24)
+        parts = []
+        for cid in sorted(c for (_, c) in got):
+            words = got[(7, cid)][1].split(" ")
+            parts.extend(words if cid == 0 else words[32 - 24 :])
+        assert " ".join(parts) == text
+
+    def test_stride_greater_than_window_rejected(self, spark):
+        from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+        with pytest.raises(ValueError, match="stride"):
+            chunk_documents(_docs(spark, [(1, "a b")]), "text", "id", 4, 8)
+
+
+class TestBigramCommonness:
+    """bigram_commonness (operators/corpus.py, declared as q65)."""
+
+    def test_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from cdc_makanmana_spark.operators.corpus import bigram_commonness
+
+        rows = [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran"),
+            (3, "a completely different sentence here"),
+            (4, "one"),       # < 2 words: no row
+            (5, None),        # NULL: no row
+        ]
+        corpus = Counter()
+        per_doc = {}
+        for i, t in rows:
+            if t is None:
+                continue
+            w = t.lower().split()
+            bg = [f"{a} {b}" for a, b in zip(w, w[1:])]
+            if bg:
+                per_doc[i] = bg
+                corpus.update(bg)
+        expected = {}
+        for i, bg in per_doc.items():
+            s = sum(corpus[b] for b in bg)
+            expected[i] = (len(bg), s, round(s / len(bg), 6))
+        got = {
+            r["id"]: (r["n_bigrams"], r["sum_freq"], r["avg_bigram_freq"])
+            for r in bigram_commonness(_docs(spark, rows), "text", "id").collect()
+        }
+        assert got == expected
+
+    def test_boilerplate_scores_above_unique_text(self, spark):
+        from cdc_makanmana_spark.operators.corpus import bigram_commonness
+
+        rows = [(i, "subscribe to our newsletter for updates") for i in range(10)]
+        rows.append((99, "xylophone quark nebula parsnip vortex lattice"))
+        got = {
+            r["id"]: r["avg_bigram_freq"]
+            for r in bigram_commonness(_docs(spark, rows), "text", "id").collect()
+        }
+        assert got[0] == 10.0 and got[99] == 1.0

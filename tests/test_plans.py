@@ -132,6 +132,27 @@ def test_q57_scrub_plans_shuffle_free(spark):
     assert "codegen id" in plan
 
 
+def test_q64_chunking_plans_shuffle_free(spark):
+    """Chunking is pure per-row expansion: scan → generate → project.
+    An Exchange would mean the word arrays (the whole corpus, widened
+    by the overlap factor) shuffle for no semantic reason."""
+    plan = _plan(spark, "q64_document_chunks")
+    assert "Exchange" not in plan
+    assert "explode(sequence" in plan
+
+
+def test_q65_commonness_shuffles_hashes_not_bigrams(spark):
+    """q65's window partitions by the 64-bit bigram hash — the bigram
+    STRINGS must never be a shuffle key (same invariant the shingle
+    ladder asserts): every hashpartitioning key is __h or the doc id."""
+    import re
+
+    plan = _plan(spark, "q65_bigram_commonness")
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        first = keys.split("#")[0].strip()
+        assert first in ("__h", "id", "doc_id"), f"string shuffle key: {keys}"
+
+
 def test_q58_count_side_broadcasts_fact_never_shuffles(spark):
     """q58's per-source counts (20 rows) must come back to the fact
     table as a broadcast join: the only Exchange allowed in the plan
