@@ -129,26 +129,95 @@ def compact_parquet(
             raise RuntimeError(
                 f"compaction aborted: staged count {n_staged} != source {n_before}"
             )
-    fs.mark_committed(spark, staging)
-    fs.delete(spark, old)
-    # Hadoop rename returns False instead of raising; every failure
-    # must fail CLOSED with the original data reachable (directly or
-    # via repair()), never delete-and-report-success.
-    if not fs.rename(spark, p, old):
-        fs.delete(spark, staging)
-        raise RuntimeError(f"compaction aborted: could not move {p} aside")
-    if not fs.rename(spark, staging, p):
-        rolled_back = fs.rename(spark, old, p)
-        raise RuntimeError(
-            f"compaction failed installing the compacted copy at {p}; "
-            + ("original restored" if rolled_back else
-               "original preserved at " + old + " (run repair())")
-        )
-    fs.delete(spark, old)
+    _swap_in(spark, p, staging, old, what="compaction")
     return {
         "compacted": True,
         "files": len(names),
         "bytes": total,
         "target_files": n_target,
         "rows": n_before,
+    }
+
+
+def _swap_in(
+    spark: SparkSession, p: str, staging: str, old: str, what: str
+) -> None:
+    """Install a fully-staged rewrite at ``p`` via the two-rename swap:
+    mark staging ``_COMMITTED``, move the original aside, move staging
+    in, drop the original. Every crash window is recoverable by
+    :func:`repair` (the marker is what tells repair the staged copy is
+    whole). Hadoop rename returns False instead of raising; every
+    failure must fail CLOSED with the original data reachable (directly
+    or via repair()), never delete-and-report-success."""
+    fs.mark_committed(spark, staging)
+    fs.delete(spark, old)
+    if not fs.rename(spark, p, old):
+        fs.delete(spark, staging)
+        raise RuntimeError(f"{what} aborted: could not move {p} aside")
+    if not fs.rename(spark, staging, p):
+        rolled_back = fs.rename(spark, old, p)
+        raise RuntimeError(
+            f"{what} failed installing the rewritten copy at {p}; "
+            + ("original restored" if rolled_back else
+               "original preserved at " + old + " (run repair())")
+        )
+    fs.delete(spark, old)
+
+
+def scrub_rows(
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    fmt: str = "parquet",
+) -> dict:
+    """Hard-delete every row of the table at ``path`` whose ``key_cols``
+    value appears in ``keys`` — the right-to-be-forgotten / takedown
+    primitive (user ids to erase, licensed doc ids to pull from a
+    training corpus). Rewrites the table via broadcast left_anti join
+    using the same staging → ``_COMMITTED`` → two-rename-swap protocol
+    as :func:`compact_parquet`; every crash window is recoverable by
+    :func:`repair` (which runs first), and a count reconciliation
+    (kept + matched == before) aborts the swap — the original table is
+    untouched on ANY failure.
+
+    Scale shape: the delete set is broadcast (erasure requests are tiny
+    against a 100 TB corpus), so the rewrite is one full scan + write
+    with no shuffle. NULL keys in ``keys`` are ignored (SQL equality
+    never matches NULL — a NULL erasure request would silently match
+    nothing; dropping it keeps the reconciliation honest). The dedup
+    ladder's derived artifacts (SignatureIndex postings, snapshot
+    versions) must be scrubbed separately — they hold their own copies.
+
+    Returns ``{"rows_before", "rows_scrubbed", "rows_after"}``.
+    """
+    from pyspark.sql import functions as F
+
+    p = path.rstrip("/")
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    repair(spark, p)
+    _data_files(spark, p)  # rejects partitioned layouts, same as compact
+    df: DataFrame = spark.read.format(fmt).load(p)
+    dedup_keys = keys.select(*key_cols).na.drop().distinct()
+    n_before = df.count()
+    n_matched = df.join(F.broadcast(dedup_keys), key_cols, "left_semi").count()
+    if n_matched == 0:
+        return {"rows_before": n_before, "rows_scrubbed": 0, "rows_after": n_before}
+    kept = df.join(F.broadcast(dedup_keys), key_cols, "left_anti")
+    staging, old = p + _STAGING, p + _OLD
+    fs.delete(spark, staging)
+    kept.write.format(fmt).mode("overwrite").save(staging)
+    n_staged = spark.read.format(fmt).load(staging).count()
+    if n_staged + n_matched != n_before:
+        fs.delete(spark, staging)
+        raise RuntimeError(
+            f"scrub aborted: staged {n_staged} + matched {n_matched} "
+            f"!= source {n_before}; original untouched"
+        )
+    _swap_in(spark, p, staging, old, what="scrub")
+    return {
+        "rows_before": n_before,
+        "rows_scrubbed": n_matched,
+        "rows_after": n_staged,
     }

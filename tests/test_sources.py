@@ -710,3 +710,90 @@ def test_range_sorted_layout_enables_row_group_skipping(spark, tmp_path):
         for r in spark.read.parquet(p).filter(f"v between {probe_lo} and {probe_hi}").collect()
     )
     assert q(good) == q(bad)
+
+def test_scrub_rows_deletes_keys_and_survives_crash(spark, tmp_path):
+    """GDPR-style hard delete: blocklisted keys vanish, everything else
+    survives byte-for-byte; a crashed scrub heals via repair()."""
+    import os
+    import shutil
+
+    from cdc_makanmana_spark.sources.maintenance import repair, scrub_rows
+
+    p = str(tmp_path / "users")
+    spark.range(0, 1000).selectExpr(
+        "id AS user_id", "concat('u', id) AS name"
+    ).repartition(8).write.parquet(p)
+
+    keys = spark.createDataFrame(
+        [(5,), (17,), (999,), (1234,), (None,)], "user_id long"
+    )
+    stats = scrub_rows(spark, p, keys, ["user_id"])
+    assert stats == {"rows_before": 1000, "rows_scrubbed": 3, "rows_after": 997}
+    left = spark.read.parquet(p)
+    assert left.count() == 997
+    assert left.filter("user_id IN (5, 17, 999)").count() == 0
+    assert left.filter("user_id = 4").collect()[0]["name"] == "u4"
+    # idempotent: nothing left to scrub -> no rewrite
+    stats2 = scrub_rows(spark, p, keys, ["user_id"])
+    assert stats2["rows_scrubbed"] == 0 and stats2["rows_after"] == 997
+    # crash window: staging committed, table dir is the hole — the
+    # NEXT scrub (or repair) finishes the swap before operating
+    shutil.copytree(p, p + ".__compact_staging")
+    from cdc_makanmana_spark import fs
+
+    fs.mark_committed(spark, p + ".__compact_staging")
+    shutil.move(p, p + ".__compact_old")
+    assert repair(spark, p) == "finished_swap"
+    assert spark.read.parquet(p).count() == 997
+    assert not os.path.exists(p + ".__compact_old")
+
+
+def test_scrub_rows_requires_key_cols_and_flat_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from cdc_makanmana_spark.sources.maintenance import scrub_rows
+
+    p = str(tmp_path / "part_tbl")
+    spark.range(0, 100).selectExpr("id", "id % 3 AS k").write.partitionBy(
+        "k"
+    ).parquet(p)
+    keys = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="key_cols"):
+        scrub_rows(spark, p, keys, [])
+    with _pytest.raises(ValueError, match="subdirectories"):
+        scrub_rows(spark, p, keys, ["id"])
+
+
+def test_schema_evolution_declared_schema_spans_file_generations(spark, tmp_path):
+    """Schema evolution at the declared-schema boundary: generation-1
+    files lack a column added in generation 2, generation-2 files carry
+    an extra column the schema doesn't declare. One declared-schema
+    read serves both: missing columns surface as NULL, undeclared
+    columns are pruned (never scanned), and the scan still pushes
+    filters. This is the parquet-level evolution contract the engine
+    relies on before reaching for a table format."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_makanmana_spark.sources.readers import read_columnar_source
+
+    p = str(tmp_path / "evolving")
+    spark.range(0, 50).selectExpr("id", "concat('a', id) AS name").write.parquet(p)
+    spark.range(50, 80).selectExpr(
+        "id", "concat('a', id) AS name", "id * 2 AS score", "'x' AS extra"
+    ).write.mode("append").parquet(p)
+
+    declared = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", LongType()),
+        ]
+    )
+    df = read_columnar_source(spark, p, declared)
+    assert df.columns == ["id", "name", "score"]
+    assert df.count() == 80
+    # gen-1 rows: score is NULL; gen-2 rows carry it
+    assert df.filter("id < 50 AND score IS NOT NULL").count() == 0
+    assert df.filter("id >= 50").agg({"score": "min"}).collect()[0][0] == 100
+    plan = df.filter("id = 60")._jdf.queryExecution().executedPlan().toString()
+    assert "extra" not in plan  # undeclared column never read
