@@ -3125,6 +3125,60 @@ def q67_cluster_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q68_BLOCK = 32  # non-overlapping block size (window == stride)
+
+_Q68_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    b AS (SELECT doc_id, w, len(w) AS n_words FROM d),
+    s AS (SELECT doc_id, w, n_words,
+                 unnest(range(1, n_words + 1, {_Q68_BLOCK})) AS st
+          FROM b),
+    c AS (SELECT doc_id, md5(array_to_string(w[st : st + {_Q68_BLOCK} - 1], ' ')) AS fp
+          FROM s
+          WHERE st = 1 OR st - {_Q68_BLOCK} + {_Q68_BLOCK} - 1 < n_words)
+    SELECT fp,
+           count(*)                 AS n_occurrences,
+           count(DISTINCT doc_id)   AS n_docs
+    FROM c GROUP BY fp HAVING count(*) >= 2
+"""
+
+
+@query("q68_boilerplate_chunks", _Q68_ORACLE)
+def q68_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph/block-level dedup census (the FineWeb-style
+    boilerplate detector): documents cut into NON-overlapping 32-word
+    blocks (``chunk_documents`` with stride == window — overlap would
+    make every chunk its neighbor's duplicate), each block md5-
+    fingerprinted, fingerprints occurring more than once reported with
+    occurrence and document counts. Repeated blocks across documents
+    are templates/boilerplate (headers, footers, licence blocks) — the
+    sub-document granularity the whole-doc dedup ladder (q15/q23-q25)
+    cannot see. Scale shape: chunking is the q64 zero-shuffle
+    expansion; the census is ONE map-side-combinable groupBy on the
+    128-bit fingerprint; the HAVING prunes the (dominant) singleton
+    mass before it reaches the driver or any downstream join."""
+    from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(
+        d, "text", "doc_id", window=_Q68_BLOCK, stride=_Q68_BLOCK
+    )
+    return (
+        chunks.select("doc_id", F.md5("chunk_text").alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
