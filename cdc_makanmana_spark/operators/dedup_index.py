@@ -61,6 +61,8 @@ from cdc_makanmana_spark.operators.dedup import (
 )
 
 _META = "_index_meta.json"
+_SCRUB_STAGING = ".__scrubstg_"
+_SCRUB_OLD = ".__scrubold_"
 
 
 def _shingle_hashes(text_col, shingle_n: int):
@@ -116,15 +118,46 @@ class SignatureIndex:
     def _batch_names(self, sub: str) -> list[str]:
         """COMMITTED batch dirs only — a crash mid-append leaves an
         unmarked directory that must stay invisible to readers (same
-        reader rule as the versioned snapshot caches)."""
+        reader rule as the versioned snapshot caches). A crashed
+        ``scrub`` is healed first: its staging/old leftovers are
+        dot-prefixed so they can never be mistaken for batch dirs, and
+        ``_repair_scrub`` finishes or rolls back the interrupted swap
+        before the listing is trusted."""
         root = f"{self.path}/{sub}"
         if not fs.exists(self.spark, root):
             return []
+        names = fs.list_names(self.spark, root, dirs_only=True)
+        if any(n.startswith((_SCRUB_STAGING, _SCRUB_OLD)) for n in names):
+            self._repair_scrub(root, names)
+            names = fs.list_names(self.spark, root, dirs_only=True)
         return sorted(
             n
-            for n in fs.list_names(self.spark, root, dirs_only=True)
+            for n in names
             if n.startswith("b") and fs.is_committed(self.spark, f"{root}/{n}")
         )
+
+    def _repair_scrub(self, root: str, names: list[str]) -> None:
+        """Heal every crash window of a per-batch scrub rewrite (swap
+        order: mark staging → move batch aside → move staging in →
+        drop old). For each batch with leftovers: finish the swap if
+        the batch dir is the hole and staging committed; roll the
+        original back if staging never committed; otherwise sweep."""
+        stag = {n[len(_SCRUB_STAGING):] for n in names if n.startswith(_SCRUB_STAGING)}
+        olds = {n[len(_SCRUB_OLD):] for n in names if n.startswith(_SCRUB_OLD)}
+        for b in stag | olds:
+            p = f"{root}/{b}"
+            staging = f"{root}/{_SCRUB_STAGING}{b}"
+            old = f"{root}/{_SCRUB_OLD}{b}"
+            if not fs.exists(self.spark, p):
+                if fs.is_committed(self.spark, staging):
+                    fs.rename(self.spark, staging, p)
+                    fs.delete(self.spark, old)
+                elif fs.exists(self.spark, old):
+                    fs.rename(self.spark, old, p)
+                    fs.delete(self.spark, staging)
+                continue
+            fs.delete(self.spark, staging)
+            fs.delete(self.spark, old)
 
     def _read(self, sub: str) -> DataFrame | None:
         names = self._batch_names(sub)
@@ -191,6 +224,72 @@ class SignatureIndex:
         fs.mark_committed(self.spark, bdir)
         entries.write.mode("overwrite").parquet(ddir)
         fs.mark_committed(self.spark, ddir)
+
+    # ---- compliance -------------------------------------------------------
+
+    def scrub(self, ids: list) -> dict:
+        """Right-to-be-forgotten propagation into the derived artifact:
+        remove every doc row and LSH posting for ``ids`` — the
+        companion to ``sources.maintenance.scrub_rows`` on the corpus
+        table itself (erasing the corpus row is not enough: the index
+        stores the doc's fingerprint, signature, and shingle hashes,
+        and would keep silently suppressing future ingests of
+        identical content, i.e. keep ACTING on the erased text).
+
+        ``ids`` is a plain list — erasure requests are tiny by
+        contract, and the literal set pushes down into each batch
+        scan. Each touched batch directory is rewritten via a staged
+        swap (staging marked ``_COMMITTED`` → batch dir moved aside →
+        staging moved in → old dropped); staging/old names are
+        dot-prefixed so readers can never list them as batch dirs, and
+        every crash window is healed by ``_repair_scrub`` (invoked on
+        every read and at scrub start). Run in a maintenance window —
+        the swap has the same brief directory-absent instant as
+        ``compact_parquet``. Batches the ids never touched are not
+        rewritten (their files are read but pruned by the pushed
+        ``id IN`` filter's stats). Returns
+        ``{"docs_removed", "postings_removed", "batches_rewritten"}``.
+        """
+        ids = sorted(set(ids))
+        if not ids:
+            return {"docs_removed": 0, "postings_removed": 0, "batches_rewritten": 0}
+        stats = {"docs_removed": 0, "postings_removed": 0, "batches_rewritten": 0}
+        for sub, counter in (("docs", "docs_removed"), ("buckets", "postings_removed")):
+            root = f"{self.path}/{sub}"
+            for b in self._batch_names(sub):  # heals crashed scrubs first
+                p = f"{root}/{b}"
+                df = self.spark.read.parquet(p)
+                n_before = df.count()
+                n_hit = df.filter(F.col("id").isin(ids)).count()
+                if n_hit == 0:
+                    continue
+                staging = f"{root}/{_SCRUB_STAGING}{b}"
+                old = f"{root}/{_SCRUB_OLD}{b}"
+                fs.delete(self.spark, staging)
+                kept = df.filter(~F.col("id").isin(ids))
+                kept.write.mode("overwrite").parquet(staging)
+                n_staged = self.spark.read.parquet(staging).count()
+                if n_staged + n_hit != n_before:
+                    fs.delete(self.spark, staging)
+                    raise RuntimeError(
+                        f"index scrub aborted on {p}: staged {n_staged} + "
+                        f"hit {n_hit} != before {n_before}; batch untouched"
+                    )
+                fs.mark_committed(self.spark, staging)
+                fs.delete(self.spark, old)
+                if not fs.rename(self.spark, p, old):
+                    fs.delete(self.spark, staging)
+                    raise RuntimeError(f"index scrub: could not move {p} aside")
+                if not fs.rename(self.spark, staging, p):
+                    rolled = fs.rename(self.spark, old, p)
+                    raise RuntimeError(
+                        f"index scrub failed installing {p}; "
+                        + ("batch restored" if rolled else f"batch preserved at {old}")
+                    )
+                fs.delete(self.spark, old)
+                stats[counter] += n_hit
+                stats["batches_rewritten"] += 1
+        return stats
 
     # ---- the ingest-side dedup -------------------------------------------
 

@@ -186,8 +186,10 @@ def scrub_rows(
     with no shuffle. NULL keys in ``keys`` are ignored (SQL equality
     never matches NULL — a NULL erasure request would silently match
     nothing; dropping it keeps the reconciliation honest). The dedup
-    ladder's derived artifacts (SignatureIndex postings, snapshot
-    versions) must be scrubbed separately — they hold their own copies.
+    ladder's derived artifacts hold their own copies and must be
+    scrubbed too — ``SignatureIndex.scrub`` (operators/dedup_index.py)
+    is the companion for the persisted dedup index; snapshot-cache
+    versions age out via their keep-window.
 
     Returns ``{"rows_before", "rows_scrubbed", "rows_after"}``.
     """

@@ -468,3 +468,59 @@ class TestBigramCommonness:
             for r in bigram_commonness(_docs(spark, rows), "text", "id").collect()
         }
         assert got[0] == 10.0 and got[99] == 1.0
+
+
+class TestSignatureIndexScrub:
+    A = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different second document with its own unique words here now"
+
+    def test_scrub_removes_doc_and_future_ingests_pass(self, spark, tmp_path):
+        """Erasing a doc from the index must remove its fingerprint,
+        signature and postings — afterwards identical content is no
+        longer suppressed (the index stops ACTING on the erased text)."""
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        ix = SignatureIndex(spark, str(tmp_path / "ix"), id_col="id")
+        ix.append(_docs(spark, [(1, self.A), (2, self.B)]), batch_id=0)
+        # duplicate of doc 1 is suppressed while 1 is indexed
+        dup = _docs(spark, [(10, self.A)])
+        assert ix.dedup_batch(dup).count() == 0
+
+        stats = ix.scrub([1, 999])
+        assert stats["docs_removed"] == 1 and stats["batches_rewritten"] >= 2
+        assert sorted(r["id"] for r in ix.docs().collect()) == [2]
+        assert ix.buckets().filter("id = 1").count() == 0
+        # the erased content now ingests clean
+        assert [r["id"] for r in ix.dedup_batch(dup).collect()] == [10]
+        # idempotent / no-op paths
+        assert ix.scrub([1])["batches_rewritten"] == 0
+        assert ix.scrub([])["docs_removed"] == 0
+
+    def test_scrub_crash_window_heals_on_read(self, spark, tmp_path):
+        """A scrub killed between the two renames leaves the batch dir
+        as a hole with committed staging — the next read heals it."""
+        import shutil
+
+        from cdc_makanmana_spark import fs
+        from cdc_makanmana_spark.operators.dedup_index import (
+            _SCRUB_STAGING,
+            SignatureIndex,
+        )
+
+        root = str(tmp_path / "ix2")
+        ix = SignatureIndex(spark, root, id_col="id")
+        ix.append(_docs(spark, [(1, self.A), (2, self.B)]), batch_id=0)
+        n_docs = ix.docs().count()
+        p = f"{root}/docs/b0"
+        staging = f"{root}/docs/{_SCRUB_STAGING}b0"
+        shutil.copytree(p, staging)
+        fs.mark_committed(spark, staging)
+        shutil.rmtree(p)
+        assert ix.docs().count() == n_docs  # healed transparently
+        import os
+
+        assert os.path.exists(p) and not os.path.exists(staging)
+        # uncommitted staging + intact batch dir -> swept
+        shutil.copytree(p, staging)
+        assert ix.docs().count() == n_docs
+        assert not os.path.exists(staging)
