@@ -44,6 +44,7 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     prefix: str = "",
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """Backward as-of left join. Returns every left row + for each
     ``value_cols`` entry a ``{prefix}{col}`` column and
@@ -52,6 +53,14 @@ def asof_join(
 
     ``left``/``right`` time columns must be mutually comparable
     (both timestamp, both date, or both numeric).
+
+    ``tolerance`` bounds match staleness (pandas ``merge_asof``'s
+    tolerance): a match older than ``left_ts - tolerance`` is nulled
+    out, exactly as if no observation preceded the row. Units: SECONDS
+    for timestamp/date time columns, plain column units for numeric
+    ones. Implemented as a post-window filter on the carried struct —
+    the plan shape (one key shuffle, zero join operators) is
+    unchanged.
 
     Raises ``ValueError`` when an output alias ``{prefix}{col}`` would
     shadow an existing left column (e.g. the default ``prefix=""`` with
@@ -104,11 +113,20 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last("__v", ignorenulls=True).over(w)
+    res = u.withColumn("__m", matched).filter(F.col("__tag") == 1)
+    if tolerance is not None:
+        if tolerance < 0:
+            raise ValueError(f"tolerance must be >= 0, got {tolerance}")
+        t_type = dict(left.dtypes)[left_ts]
+        if t_type in ("timestamp", "timestamp_ntz", "date"):
+            age = F.unix_micros(F.col("__t").cast("timestamp")) - F.unix_micros(
+                F.col("__m")[right_ts].cast("timestamp")
+            )
+            in_tol = age <= int(tolerance * 1_000_000)
+        else:
+            in_tol = (F.col("__t") - F.col("__m")[right_ts]) <= F.lit(tolerance)
+        res = res.withColumn("__m", F.when(in_tol, F.col("__m")))
     out_cols = [F.col(c) for c in left.columns]
     out_cols.append(F.col("__m")[right_ts].alias(f"{prefix}{right_ts}"))
     out_cols.extend(F.col("__m")[c].alias(f"{prefix}{c}") for c in value_cols)
-    return (
-        u.withColumn("__m", matched)
-        .filter(F.col("__tag") == 1)
-        .select(*out_cols)
-    )
+    return res.select(*out_cols)

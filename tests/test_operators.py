@@ -529,6 +529,57 @@ def test_asof_join_semantics(spark):
     assert "Join" not in plan and "Window" in plan
 
 
+def test_asof_join_tolerance(spark):
+    """tolerance nulls matches older than the bound — inclusive at the
+    boundary, NULLs for too-old, unchanged for in-tolerance; numeric
+    and timestamp time columns both honor it."""
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0)], "k long, t long, v double"
+    )
+    left = spark.createDataFrame(
+        [(1, 12), (1, 20), (1, 35), (1, 99)], "k long, t long"
+    )
+    out = {
+        r.t: (r.obs_t, r.obs_v)
+        for r in asof_join(
+            left, right, key_cols=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], prefix="obs_", tolerance=15,
+        ).collect()
+    }
+    assert out[12] == (10, 1.0)     # age 2 <= 15
+    assert out[20] == (20, 2.0)     # inclusive tie, age 0
+    assert out[35] == (20, 2.0)     # age 15, boundary inclusive
+    assert out[99] == (None, None)  # age 79 > 15 -> stale, nulled
+
+    # timestamp columns: tolerance is seconds
+    rts = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], "k long, ts string, v double"
+    ).selectExpr("k", "ts::timestamp AS ts", "v")
+    lts = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00"), (1, "2024-01-01 02:00:00")],
+        "k long, ts string",
+    ).selectExpr("k", "ts::timestamp AS ts")
+    got = {
+        str(r.ts): r.obs_v
+        for r in asof_join(
+            lts, rts, key_cols=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["v"], prefix="obs_", tolerance=3600,
+        ).collect()
+    }
+    assert got["2024-01-01 00:30:00"] == 5.0   # 30 min old
+    assert got["2024-01-01 02:00:00"] is None  # 2 h > 1 h tolerance
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            left, right, key_cols=["k"], left_ts="t", right_ts="t",
+            value_cols=["v"], prefix="obs_", tolerance=-1,
+        )
+
+
 def test_embedding_neardup_composite_block_scale_path(spark):
     """The scale fix for attribute-blocked embedding dedup (block COUNT
     fixed by the label dictionary => per-block n grows linearly, pairs
