@@ -187,14 +187,20 @@ def q04_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
     """,
 )
 def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-anti join — the residual selector of the two-tier
-    exact-then-fuzzy strategy (SURVEY §4)."""
+    exact-then-fuzzy strategy (SURVEY §4). The price predicate keeps
+    the residual NON-EMPTY at every fixture SF (the bare "no orders at
+    all" form returned zero rows — every customer has an order — so
+    the oracle hash was vacuously green and could not catch a
+    wrong-rows anti-join)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -394,20 +400,30 @@ def q13_radius_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_clean_names",
     r"""
-    SELECT s_suppkey,
+    SELECT p_partkey,
            trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             lower(s_name),
+             lower(p_name || ' ' || p_brand || ' Ltd. ' || p_type),
              '\b(pte|ltd|private|limited|sdn|bhd)\b', ' ', 'g'),
              '#?\d+[-\d]*', ' ', 'g'),
              '[^\w \t\n\r\f\x0B]', ' ', 'g'),
              '[ \t\n\r\f\x0B]+', ' ', 'g')) AS cleaned
-    FROM supplier
+    FROM part
     """,
 )
 def q14_clean_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Name normalizer P5 (cleanName, halalService.ts:249-257)."""
-    s = _t(spark, sf_dir, "supplier")
-    return s.select("s_suppkey", clean_name("s_name").alias("cleaned"))
+    """Name normalizer P5 (cleanName, halalService.ts:249-257). Runs
+    over part name+brand+type with a corporate suffix injected ('Brand#2'
+    exercises the #digit strip, 'Ltd.' the suffix strip + punctuation,
+    mixed case the lowering): every rule changes VARIED output rows.
+    The earlier supplier form collapsed to one constant value ('Supplier#NNN'
+    → 'supplier' on every row), so the hash only proved the digit rule."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        clean_name(
+            F.concat_ws(" ", "p_name", F.concat(F.col("p_brand"), F.lit(" Ltd.")), "p_type")
+        ).alias("cleaned"),
+    )
 
 
 @query(
@@ -3194,11 +3210,10 @@ _Q69_ORACLE = rf"""
     tok AS (SELECT source, unnest(w) AS word FROM d),
     tf AS (SELECT source, word, count(*) AS tf FROM tok GROUP BY source, word),
     sfc AS (SELECT word, count(*) AS n_sources FROM tf GROUP BY word),
-    n AS (SELECT count(DISTINCT source) AS total_sources FROM tf),
     scored AS (
       SELECT tf.source, tf.word, tf.tf, sfc.n_sources,
-             round(tf.tf::DOUBLE * n.total_sources / sfc.n_sources, 6) AS score
-      FROM tf JOIN sfc USING (word) CROSS JOIN n)
+             round(tf.tf::DOUBLE / sfc.n_sources, 6) AS score
+      FROM tf JOIN sfc USING (word))
     SELECT source, word, tf, n_sources, score
     FROM scored
     QUALIFY row_number() OVER (PARTITION BY source
@@ -3210,15 +3225,18 @@ _Q69_ORACLE = rf"""
 def q69_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinctive vocabulary (TF-IDF-shaped corpus
     analytics): term frequency per (source, word), inverse source
-    frequency as total_sources / sources-containing-word, top-5 terms
-    per source by the product (ties broken on the word — both engines
-    sort identically on ASCII). The score is one float op over exact
-    integers (no log, no FP accumulation), so the oracle hash is
+    frequency as 1 / sources-containing-word, top-5 terms per source
+    by the product (ties broken on the word — both engines sort
+    identically on ASCII). The classical total_sources numerator is a
+    row-constant factor — it cannot change any ranking, and attaching
+    a 1-row scalar to a frame plans the BroadcastNestedLoopJoin this
+    engine bans, so the score drops it. One float op over exact
+    integers (no log, no FP accumulation) keeps the oracle hash
     stable. Scale shape: the (source, word) rollup is map-side
     combinable — post-combine shuffle volume is bounded by
     |vocab|x|sources|x|partitions|, not corpus size; the source-count
-    side and the 1-row total broadcast back onto it; top-k is one
-    window over |vocab|x|sources| rows, nowhere near the fact table."""
+    side broadcasts back onto it; top-k is one window over
+    |vocab|x|sources| rows, nowhere near the fact table."""
     from pyspark.sql import Window
 
     from cdc_makanmana_spark.operators.dedup import _drop_blank_text, _norm_text
@@ -3231,32 +3249,12 @@ def q69_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
     sfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_sources"))
-    # constant-key equi-join for the 1-row total: a bare cross join
-    # would plan BroadcastNestedLoopJoin, which the engine bans
-    # plan-wide (test_no_query_plans_a_cross_join)
-    total = (
-        tf.select("source")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("total_sources"))
-        .withColumn("__one", F.lit(1))
-    )
-    scored = (
-        tf.join(F.broadcast(sfc), "word")
-        .withColumn("__one", F.lit(1))
-        .join(F.broadcast(total), "__one")
-        .drop("__one")
-        .select(
-            "source",
-            "word",
-            "tf",
-            "n_sources",
-            F.round(
-                F.col("tf").cast("double")
-                * F.col("total_sources")
-                / F.col("n_sources"),
-                6,
-            ).alias("score"),
-        )
+    scored = tf.join(F.broadcast(sfc), "word").select(
+        "source",
+        "word",
+        "tf",
+        "n_sources",
+        F.round(F.col("tf").cast("double") / F.col("n_sources"), 6).alias("score"),
     )
     w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("word"))
     return (
