@@ -10,6 +10,7 @@ from cdc_makanmana_spark.streaming.cdc import (
 )
 from cdc_makanmana_spark.streaming.joins import stream_stream_interval_join
 from cdc_makanmana_spark.streaming.progress import ProgressTracker, last_progress_summary
+from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
 from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream, running_stats_per_key
 from cdc_makanmana_spark.streaming.verdict_cache import VerdictCache
 
@@ -20,6 +21,7 @@ __all__ = [
     "sessionized_stream",
     "dedup_within_watermark",
     "upsert_to_parquet",
+    "RollupMaintainer",
     "running_stats_per_key",
     "asof_enrich_stream",
     "stream_stream_interval_join",

@@ -1,0 +1,214 @@
+"""Continuous aggregate (hypertable-rollup) maintenance.
+
+``windowed_agg_stream`` (cdc.py) answers windowed aggregates with
+in-flight streaming state; this module maintains the same aggregate as
+a QUERYABLE TABLE that survives restarts and serves arbitrary readers
+— the TimescaleDB continuous-aggregate / Druid rollup pattern, built
+from the engine's existing write-once commit-marker discipline:
+
+- every micro-batch writes its PARTIAL aggregate (one row per
+  (window, keys) the batch touched, additive measures only) to
+  ``partials/b{batch_id}``, WRITE-ONCE and commit-marked — a
+  foreachBatch retry of a completed batch is a no-op, so a batch can
+  never be double-counted (the additive-measure version of
+  SignatureIndex.append's idempotency rule);
+- ``serve()`` is merge-on-read: union the committed partials and
+  re-aggregate — cheap, because each partial is already one row per
+  touched (window, key), so the serve-side input is bounded by
+  windows x keys x batches, not by event count;
+- ``compact()`` folds all committed partials into one base partial
+  (same staged two-rename swap as sources/maintenance.py), bounding
+  the serve-side union for long-running streams. Crash windows heal
+  on the next compact()/serve() via the dot-prefixed staging rule.
+
+Additive measures only (count, sum — avg is served as sum/count):
+merging partials is then associative and commutative, so batch
+boundaries, retries and compaction order can never change the result.
+Extend with other ADDITIVE sketches (HLL registers, t-digest
+centroids) the same way; never store a non-mergeable measure.
+
+Reference analogue: the reference recomputes its snapshot aggregates
+on every 24 h refresh (src/services/dataManager.ts:132-187); this is
+the incremental form a 100 TB event table needs — per-batch cost is
+O(batch), serve cost is O(aggregate), the event history is never
+re-read.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_makanmana_spark import fs
+
+_STAGING = ".__rollup_compact"
+_MANIFEST = "_FOLDED"
+
+
+class RollupMaintainer:
+    """Continuously maintained tumbling-window rollup table.
+
+    Output schema: (window_start, *keys, n_events, sum_value) —
+    ``serve()`` adds round()ed derived columns. ``window`` is any
+    Spark window duration string ("1 hour", "15 minutes").
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        window: str = "1 hour",
+        keys: list[str] | None = None,
+        ts_col: str = "ts",
+        value_col: str = "value",
+    ):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.window = window
+        self.keys = keys or []
+        self.ts_col = ts_col
+        self.value_col = value_col
+
+    # ---- per-batch partial -------------------------------------------------
+
+    def _partial(self, df: DataFrame) -> DataFrame:
+        win = F.window(self.ts_col, self.window)
+        return (
+            df.groupBy(win.alias("__w"), *self.keys)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(self.value_col).alias("sum_value"),
+            )
+            .select(
+                F.col("__w.start").alias("window_start"),
+                *self.keys,
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    def _ingest_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """foreachBatch body: write this batch's partial aggregate,
+        write-once per batch_id (retry of a committed batch would
+        double-count every additive measure — the no-op IS the
+        exactly-once guarantee, same rule as SignatureIndex.append)."""
+        bdir = f"{self.path}/partials/b{batch_id}"
+        if fs.is_committed(self.spark, bdir):
+            return
+        self._partial(batch_df).write.mode("overwrite").parquet(bdir)
+        fs.mark_committed(self.spark, bdir)
+
+    def ingest_stream(self, events: DataFrame, checkpoint_dir: str | None = None):
+        """Attach to a stream; returns the started StreamingQuery
+        (availableNow trigger — call repeatedly as data lands, or swap
+        the trigger for a continuous deployment)."""
+        checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="rollup_ckpt_")
+        return (
+            events.writeStream.foreachBatch(self._ingest_batch)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # ---- reads -------------------------------------------------------------
+
+    def _heal(self, root: str, names: list[str]) -> list[str]:
+        """Finish or roll back a crashed compact(). A committed staging
+        dir carries a manifest naming exactly the partial dirs it
+        folded; healing deletes any of those still present (they are
+        double-counted the moment staging serves) and installs staging
+        as the new base. Uncommitted staging is swept — the originals
+        still serve."""
+        staging = f"{root}/{_STAGING}"
+        if _STAGING in names:
+            manifest = fs.read_text(self.spark, f"{staging}/{_MANIFEST}")
+            if fs.is_committed(self.spark, staging) and manifest is not None:
+                for n in manifest.split("\n"):
+                    if n:
+                        fs.delete(self.spark, f"{root}/{n}")
+                fs.rename(self.spark, staging, f"{root}/base")
+            else:
+                fs.delete(self.spark, staging)
+            names = fs.list_names(self.spark, root, dirs_only=True)
+        return names
+
+    def _partial_dirs(self) -> list[str]:
+        root = f"{self.path}/partials"
+        if not fs.exists(self.spark, root):
+            return []
+        names = self._heal(root, fs.list_names(self.spark, root, dirs_only=True))
+        return sorted(
+            f"{root}/{n}"
+            for n in names
+            if (n.startswith("b") or n == "base")
+            and fs.is_committed(self.spark, f"{root}/{n}")
+        )
+
+    def serve(self, round_dp: int = 4) -> DataFrame | None:
+        """The rollup, merged on read: union committed partials,
+        re-aggregate (additive merge), derive avg. None when nothing
+        has been ingested."""
+        dirs = self._partial_dirs()
+        if not dirs:
+            return None
+        return (
+            self.spark.read.parquet(*dirs)
+            .groupBy("window_start", *self.keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+            .select(
+                "window_start",
+                *self.keys,
+                "n_events",
+                F.round("sum_value", round_dp).alias("total_value"),
+                F.round(F.col("sum_value") / F.col("n_events"), round_dp).alias(
+                    "avg_value"
+                ),
+            )
+        )
+
+    # ---- maintenance -------------------------------------------------------
+
+    def compact(self) -> int:
+        """Fold all committed partials into one ``base`` partial (the
+        long-running stream's serve-side union would otherwise grow one
+        dir per micro-batch). Staged swap: write the merged partial to
+        a dot-prefixed staging dir (invisible to readers), mark it,
+        delete the inputs, then rename into place; a crash anywhere is
+        healed by ``_heal`` on the next read. Returns the number of
+        partial dirs folded (0 = nothing to do)."""
+        dirs = self._partial_dirs()
+        if len(dirs) <= 1:
+            return 0
+        root = f"{self.path}/partials"
+        staging = f"{root}/{_STAGING}"
+        fs.delete(self.spark, staging)
+        merged = (
+            self.spark.read.parquet(*dirs)
+            .groupBy("window_start", *self.keys)
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+            )
+        )
+        merged.write.mode("overwrite").parquet(staging)
+        # manifest BEFORE the marker: a committed staging must always
+        # know which inputs it folded, or a crash mid-deletion would
+        # leave some of them alive next to the installed base —
+        # double-counted. With the manifest, _heal finishes the
+        # deletions idempotently before installing.
+        fs.write_text(
+            self.spark,
+            f"{staging}/{_MANIFEST}",
+            "\n".join(d.rsplit("/", 1)[1] for d in dirs),
+        )
+        fs.mark_committed(self.spark, staging)
+        for d in dirs:
+            fs.delete(self.spark, d)
+        fs.rename(self.spark, staging, f"{root}/base")
+        return len(dirs)

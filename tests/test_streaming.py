@@ -571,3 +571,109 @@ def test_streaming_ingest_with_signature_index(spark, tmp_path):
     )
     assert landed == [1, 2, 5]
     assert idx.docs().count() == 3  # index tracked exactly the survivors
+
+
+def test_rollup_maintainer_matches_batch_twin_and_compacts(spark, tmp_path):
+    """Continuous aggregate: per-batch additive partials must serve the
+    same rollup as a one-shot batch aggregation of all events;
+    compact() folds partials without changing the served result; a
+    retry of a committed batch is a no-op (no double counting)."""
+    from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
+
+    src = str(tmp_path / "src")
+    rows1 = [
+        {"key": 1, "op": "upsert", "ts": "2024-01-01T00:10:00", "value": 10.0},
+        {"key": 2, "op": "upsert", "ts": "2024-01-01T00:20:00", "value": 20.0},
+        {"key": 1, "op": "upsert", "ts": "2024-01-01T01:05:00", "value": 30.0},
+    ]
+    rows2 = [
+        {"key": 1, "op": "upsert", "ts": "2024-01-01T00:40:00", "value": 5.0},
+        {"key": 2, "op": "upsert", "ts": "2024-01-01T01:30:00", "value": 7.0},
+    ]
+    _land(src, "b1.json", rows1)
+    _land(src, "b2.json", rows2)
+    roll = RollupMaintainer(
+        spark, str(tmp_path / "roll"), window="1 hour", keys=["key"]
+    )
+    stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+    q = roll.ingest_stream(stream, checkpoint_dir=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+
+    def served():
+        return {
+            (str(r.window_start), r.key): (r.n_events, r.total_value, r.avg_value)
+            for r in roll.serve().collect()
+        }
+
+    all_rows = spark.createDataFrame(
+        [(r["key"], r["ts"], r["value"]) for r in rows1 + rows2],
+        "key long, ts string, value double",
+    ).selectExpr("key", "ts::timestamp AS ts", "value")
+    twin = {
+        (str(r.window_start), r.key): (r.n_events, r.total_value, r.avg_value)
+        for r in all_rows.groupBy(F.window("ts", "1 hour").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("s"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "key",
+            "n_events",
+            F.round("s", 4).alias("total_value"),
+            F.round(F.col("s") / F.col("n_events"), 4).alias("avg_value"),
+        )
+        .collect()
+    }
+    before = served()
+    assert before == twin and len(before) == 4
+
+    # retry of a committed batch: write-once no-op, counts unchanged
+    batch0 = spark.createDataFrame(
+        [(9, "2024-01-01T00:10:00", 99.0)], "key long, ts string, value double"
+    ).selectExpr("key", "ts::timestamp AS ts", "value")
+    roll._ingest_batch(batch0, batch_id=0)
+    assert served() == twin
+
+    # compact folds everything into one base; served result unchanged
+    assert roll.compact() >= 2
+    assert served() == twin
+    assert roll.compact() == 0  # single base left -> no-op
+    import os as _os
+
+    names = _os.listdir(str(tmp_path / "roll" / "partials"))
+    assert names == ["base"]
+    # new batches after compaction keep merging
+    roll._ingest_batch(batch0, batch_id=99)
+    after = served()
+    assert after[("2024-01-01 00:00:00", 9)] == (1, 99.0, 99.0)
+
+
+def test_rollup_compact_crash_heals_without_double_count(spark, tmp_path):
+    """Crash after committing compact staging but BEFORE deleting the
+    folded inputs: healing must delete the manifest-listed inputs and
+    install the staging — never serve input + staging together."""
+    import shutil
+
+    from cdc_makanmana_spark import fs
+    from cdc_makanmana_spark.streaming.rollup import _MANIFEST, _STAGING, RollupMaintainer
+
+    roll = RollupMaintainer(spark, str(tmp_path / "r2"), window="1 hour", keys=[])
+    mk = lambda k, ts, v: spark.createDataFrame(
+        [(k, ts, v)], "key long, ts string, value double"
+    ).selectExpr("key", "ts::timestamp AS ts", "value")
+    roll._ingest_batch(mk(1, "2024-01-01T00:10:00", 10.0), 0)
+    roll._ingest_batch(mk(1, "2024-01-01T00:20:00", 20.0), 1)
+    root = str(tmp_path / "r2" / "partials")
+    # hand-stage the compaction result, as if the process died after
+    # mark_committed but before any input deletion
+    staging = f"{root}/{_STAGING}"
+    merged = spark.read.parquet(f"{root}/b0", f"{root}/b1").groupBy(
+        "window_start"
+    ).agg(F.sum("n_events").alias("n_events"), F.sum("sum_value").alias("sum_value"))
+    merged.write.mode("overwrite").parquet(staging)
+    fs.write_text(spark, f"{staging}/{_MANIFEST}", "b0\nb1")
+    fs.mark_committed(spark, staging)
+
+    row = roll.serve().collect()[0]
+    assert (row.n_events, row.total_value) == (2, 30.0)  # not 60.0
+    import os as _os
+
+    assert sorted(_os.listdir(root)) == ["base"]
