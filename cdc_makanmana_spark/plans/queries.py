@@ -3301,6 +3301,67 @@ def q70_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "view_ts", "view_value")
 
 
+_Q71_M = 4   # subspaces (64-dim -> 16 dims each)
+_Q71_K = 8   # codes per subspace (3 bits); vector serves from 4 codes
+_Q71_CODEBOOK_CACHE: dict[str, list] = {}
+
+_Q71_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT {_QUERY_VEC!r}::DOUBLE[] AS qv),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+      FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= {_Q71_K}),
+    ss AS (SELECT unnest(range(0, {_Q71_M})) AS s),
+    codes AS (
+      SELECT e.vec_id, ss.s,
+             min({{'d': list_sum([ (e.v[ss.s*16 + t] - seeds.v[ss.s*16 + t])
+                                   * (e.v[ss.s*16 + t] - seeds.v[ss.s*16 + t])
+                                   for t in range(1, 17) ]),
+                  'i': seeds.j}}).i AS code
+      FROM e CROSS JOIN ss CROSS JOIN seeds
+      GROUP BY e.vec_id, ss.s),
+    lut AS (
+      SELECT ss.s, seeds.j,
+             list_sum([ (q.qv[ss.s*16 + t] - seeds.v[ss.s*16 + t])
+                        * (q.qv[ss.s*16 + t] - seeds.v[ss.s*16 + t])
+                        for t in range(1, 17) ]) AS d
+      FROM q CROSS JOIN ss CROSS JOIN seeds),
+    terms AS (
+      SELECT c.vec_id,
+             max(CASE WHEN c.s = 0 THEN l.d END) AS d0,
+             max(CASE WHEN c.s = 1 THEN l.d END) AS d1,
+             max(CASE WHEN c.s = 2 THEN l.d END) AS d2,
+             max(CASE WHEN c.s = 3 THEN l.d END) AS d3
+      FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.j
+      GROUP BY c.vec_id)
+    SELECT vec_id, round(((d0 + d1) + d2) + d3, 6) AS approx_l2
+    FROM terms ORDER BY approx_l2 ASC, vec_id ASC LIMIT 10
+"""
+
+
+@query("q71_pq_topk", _Q71_ORACLE)
+def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k (the ANN COMPRESSION tier, Jégou et
+    al. 2011): vectors stored as {_Q71_M} subspace codes, query scored
+    via an m x k lookup table — per-row cost is {_Q71_M} array lookups
+    and 3 adds, no vector math, and at scale the scan reads the
+    4-byte code column instead of 256-byte vectors. Declared with
+    DETERMINISTIC seed codebooks (subspace slices of the {_Q71_K}
+    lowest-id vectors — pq_seed_codebooks) so the oracle rebuilds the
+    codebooks in SQL and replays encode → LUT → summed-in-subspace-
+    order distance → top-k bit-for-bit: the hash certifies the PQ
+    arithmetic itself, not a rerank. The k-means-trained production
+    path (pq_train) is recall-tested in tests/test_operators.py."""
+    from cdc_makanmana_spark.operators.ann import pq_seed_codebooks, pq_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    books = _Q71_CODEBOOK_CACHE.get(sf_dir)
+    if books is None:
+        books = pq_seed_codebooks(e, m=_Q71_M, k=_Q71_K, dim=64)
+        _Q71_CODEBOOK_CACHE[sf_dir] = books
+    return pq_topk(e, books, _QUERY_VEC, k_top=10)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
