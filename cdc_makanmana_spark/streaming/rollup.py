@@ -21,11 +21,13 @@ from the engine's existing write-once commit-marker discipline:
   the serve-side union for long-running streams. Crash windows heal
   on the next compact()/serve() via the dot-prefixed staging rule.
 
-Additive measures only (count, sum — avg is served as sum/count):
-merging partials is then associative and commutative, so batch
-boundaries, retries and compaction order can never change the result.
-Extend with other ADDITIVE sketches (HLL registers, t-digest
-centroids) the same way; never store a non-mergeable measure.
+Additive measures only (count, sum — avg is served as sum/count,
+and optionally a Datasketches HLL sketch for distinct counts — a
+MERGEABLE sketch column, unioned at serve/compact time, so
+"distinct users per window" maintains incrementally too): merging
+partials is then associative and commutative, so batch boundaries,
+retries and compaction order can never change the result. Never
+store a non-mergeable measure.
 
 Reference analogue: the reference recomputes its snapshot aggregates
 on every 24 h refresh (src/services/dataManager.ts:132-187); this is
@@ -63,6 +65,7 @@ class RollupMaintainer:
         keys: list[str] | None = None,
         ts_col: str = "ts",
         value_col: str = "value",
+        distinct_col: str | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
@@ -70,22 +73,31 @@ class RollupMaintainer:
         self.keys = keys or []
         self.ts_col = ts_col
         self.value_col = value_col
+        self.distinct_col = distinct_col
 
     # ---- per-batch partial -------------------------------------------------
 
     def _partial(self, df: DataFrame) -> DataFrame:
         win = F.window(self.ts_col, self.window)
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(self.value_col).alias("sum_value"),
+        ]
+        if self.distinct_col is not None:
+            # Datasketches HLL: a binary, UNION-mergeable sketch —
+            # the only way a "distinct X per window" survives
+            # incremental maintenance (raw counts don't merge)
+            aggs.append(F.hll_sketch_agg(self.distinct_col).alias("distinct_sketch"))
+        measure_cols = ["n_events", "sum_value"] + (
+            ["distinct_sketch"] if self.distinct_col is not None else []
+        )
         return (
             df.groupBy(win.alias("__w"), *self.keys)
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(self.value_col).alias("sum_value"),
-            )
+            .agg(*aggs)
             .select(
                 F.col("__w.start").alias("window_start"),
                 *self.keys,
-                "n_events",
-                "sum_value",
+                *measure_cols,
             )
         )
 
@@ -154,23 +166,31 @@ class RollupMaintainer:
         dirs = self._partial_dirs()
         if not dirs:
             return None
-        return (
-            self.spark.read.parquet(*dirs)
-            .groupBy("window_start", *self.keys)
-            .agg(
+        merged = self.spark.read.parquet(*dirs).groupBy("window_start", *self.keys)
+        out_cols = [
+            "window_start",
+            *self.keys,
+            "n_events",
+            F.round("sum_value", round_dp).alias("total_value"),
+            F.round(F.col("sum_value") / F.col("n_events"), round_dp).alias(
+                "avg_value"
+            ),
+        ]
+        if self.distinct_col is not None:
+            agg = merged.agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_value").alias("sum_value"),
+                F.hll_union_agg("distinct_sketch").alias("__sk"),
+            )
+            out_cols.append(
+                F.hll_sketch_estimate("__sk").alias("approx_distinct")
+            )
+        else:
+            agg = merged.agg(
                 F.sum("n_events").alias("n_events"),
                 F.sum("sum_value").alias("sum_value"),
             )
-            .select(
-                "window_start",
-                *self.keys,
-                "n_events",
-                F.round("sum_value", round_dp).alias("total_value"),
-                F.round(F.col("sum_value") / F.col("n_events"), round_dp).alias(
-                    "avg_value"
-                ),
-            )
-        )
+        return agg.select(*out_cols)
 
     # ---- maintenance -------------------------------------------------------
 
@@ -188,13 +208,16 @@ class RollupMaintainer:
         root = f"{self.path}/partials"
         staging = f"{root}/{_STAGING}"
         fs.delete(self.spark, staging)
+        aggs = [
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+        ]
+        if self.distinct_col is not None:
+            aggs.append(F.hll_union_agg("distinct_sketch").alias("distinct_sketch"))
         merged = (
             self.spark.read.parquet(*dirs)
             .groupBy("window_start", *self.keys)
-            .agg(
-                F.sum("n_events").alias("n_events"),
-                F.sum("sum_value").alias("sum_value"),
-            )
+            .agg(*aggs)
         )
         merged.write.mode("overwrite").parquet(staging)
         # manifest BEFORE the marker: a committed staging must always

@@ -677,3 +677,29 @@ def test_rollup_compact_crash_heals_without_double_count(spark, tmp_path):
     import os as _os
 
     assert sorted(_os.listdir(root)) == ["base"]
+
+
+def test_rollup_distinct_sketch_merges_across_batches(spark, tmp_path):
+    """HLL distinct-count measure: users seen in BOTH batches must not
+    double-count (sketch union, not sum); estimates are exact at tiny
+    cardinality; compaction preserves the sketch."""
+    from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
+
+    roll = RollupMaintainer(
+        spark, str(tmp_path / "r3"), window="1 hour", keys=[], distinct_col="key"
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "key long, ts string, value double"
+    ).selectExpr("key", "ts::timestamp AS ts", "value")
+    # batch 0: users 1,2,3 ; batch 1: users 2,3,4 -> 4 distinct total
+    roll._ingest_batch(
+        mk([(1, "2024-01-01T00:05:00", 1.0), (2, "2024-01-01T00:06:00", 1.0),
+            (3, "2024-01-01T00:07:00", 1.0)]), 0)
+    roll._ingest_batch(
+        mk([(2, "2024-01-01T00:15:00", 1.0), (3, "2024-01-01T00:16:00", 1.0),
+            (4, "2024-01-01T00:17:00", 1.0)]), 1)
+    row = roll.serve().collect()[0]
+    assert (row.n_events, row.approx_distinct) == (6, 4)
+    assert roll.compact() == 2
+    row2 = roll.serve().collect()[0]
+    assert (row2.n_events, row2.approx_distinct) == (6, 4)
