@@ -3362,6 +3362,103 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, books, _QUERY_VEC, k_top=10)
 
 
+@query(
+    "q72_scd2_event_intervals",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events),
+    v AS (
+      SELECT user_id, ts, event_type,
+             (prev IS NULL OR event_type <> prev) AS chg,
+             sum(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS version
+      FROM o),
+    pv AS (SELECT user_id, version, ts AS valid_from, event_type
+           FROM v WHERE chg)
+    SELECT user_id, version, valid_from, event_type,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+             AS valid_to
+    FROM pv
+    """,
+)
+def q72_scd2_event_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 build (operators/scd.py): each user's event-type history
+    as validity intervals — consecutive same-type events COLLAPSE into
+    one version row (lag comparison + running version counter, never a
+    self-join), valid_to = next version's start (NULL on the current
+    one). The dimension-history derivation every warehouse needs from
+    a change stream; event_id breaks exact-timestamp ties identically
+    in both engines. One key shuffle, windows only."""
+    from cdc_makanmana_spark.operators.scd import scd2_from_events
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    return scd2_from_events(
+        ev, ["user_id"], ts_col="ts", value_cols=["event_type"], seq_col="event_id"
+    ).select("user_id", "version", "valid_from", "event_type", "valid_to")
+
+
+@query(
+    "q73_snapshot_diff",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders),
+    old AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 2 THEN o_totalprice + 10.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % 11 <> 3),
+    new AS (SELECT * FROM base WHERE o_orderkey % 13 <> 5),
+    d AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                    OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                    OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  THEN 'update' END AS op,
+             o.o_totalprice AS old_price, n.o_totalprice AS new_price
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey)
+    SELECT * FROM d WHERE op IS NOT NULL
+    """,
+)
+def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff → typed change feed (operators/scd.py
+    ``table_diff``): two simulated versions of the orders table
+    (deterministic row predicates create inserts, deletes AND
+    updates), diffed into (key, op, old/new values) with one full-outer
+    hash join and a single 64-bit row-hash comparison for change
+    detection — unchanged rows (the overwhelming majority) never leave
+    the join. The oracle detects changes by direct column comparison,
+    so the hash-match also certifies the row-hash shortcut loses
+    nothing. This is what the engine publishes when a source hands it
+    full snapshots (the reference's refresh model) but downstream
+    wants increments."""
+    from cdc_makanmana_spark.operators.scd import table_diff
+
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    old = base.filter(F.col("o_orderkey") % 11 != 3).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 2, F.col("o_totalprice") + 10.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    new = base.filter(F.col("o_orderkey") % 13 != 5)
+    return table_diff(old, new, ["o_orderkey"]).select(
+        "o_orderkey",
+        "op",
+        F.col("old.o_totalprice").alias("old_price"),
+        F.col("new.o_totalprice").alias("new_price"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -940,3 +940,59 @@ def test_pq_shortlist_rerank_recovers_exact_neighbors(spark, sf_dir):
     by_id = {int(i): float(np.sqrt(dv)) for i, dv in zip(ids, d)}
     for r in got:
         assert abs(r.l2_dist - by_id[r.vec_id]) < 1e-4
+
+
+def test_scd2_from_events_collapses_and_bounds_intervals(spark):
+    """SCD-2 build: same-value runs collapse into one version, version
+    numbering restarts per key, valid_to chains to the next version's
+    valid_from and is NULL on the current version; exact-ts ties break
+    on the sequence column."""
+    from cdc_makanmana_spark.operators.scd import scd2_from_events
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, 1, "a"), (1, 20, 2, "a"),    # run of 'a' -> one version
+            (1, 30, 3, "b"),
+            (1, 40, 4, "a"),                      # back to 'a' -> NEW version
+            (1, 40, 5, "c"),                      # same ts, higher seq wins order
+            (2, 10, 6, "x"),
+        ],
+        "k long, t long, seq long, v string",
+    )
+    out = {
+        (r.k, r.version): (r.valid_from, r.v, r.valid_to)
+        for r in scd2_from_events(
+            ev, ["k"], ts_col="t", value_cols=["v"], seq_col="seq"
+        ).collect()
+    }
+    assert out == {
+        (1, 1): (10, "a", 30),
+        (1, 2): (30, "b", 40),
+        (1, 3): (40, "a", 40),
+        (1, 4): (40, "c", None),
+        (2, 1): (10, "x", None),
+    }
+
+
+def test_table_diff_types_and_null_patterns(spark):
+    """Snapshot diff: inserts/deletes/updates typed correctly,
+    unchanged rows absent, and a null-swap between ADJACENT columns is
+    detected as an update (the null-skip hash collision the isnull
+    interleave exists for)."""
+    from cdc_makanmana_spark.operators.scd import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "b"), (2, "x", None), (3, "keep", "keep"), (4, "gone", "gone")],
+        "k long, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", "B"), (2, None, "x"), (3, "keep", "keep"), (5, "fresh", "row")],
+        "k long, c1 string, c2 string",
+    )
+    got = {r.k: r.op for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "update", 2: "update", 4: "delete", 5: "insert"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="identical schemas"):
+        table_diff(old, new.withColumnRenamed("c2", "zz"), ["k"])
