@@ -63,6 +63,8 @@ from cdc_makanmana_spark.operators.dedup import (
 _META = "_index_meta.json"
 _SCRUB_STAGING = ".__scrubstg_"
 _SCRUB_OLD = ".__scrubold_"
+_CMP_STAGING = ".__cmpstg_base"
+_MANIFEST = "_FOLDED"
 
 
 def _shingle_hashes(text_col, shingle_n: int):
@@ -130,6 +132,9 @@ class SignatureIndex:
         if any(n.startswith((_SCRUB_STAGING, _SCRUB_OLD)) for n in names):
             self._repair_scrub(root, names)
             names = fs.list_names(self.spark, root, dirs_only=True)
+        if _CMP_STAGING in names:
+            self._heal_compact(root)
+            names = fs.list_names(self.spark, root, dirs_only=True)
         return sorted(
             n
             for n in names
@@ -193,7 +198,9 @@ class SignatureIndex:
         return ids.join(sig, "id", "left").join(sh, "id", "left")
 
     def _is_appended(self, batch_id: int) -> bool:
-        return fs.is_committed(self.spark, f"{self.path}/docs/b{batch_id}")
+        return fs.is_committed(
+            self.spark, f"{self.path}/docs/b{batch_id}"
+        ) or f"b{batch_id}" in self._folded_ids("docs")
 
     def append(self, df: DataFrame, batch_id: int, _entries: DataFrame | None = None) -> None:
         """Index ``df``'s docs under ``batch_id``. WRITE-ONCE per
@@ -210,6 +217,9 @@ class SignatureIndex:
         if self._is_appended(batch_id):
             return
         entries = _materialize(self._entries(df)) if _entries is None else _entries
+        # provenance column: lets ingest() recover a batch's survivors
+        # from a compacted base after the per-batch dir is folded away
+        entries = entries.withColumn("src_batch", F.lit(int(batch_id)))
         rows_per_band = self.num_hashes // self.bands
         buckets = _band_buckets(
             entries.filter(F.col("signature").isNotNull()).select(
@@ -224,6 +234,68 @@ class SignatureIndex:
         fs.mark_committed(self.spark, bdir)
         entries.write.mode("overwrite").parquet(ddir)
         fs.mark_committed(self.spark, ddir)
+
+    def _heal_compact(self, root: str) -> None:
+        """Finish or roll back a crashed compact(): a committed staging
+        carries a manifest of the batch dirs it folded — delete any
+        still present (serving them next to the staging would double
+        their docs), then install staging as ``base``. Uncommitted
+        staging is swept; the originals still serve."""
+        staging = f"{root}/{_CMP_STAGING}"
+        manifest = fs.read_text(self.spark, f"{staging}/{_MANIFEST}")
+        if fs.is_committed(self.spark, staging) and manifest is not None:
+            for n in manifest.split("\n"):
+                if n and not n.startswith("#"):
+                    fs.delete(self.spark, f"{root}/{n}")
+            fs.delete(self.spark, f"{root}/base")
+            fs.rename(self.spark, staging, f"{root}/base")
+        else:
+            fs.delete(self.spark, staging)
+
+    def _folded_ids(self, sub: str) -> set[str]:
+        """Batch dir names recorded as folded into ``{sub}/base`` —
+        the memory that keeps the write-once append guard working
+        after their directories are compacted away."""
+        raw = fs.read_text(self.spark, f"{self.path}/{sub}/base/{_MANIFEST}")
+        if raw is None:
+            return set()
+        return {n for n in raw.split("\n") if n and not n.startswith("#")}
+
+    def compact(self) -> int:
+        """Fold every committed per-batch dir (and any previous base)
+        into ONE ``base`` dir per side — the periodic maintenance the
+        per-batch append layout is the precursor of (the module
+        docstring's "compacted periodically": a continuously-ingesting
+        stream otherwise accumulates one dir per micro-batch and scan
+        planning degrades long before data volume does). The base
+        carries a manifest of every batch name ever folded, so
+        ``_is_appended`` (the double-count guard) and ``ingest``'s
+        retry recovery (via the ``src_batch`` provenance column)
+        survive compaction. Staged, manifest-guarded, healed on any
+        read — a crash can never serve a batch twice or lose one.
+        Returns the number of dirs folded (0 = nothing to do)."""
+        total = 0
+        for sub in ("docs", "buckets"):
+            root = f"{self.path}/{sub}"
+            names = self._batch_names(sub)  # heals crashed scrub/compact
+            if len(names) <= 1:
+                continue
+            carried = self._folded_ids(sub)
+            folded = carried | {n for n in names if n != "base"}
+            staging = f"{root}/{_CMP_STAGING}"
+            fs.delete(self.spark, staging)
+            self.spark.read.parquet(
+                *[f"{root}/{n}" for n in names]
+            ).write.mode("overwrite").parquet(staging)
+            fs.write_text(
+                self.spark,
+                f"{staging}/{_MANIFEST}",
+                "\n".join(sorted(names)) + "\n#ids\n" + "\n".join(sorted(folded)),
+            )
+            fs.mark_committed(self.spark, staging)
+            self._heal_compact(root)  # the install path IS the heal path
+            total += len(names)
+        return total
 
     # ---- compliance -------------------------------------------------------
 
@@ -268,6 +340,11 @@ class SignatureIndex:
                 fs.delete(self.spark, staging)
                 kept = df.filter(~F.col("id").isin(ids))
                 kept.write.mode("overwrite").parquet(staging)
+                manifest = fs.read_text(self.spark, f"{p}/{_MANIFEST}")
+                if manifest is not None:
+                    # the base dir's folded-batch memory must survive
+                    # the rewrite or the write-once append guard forgets
+                    fs.write_text(self.spark, f"{staging}/{_MANIFEST}", manifest)
                 n_staged = self.spark.read.parquet(staging).count()
                 if n_staged + n_hit != n_before:
                     fs.delete(self.spark, staging)
@@ -371,9 +448,12 @@ class SignatureIndex:
         directory — since this method cannot transact across two
         stores."""
         if self._is_appended(batch_id):
-            kept = self.spark.read.parquet(f"{self.path}/docs/b{batch_id}").select(
-                F.col("id").alias(self.id_col)
-            )
+            bdir = f"{self.path}/docs/b{batch_id}"
+            if fs.is_committed(self.spark, bdir):
+                kept = self.spark.read.parquet(bdir)
+            else:  # folded into base by compact(); recover by provenance
+                kept = self.docs().filter(F.col("src_batch") == int(batch_id))
+            kept = kept.select(F.col("id").alias(self.id_col))
             return batch.join(kept, self.id_col, "left_semi")
         survivors, bsig = self._dedup(batch, threshold)
         survivors = _materialize(survivors)

@@ -524,3 +524,73 @@ class TestSignatureIndexScrub:
         shutil.copytree(p, staging)
         assert ix.docs().count() == n_docs
         assert not os.path.exists(staging)
+
+
+class TestSignatureIndexCompact:
+    A = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    B = "completely different second document with its own unique words here now"
+    C = "a third document about spark engines and distributed analytics at scale"
+
+    def _mk(self, spark, tmp_path):
+        from cdc_makanmana_spark.operators.dedup_index import SignatureIndex
+
+        ix = SignatureIndex(spark, str(tmp_path / "ixc"), id_col="id")
+        ix.append(_docs(spark, [(1, self.A), (2, self.B)]), batch_id=0)
+        ix.append(_docs(spark, [(3, self.C)]), batch_id=1)
+        return ix
+
+    def test_compact_folds_batches_preserving_semantics(self, spark, tmp_path):
+        import os
+
+        ix = self._mk(spark, tmp_path)
+        before_docs = sorted(r["id"] for r in ix.docs().collect())
+        before_buckets = sorted(map(tuple, ix.buckets().collect()))
+        assert ix.compact() >= 4  # 2 docs dirs + 2 buckets dirs
+        root = str(tmp_path / "ixc")
+        assert sorted(os.listdir(f"{root}/docs")) == ["base"]
+        assert sorted(r["id"] for r in ix.docs().collect()) == before_docs
+        assert sorted(map(tuple, ix.buckets().collect())) == before_buckets
+        # write-once guard survives: re-append of folded batch is a no-op
+        ix.append(_docs(spark, [(9, self.A)]), batch_id=0)
+        assert sorted(r["id"] for r in ix.docs().collect()) == before_docs
+        # ingest retry of a folded batch recovers survivors by provenance
+        got = sorted(
+            r["id"] for r in ix.ingest(_docs(spark, [(3, self.C), (4, self.A)]), batch_id=1).collect()
+        )
+        assert got == [3]  # batch 1's original survivor, not a re-dedup
+        # dedup still suppresses duplicates of folded content
+        assert ix.dedup_batch(_docs(spark, [(10, self.B)])).count() == 0
+        # second compact with one more batch folds base + new dir
+        ix.append(_docs(spark, [(5, "brand new fifth text unlike the others entirely")]), batch_id=2)
+        assert ix.compact() >= 4
+        assert ix._folded_ids("docs") >= {"b0", "b1", "b2"}
+
+    def test_compact_crash_heals_without_double_serve(self, spark, tmp_path):
+        import shutil
+
+        from cdc_makanmana_spark import fs
+        from cdc_makanmana_spark.operators.dedup_index import _CMP_STAGING, _MANIFEST
+
+        ix = self._mk(spark, tmp_path)
+        n = ix.docs().count()
+        root = str(tmp_path / "ixc") + "/docs"
+        # simulate: staging committed, inputs NOT yet deleted
+        staging = f"{root}/{_CMP_STAGING}"
+        merged = spark.read.parquet(f"{root}/b0", f"{root}/b1")
+        merged.write.mode("overwrite").parquet(staging)
+        fs.write_text(spark, f"{staging}/{_MANIFEST}", "b0\nb1\n#ids\nb0\nb1")
+        fs.mark_committed(spark, staging)
+        assert ix.docs().count() == n  # healed: no double-serve
+        import os
+
+        assert sorted(os.listdir(root)) == ["base"]
+
+    def test_scrub_after_compact_keeps_append_guard(self, spark, tmp_path):
+        ix = self._mk(spark, tmp_path)
+        ix.compact()
+        stats = ix.scrub([1])
+        assert stats["docs_removed"] == 1
+        # the folded-batch memory survived the scrub rewrite
+        assert ix._folded_ids("docs") >= {"b0", "b1"}
+        ix.append(_docs(spark, [(7, self.A)]), batch_id=0)  # still a no-op
+        assert sorted(r["id"] for r in ix.docs().collect()) == [2, 3]
