@@ -133,3 +133,143 @@ def bigram_commonness(
             ).alias("avg_bigram_freq"),
         )
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 50,
+    min_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Byte-pair-encoding merge training over a corpus — the tokenizer
+    TRAINING step as an iterative Spark algorithm (Sennrich et al.
+    2016, the construction GPT-2/RoBERTa vocabularies use; public
+    literature). Returns the learned merge list in order.
+
+    Scale shape — the classical trick makes this corpus-size-proof:
+    BPE statistics depend only on the WORD FREQUENCY table, so the
+    corpus is read ONCE into (word, freq) — everything after runs on
+    vocabulary-sized data (|vocab| ≪ corpus, bounded by the language).
+    Each iteration is: explode adjacent symbol pairs weighted by word
+    freq → one aggregate → argmax (collected: ONE row per iteration,
+    the same bounded-scalar pattern as connected_components'
+    convergence probe) → fold-merge the winning pair inside every
+    word's symbol array. Iterations materialize (lineage cut) so plan
+    depth stays O(1) per merge, exactly like the CC loop.
+
+    Determinism: ties on pair frequency break lexicographically, so
+    the merge list is a pure function of the corpus.
+    """
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    words = (
+        _drop_blank_text(df, text_col)
+        .select(F.explode(F.split(_norm_text(F.col(text_col)), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            # symbols start as characters; </w> marks word end (the
+            # standard trick so merges can't cross word boundaries and
+            # end-of-word units are distinct)
+            F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>"))).alias("sym"),
+            "freq",
+        )
+    )
+    vocab = _materialize(words)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = vocab.select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(sym, 1, size(sym) - 1)"),
+                    F.expr("slice(sym, 2, size(sym) - 1)"),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["p"]["a"], top[0]["p"]["b"]
+        merges.append((a, b))
+        merged = a + b
+        # fold-merge (a,b) -> ab left-to-right inside each symbol array:
+        # append s unless the accumulator ends with a and s == b, in
+        # which case the tail becomes ab. Overlapping runs (a=b) merge
+        # greedily left-first, matching the reference algorithm.
+        vocab = _materialize(
+            vocab.select(
+                F.aggregate(
+                    "sym",
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(a))
+                        & (s == F.lit(b)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ).alias("sym"),
+                "freq",
+            )
+        )
+    return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge list: returns (``id_col``, tokens
+    array<string>). The corpus-scale trick: tokenization is a pure
+    function of the word, so DISTINCT words are tokenized once (the
+    merge fold runs |vocab| times, not |corpus| times) and documents
+    get their token arrays back through one broadcast join on the
+    word — the fact table never carries symbol arrays through the
+    merge loop."""
+    d = _drop_blank_text(df, text_col)
+    doc_words = d.select(
+        F.col(id_col),
+        F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias("pos", "w"),
+    )
+    dict_sym = doc_words.select("w").distinct().withColumn(
+        "sym", F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
+    )
+    for a, b in merges:
+        merged = a + b
+        dict_sym = dict_sym.withColumn(
+            "sym",
+            F.aggregate(
+                "sym",
+                F.array().cast("array<string>"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (s == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+    return (
+        doc_words.join(F.broadcast(dict_sym), "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.col("sym").alias("s")))
+                ).getField("s")
+            ).alias("tokens")
+        )
+    )

@@ -594,3 +594,84 @@ class TestSignatureIndexCompact:
         assert ix._folded_ids("docs") >= {"b0", "b1"}
         ix.append(_docs(spark, [(7, self.A)]), batch_id=0)  # still a no-op
         assert sorted(r["id"] for r in ix.docs().collect()) == [2, 3]
+
+
+class TestBPE:
+    """bpe_train_merges / bpe_tokenize (operators/corpus.py) against a
+    plain-Python reference implementation of Sennrich et al.'s
+    algorithm (same tie-break: max count, then lexicographic pair)."""
+
+    @staticmethod
+    def _ref_train(texts, n_merges, min_freq=2):
+        from collections import Counter
+
+        freq = Counter()
+        for t in texts:
+            for w in t.lower().split():
+                freq[tuple(list(w) + ["</w>"])] += 1
+        merges = []
+        for _ in range(n_merges):
+            pc = Counter()
+            for sym, f in freq.items():
+                for a, b in zip(sym, sym[1:]):
+                    pc[(a, b)] += f
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if best[1] < min_freq:
+                break
+            (a, b) = best[0]
+            merges.append((a, b))
+            new = Counter()
+            for sym, f in freq.items():
+                out = []
+                for s in sym:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                new[tuple(out)] += f
+            freq = new
+        return merges
+
+    TEXTS = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest",
+    ]
+
+    def test_merges_match_python_reference(self, spark):
+        from cdc_makanmana_spark.operators.corpus import bpe_train_merges
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id long, text string"
+        )
+        got = bpe_train_merges(df, "text", n_merges=12)
+        assert got == self._ref_train(self.TEXTS, 12)
+        # canonical example: first merges build 'est</w>' and 'low'
+        assert got[:3] == [("e", "s"), ("es", "t"), ("est", "</w>")]
+
+    def test_tokenize_roundtrips_and_respects_word_boundaries(self, spark):
+        from cdc_makanmana_spark.operators.corpus import (
+            bpe_tokenize,
+            bpe_train_merges,
+        )
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.TEXTS)], "id long, text string"
+        )
+        merges = bpe_train_merges(df, "text", n_merges=12)
+        toks = {
+            r["id"]: r["tokens"]
+            for r in bpe_tokenize(df, "text", "id", merges).collect()
+        }
+        # concatenating tokens (stripping </w>) reconstructs the text
+        for i, t in enumerate(self.TEXTS):
+            joined = "".join(toks[i]).replace("</w>", " ").strip()
+            assert joined == t
+        # no token spans a word boundary: every '</w>' is token-final
+        for ts in toks.values():
+            for tok in ts:
+                assert "</w>" not in tok[:-4] or tok.endswith("</w>")
+        # fully-merged frequent words become single tokens
+        assert "newest</w>" in toks[1]
