@@ -213,3 +213,79 @@ def test_dedup_against_corpus_soundness_property(spark, texts):
                 a, b = sh(t), sh(ct)
                 j = len(a & b) / (len(a) + len(b) - len(a & b))
                 assert j < 0.8, (i, t, ct, j)
+
+
+@given(
+    texts=_texts,
+    window=st.integers(1, 10),
+    stride_off=st.integers(0, 9),
+)
+@settings(max_examples=20, deadline=None)
+def test_chunking_reassembly_property(spark, texts, window, stride_off):
+    """chunk_documents invariants on arbitrary corpora and geometries:
+    stripping each chunk's overlap prefix reassembles the normalized
+    document exactly; chunk ids are contiguous from 0; every chunk has
+    1..window words; blank docs yield no chunks."""
+    from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+    stride = max(1, window - stride_off % window) if window > 1 else 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    rows = chunk_documents(df, "text", "id", window, stride).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], {})[r["chunk_id"]] = r
+    for i, t in enumerate(texts):
+        words = t.split()
+        if not words:
+            assert i not in by_doc
+            continue
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))  # contiguous
+        out = []
+        for cid in sorted(chunks):
+            r = chunks[cid]
+            ws = r["chunk_text"].split(" ")
+            assert 1 <= r["n_chunk_words"] <= window and len(ws) == r["n_chunk_words"]
+            out.extend(ws if cid == 0 else ws[window - stride:])
+        assert out == words
+
+
+@given(
+    obs=st.lists(st.tuples(st.integers(0, 50), st.integers(0, 100)), min_size=0, max_size=8),
+    probes=st.lists(st.integers(0, 120), min_size=1, max_size=8),
+    tol=st.integers(0, 60),
+)
+@settings(max_examples=20, deadline=None)
+def test_asof_tolerance_matches_naive_property(spark, obs, probes, tol):
+    """asof_join(tolerance=) equals the naive per-probe argmax with a
+    staleness cutoff on arbitrary observation/probe sets (single key;
+    duplicate observation times resolved to the max value first, which
+    the naive reference mirrors)."""
+    from cdc_makanmana_spark.operators.asof import asof_join
+
+    best = {}
+    for t, v in obs:
+        best[t] = max(best.get(t, -1), v)
+    right = spark.createDataFrame(
+        [(1, t, float(v)) for t, v in best.items()] or [(2, 0, 0.0)],
+        "k long, t long, v double",
+    )
+    left = spark.createDataFrame([(1, p) for p in probes], "k long, t long")
+    got = {
+        (r.k, r.t, i): r.obs_v
+        for i, r in enumerate(
+            asof_join(
+                left, right, ["k"], "t", "t", ["v"], prefix="obs_", tolerance=tol
+            ).collect()
+        )
+    }
+    # naive reference
+    want = []
+    for p in probes:
+        cand = [(t, v) for t, v in best.items() if t <= p and p - t <= tol]
+        want.append(float(max(cand)[1]) if cand else None)
+    assert sorted(got.values(), key=lambda x: (x is None, x)) == sorted(
+        want, key=lambda x: (x is None, x)
+    )
