@@ -196,6 +196,8 @@ def _decode_stub(payload: bytes, width: int, height: int, dim: int = 8) -> list[
     Replace the body with Pillow decode + extractor — the signature and
     the pipeline around it are the real contract."""
     h = hashlib.sha256(payload).digest()
+    while len(h) < 2 * dim:  # stretch deterministically for dim > 16
+        h += hashlib.sha256(h).digest()
     return [((h[i] << 8 | h[i + 1]) / 65535.0) for i in range(0, 2 * dim, 2)]
 
 
@@ -466,3 +468,74 @@ def audio_near_duplicates(media: DataFrame, max_distance: int = 3) -> DataFrame:
     from cdc_makanmana_spark.operators.dedup import hamming_pairs
 
     return hamming_pairs(audio_fingerprint(media), "afp", "media_id", max_distance)
+
+
+FRAME_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("fhash", LongType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """64-bit perceptual hash per SAMPLED video frame: the video tier
+    of the multimodal dedup trio (image aHash / audio fingerprint /
+    this). Frame extraction is ``sample_frames``'s stub slicing (no
+    video codec in the container — the honest-stub rule), the
+    per-frame hash is the stub feature vector's threshold bits; with a
+    real decoder dropped in, the frame path becomes image_ahash's real
+    kernel and NOTHING downstream changes. One Arrow-batched
+    ``mapInPandas``; payloads never visit the driver."""
+    import numpy as np
+
+    frames = sample_frames(media, every_nth)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = []
+            for p in pdf["frame_payload"]:
+                feats = np.asarray(
+                    _decode_stub(bytes(p), 8, 8, dim=64), dtype=np.float64
+                )
+                bits = feats > feats.mean()
+                h = 0
+                for i, b in enumerate(bits[:64]):
+                    if b:
+                        h |= 1 << i
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "fhash": hashes,
+                }
+            )
+
+    return frames.mapInPandas(batches, schema=FRAME_HASH_SCHEMA)
+
+
+def video_near_duplicates(
+    media: DataFrame, min_shared_frames: int = 2, every_nth: int = 2
+) -> DataFrame:
+    """Near-duplicate video pairs: videos sharing >= ``min_shared_frames``
+    sampled-frame hashes. The candidate join is the dedup ladder's
+    inverted-index shape — explode to (frame-hash, video) postings,
+    pair within a hash bucket, count shared hashes per pair — so the
+    shuffle key is the 8-byte frame hash and cost is bounded by
+    postings-per-hash, never |videos|². A re-encoded or trimmed copy
+    shares most frame hashes; unrelated videos share none. Returns
+    (id_a, id_b, n_shared)."""
+    fh = video_frame_hashes(media, every_nth).select(
+        "media_id", "fhash"
+    ).distinct()
+    a = fh.select(F.col("media_id").alias("id_a"), "fhash")
+    b = fh.select(F.col("media_id").alias("id_b"), "fhash")
+    return (
+        a.join(b, "fhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared_frames)
+    )

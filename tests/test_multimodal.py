@@ -276,3 +276,45 @@ def test_audio_fingerprint_near_duplicates(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_video_near_duplicates_by_frame_hashes(spark):
+    """Video tier of the multimodal dedup trio: an exact copy shares
+    every sampled-frame hash, a half-trimmed copy still shares the
+    leading frames, an unrelated video pairs with neither."""
+    import hashlib as _hl
+
+    from cdc_makanmana_spark.multimodal.binary import (
+        MEDIA_SCHEMA,
+        video_frame_hashes,
+        video_near_duplicates,
+    )
+
+    def _chain(seed: bytes, blocks: int = 200) -> bytes:
+        out, h = b"", _hl.sha256(seed).digest()
+        for _ in range(blocks):
+            out += h
+            h = _hl.sha256(h).digest()
+        return out  # 6400 bytes, aperiodic -> frames hash distinctly
+
+    base = _chain(b"clipA")
+    other = _chain(b"clipB")
+    rows = [
+        (1, "video", bytearray(base), ("fake", 64, 64, 8)),
+        (2, "video", bytearray(base), ("fake", 64, 64, 8)),        # exact copy
+        (3, "video", bytearray(base[: len(base) // 2]), ("fake", 64, 64, 4)),  # trim
+        (4, "video", bytearray(other), ("fake", 64, 64, 8)),       # unrelated
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fh = video_frame_hashes(media, every_nth=2)
+    per = {r.media_id: r.n for r in fh.groupBy("media_id").count().withColumnRenamed("count", "n").collect()}
+    assert per[1] == 4 and per[3] == 2  # 8 frames sampled every 2nd; 4 frames -> 2
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in video_near_duplicates(media, min_shared_frames=2).collect()
+    }
+    assert pairs.get((1, 2)) == 4          # copy shares all sampled hashes
+    assert (1, 4) not in pairs and (2, 4) not in pairs and (3, 4) not in pairs
+    # the trim shares its sampled frames with the full clip iff the
+    # slicing grid aligns; at half length + half frames it does
+    assert pairs.get((1, 3), 0) >= 2
