@@ -45,7 +45,11 @@ def scd2_from_events(
         same = F.lit(True)
         for c in value_cols:
             same = same & F.col(c).eqNullSafe(F.lag(c).over(w))
-        changed = F.coalesce(~same, F.lit(True))  # first row: new version
+        # the first row must open a version EXPLICITLY: eqNullSafe makes
+        # `same` non-null even at the window start, and a key whose
+        # first value is NULL would otherwise compare "equal" to the
+        # absent predecessor and silently lose its opening version
+        changed = (F.row_number().over(w) == 1) | ~same
     versioned = events.withColumn("__chg", changed).withColumn(
         "version",
         F.sum(F.col("__chg").cast("int")).over(

@@ -973,6 +973,21 @@ def test_scd2_from_events_collapses_and_bounds_intervals(spark):
         (2, 1): (10, "x", None),
     }
 
+    # a key whose FIRST value is NULL must still open version 1 (the
+    # eqNullSafe-vs-absent-predecessor edge): NULL, NULL, 'v' -> two
+    # versions, the NULL run collapsed
+    ev2 = spark.createDataFrame(
+        [(9, 10, 1, None), (9, 20, 2, None), (9, 30, 3, "v")],
+        "k long, t long, seq long, v string",
+    )
+    out2 = {
+        (r.k, r.version): (r.valid_from, r.v, r.valid_to)
+        for r in scd2_from_events(
+            ev2, ["k"], ts_col="t", value_cols=["v"], seq_col="seq"
+        ).collect()
+    }
+    assert out2 == {(9, 1): (10, None, 30), (9, 2): (30, "v", None)}
+
 
 def test_table_diff_types_and_null_patterns(spark):
     """Snapshot diff: inserts/deletes/updates typed correctly,
