@@ -242,10 +242,17 @@ def bpe_tokenize(
         F.col(id_col),
         F.posexplode(F.split(_norm_text(F.col(text_col)), " ")).alias("pos", "w"),
     )
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
     dict_sym = doc_words.select("w").distinct().withColumn(
         "sym", F.concat(F.split(F.col("w"), ""), F.array(F.lit("</w>")))
     )
-    for a, b in merges:
+    for mi, (a, b) in enumerate(merges):
+        if mi and mi % 16 == 0:
+            # bound plan depth: a large merge list otherwise nests one
+            # HOF fold per merge into a single analyzer-hostile plan;
+            # the cut is cheap (the frame is vocabulary-sized)
+            dict_sym = _materialize(dict_sym)
         merged = a + b
         dict_sym = dict_sym.withColumn(
             "sym",
