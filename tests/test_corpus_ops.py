@@ -675,3 +675,77 @@ class TestBPE:
                 assert "</w>" not in tok[:-4] or tok.endswith("</w>")
         # fully-merged frequent words become single tokens
         assert "newest</w>" in toks[1]
+
+
+class TestCorpusPipeline:
+    """CorpusPipeline facade: zero new semantics — its composition must
+    equal the q46 pipeline's kept set, stage for stage."""
+
+    def test_composition_matches_q46_stages(self, spark, sf_dir):
+        from cdc_makanmana_spark.corpus_engine import CorpusPipeline
+        from cdc_makanmana_spark.functions.text import quality_score
+        from cdc_makanmana_spark.operators.dedup import _norm_text, dedup_exact
+        from cdc_makanmana_spark.tables import load_table
+
+        d = load_table(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+        pipe = (
+            CorpusPipeline(d)
+            .quality_filter(0.5)
+            .repetition_filter(0.6)
+            .dedup_exact()
+            .split()
+        )
+        got = {
+            (r.split, r.lang): r.n
+            for r in pipe.df.groupBy("split", "lang").agg(F.count("*").alias("n")).collect()
+        }
+        # manual replay of the same stages (q46's construction)
+        words = F.split(_norm_text(F.col("text")), " ")
+        kept = (
+            d.filter(F.col("text").isNotNull())
+            .filter(quality_score("text") >= 0.5)
+            .filter(
+                (1.0 - F.size(F.array_distinct(words)).cast("double") / F.size(words))
+                <= 0.6
+            )
+        )
+        from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+        deduped = dedup_exact(kept, "text", "doc_id")
+        bucket = F.pmod(
+            md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+            F.lit(100),
+        )
+        want = {
+            (r.split, r.lang): r.n
+            for r in deduped.withColumn(
+                "split",
+                F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+            )
+            .groupBy("split", "lang")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert got == want and sum(got.values()) > 0
+
+    def test_decontaminate_scrub_and_pack(self, spark):
+        from cdc_makanmana_spark.corpus_engine import CorpusPipeline
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog tonight"),
+                (2, "email me at secret about the plan now please thanks"),
+                (3, "completely unrelated words describing database engines here"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "quick brown fox jumps over the lazy dog")], "doc_id long, text string"
+        )
+        pipe = CorpusPipeline(docs).decontaminate(ev).blocklist_scrub(["secret"])
+        rows = {r.doc_id: r.text for r in pipe.df.collect()}
+        assert 1 not in rows                       # contaminated doc dropped
+        assert "[REDACTED]" in rows[2] and "secret" not in rows[2]
+        packed = pipe.pack(budget=5).df
+        assert {"n_tokens", "shard_id"} <= set(packed.columns)
+        assert packed.filter("shard_id >= 0").count() == 2
