@@ -703,3 +703,46 @@ def test_rollup_distinct_sketch_merges_across_batches(spark, tmp_path):
     assert roll.compact() == 2
     row2 = roll.serve().collect()[0]
     assert (row2.n_events, row2.approx_distinct) == (6, 4)
+
+
+def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path):
+    """The corpus prep stages are stateless transforms, so the SAME
+    operator body runs in a streaming plan: chunk_documents over a file
+    stream produces exactly the batch chunker's rows."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from cdc_makanmana_spark.operators.corpus import chunk_documents
+
+    src = str(tmp_path / "docs_src")
+    _land(src, "d1.json", [
+        {"doc_id": 1, "text": " ".join(f"w{i}" for i in range(10))},
+        {"doc_id": 2, "text": "short one"},
+        {"doc_id": 3, "text": None},
+    ])
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    out = chunk_documents(stream, "text", "doc_id", window=4, stride=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("chunk_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in spark.sql("SELECT * FROM chunk_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "short one"), (3, None)],
+        schema,
+    )
+    want = {
+        (r.doc_id, r.chunk_id): r.chunk_text
+        for r in chunk_documents(batch, "text", "doc_id", 4, 3).collect()
+    }
+    assert got == want and len(got) >= 4
