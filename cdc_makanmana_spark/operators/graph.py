@@ -1,0 +1,76 @@
+"""Graph construction and analytics over co-occurrence data — the
+tier beyond ``connected_components`` (operators/dedup.py): build an
+entity graph FROM tabular events, then compute structure (triangles /
+local clustering) on it. Standard distributed-graph shapes on
+DataFrames; no driver-side graph object ever exists.
+
+Reference parity note: the reference has no graph surface; these are
+north-star extensions (the co-engagement / co-citation graphs behind
+recommendation and influence features, and the triangle statistics
+that separate genuine communities from hub-and-spoke noise).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    max_group: int = 6,
+) -> DataFrame:
+    """Entity co-occurrence graph: an edge (a, b), a < b, for every
+    pair of distinct entities appearing in the same group (same
+    session, same time-window × event-type, same document...), with
+    ``n_groups`` = how many groups they share (the edge weight).
+
+    Scale shape: within-group pairing is quadratic IN THE GROUP, so
+    group size is the whole cost story — ``max_group`` drops groups
+    above the cap before pairing (the co-occurrence twin of the text
+    ladder's ``max_shingle_df``: a mega-group — a viral document, a
+    bot burst — contributes O(n²) near-meaningless edges and is
+    exactly what you don't want in the graph). Everything shuffles on
+    group keys, then on the 2-entity edge key; never O(N²) in the
+    table.
+    """
+    g = df.select(*group_cols, F.col(id_col).alias("__id")).distinct()
+    sizes = g.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    capped = g.join(
+        sizes.filter(F.col("__n") <= max_group).select(*group_cols), group_cols
+    )
+    a = capped.select(*group_cols, F.col("__id").alias("id_a"))
+    b = capped.select(*group_cols, F.col("__id").alias("id_b"))
+    return (
+        a.join(b, group_cols)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_groups"))
+    )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation over an ordered edge list
+    (id_a < id_b, distinct): the local-clustering numerator. A node in
+    many triangles sits inside a dense community; a hub with zero
+    triangles is a star center.
+
+    The enumeration is the classical ordered three-way join — wedges
+    (a<b<c) from edges (a,b)⋈(b,c), closed by (a,c) — so each triangle
+    is produced exactly once and every shuffle key is a node id (or an
+    id pair). Cost is sum of per-node degree² for wedge generation,
+    bounded upstream by the edge builder's group cap. Returns
+    (id, n_triangles) for nodes in at least one triangle.
+    """
+    e = edges.select("id_a", "id_b").distinct()
+    ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

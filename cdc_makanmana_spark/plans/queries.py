@@ -3459,6 +3459,90 @@ def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q74_MAX_GROUP = 6
+
+_Q74_EDGE_SQL = f"""
+    g AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS w, event_type, user_id
+      FROM events),
+    ok AS (
+      SELECT w, event_type FROM g GROUP BY w, event_type
+      HAVING count(*) <= {_Q74_MAX_GROUP}),
+    cg AS (SELECT g.* FROM g JOIN ok USING (w, event_type)),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS n_groups
+      FROM cg a JOIN cg b
+        ON a.w = b.w AND a.event_type = b.event_type
+       AND a.user_id < b.user_id
+      GROUP BY 1, 2)
+"""
+
+
+@query(
+    "q74_coactivity_graph",
+    f"""
+    WITH {_Q74_EDGE_SQL}
+    SELECT id_a, id_b, n_groups FROM edges
+    """,
+)
+def q74_coactivity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence graph construction (operators/graph.py):
+    users active in the same (hour, event_type) group become weighted
+    edges. Within-group pairing is quadratic in the GROUP, so the
+    group cap ({_Q74_MAX_GROUP} — genuinely exercised: sf0.01 has
+    groups up to 10 users) drops mega-groups before pairing, the same
+    hot-key discipline as the text ladder's max_shingle_df. This is
+    the co-engagement graph behind recommendation/community features,
+    built without ever leaving DataFrames."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
+    )
+    return cooccurrence_edges(
+        ev, "user_id", ["w", "event_type"], max_group=_Q74_MAX_GROUP
+    )
+
+
+@query(
+    "q75_triangle_counts",
+    f"""
+    WITH {_Q74_EDGE_SQL},
+    e AS (SELECT DISTINCT id_a, id_b FROM edges),
+    tri AS (
+      SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+      FROM e ab
+      JOIN e bc ON ab.id_b = bc.id_a
+      JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+    nodes AS (
+      SELECT a AS id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT id, count(*) AS n_triangles FROM nodes GROUP BY id
+    """,
+)
+def q75_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the q74 co-activity graph
+    (operators/graph.py) — the local-clustering numerator, the graph
+    statistic beyond connected components (q37 resolves WHO is
+    connected; triangles measure how DENSELY). Ordered three-way join:
+    wedges a<b<c from (a,b)⋈(b,c), closed by (a,c) — each triangle
+    enumerated once, every shuffle key a node id or id pair, wedge
+    cost bounded by the edge builder's group cap."""
+    from cdc_makanmana_spark.operators.graph import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
+    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ["w", "event_type"], max_group=_Q74_MAX_GROUP
+    )
+    return triangle_counts(edges)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

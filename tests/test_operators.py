@@ -1011,3 +1011,38 @@ def test_table_diff_types_and_null_patterns(spark):
 
     with _pytest.raises(ValueError, match="identical schemas"):
         table_diff(old, new.withColumnRenamed("c2", "zz"), ["k"])
+
+
+def test_cooccurrence_edges_cap_and_weights(spark):
+    """Graph construction: pairs within groups, a<b ordering, weights
+    count shared groups, and an over-cap group contributes NOTHING."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    rows = [
+        ("g1", 1), ("g1", 2), ("g1", 3),
+        ("g2", 1), ("g2", 2),
+        ("g2", 2),                    # duplicate membership: no self-pair
+        ("g3", 1), ("g3", 2), ("g3", 3), ("g3", 4),   # over cap (3) -> dropped
+    ]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    got = {
+        (r.id_a, r.id_b): r.n_groups
+        for r in cooccurrence_edges(df, "uid", ["grp"], max_group=3).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_triangle_counts_known_graph(spark):
+    """Triangles on a known graph: K4 minus one edge has two
+    triangles; the shared-edge nodes sit in both, a pendant node in
+    none (absent from output)."""
+    from cdc_makanmana_spark.operators.graph import triangle_counts
+
+    # nodes 1-4: edges of K4 without (3,4); pendant 5 attached to 1
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (1, 5)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
+    # triangles: (1,2,3) and (1,2,4)
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
