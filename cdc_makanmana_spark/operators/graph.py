@@ -20,7 +20,8 @@ def cooccurrence_edges(
     df: DataFrame,
     id_col: str,
     group_cols: list[str],
-    max_group: int = 6,
+    max_group: int | None = None,
+    keep_frac: float | None = None,
 ) -> DataFrame:
     """Entity co-occurrence graph: an edge (a, b), a < b, for every
     pair of distinct entities appearing in the same group (same
@@ -28,19 +29,39 @@ def cooccurrence_edges(
     ``n_groups`` = how many groups they share (the edge weight).
 
     Scale shape: within-group pairing is quadratic IN THE GROUP, so
-    group size is the whole cost story — ``max_group`` drops groups
-    above the cap before pairing (the co-occurrence twin of the text
+    group size is the whole cost story — the hot-group gate drops the
+    largest groups before pairing (the co-occurrence twin of the text
     ladder's ``max_shingle_df``: a mega-group — a viral document, a
     bot burst — contributes O(n²) near-meaningless edges and is
-    exactly what you don't want in the graph). Everything shuffles on
-    group keys, then on the 2-entity edge key; never O(N²) in the
-    table.
+    exactly what you don't want in the graph). Two gate forms:
+
+    - ``max_group``: a FIXED size cap — explicit control, but a
+      constant tuned at one data density silently empties (or stops
+      gating) the graph at another;
+    - ``keep_frac`` (the SF-stable default, 0.95 when neither is
+      given): keep the bottom ``keep_frac`` of groups by size via
+      exact ``cume_dist`` over the SIZES frame — the threshold tracks
+      the size distribution at any scale. The sizes frame is one row
+      per group (windows × types, nowhere near table cardinality), so
+      its single-partition window is bounded by construction.
+
+    Everything shuffles on group keys, then on the 2-entity edge key;
+    never O(N²) in the table.
     """
+    from pyspark.sql import Window
+
+    if max_group is not None and keep_frac is not None:
+        raise ValueError("pass max_group OR keep_frac, not both")
     g = df.select(*group_cols, F.col(id_col).alias("__id")).distinct()
     sizes = g.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
-    capped = g.join(
-        sizes.filter(F.col("__n") <= max_group).select(*group_cols), group_cols
-    )
+    if max_group is not None:
+        ok = sizes.filter(F.col("__n") <= max_group)
+    else:
+        frac = 0.95 if keep_frac is None else keep_frac
+        ok = sizes.withColumn(
+            "__cd", F.cume_dist().over(Window.partitionBy().orderBy("__n"))
+        ).filter(F.col("__cd") <= frac)
+    capped = g.join(ok.select(*group_cols), group_cols)
     a = capped.select(*group_cols, F.col("__id").alias("id_a"))
     b = capped.select(*group_cols, F.col("__id").alias("id_b"))
     return (

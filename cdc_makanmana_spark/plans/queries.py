@@ -3459,15 +3459,17 @@ def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q74_MAX_GROUP = 6
+_Q74_KEEP_FRAC = 0.95
 
 _Q74_EDGE_SQL = f"""
     g AS (
       SELECT DISTINCT date_trunc('hour', ts) AS w, event_type, user_id
       FROM events),
+    sizes AS (
+      SELECT w, event_type, count(*) AS n FROM g GROUP BY w, event_type),
     ok AS (
-      SELECT w, event_type FROM g GROUP BY w, event_type
-      HAVING count(*) <= {_Q74_MAX_GROUP}),
+      SELECT w, event_type FROM sizes
+      QUALIFY cume_dist() OVER (ORDER BY n) <= {_Q74_KEEP_FRAC}),
     cg AS (SELECT g.* FROM g JOIN ok USING (w, event_type)),
     edges AS (
       SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS n_groups
@@ -3489,10 +3491,14 @@ def q74_coactivity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity co-occurrence graph construction (operators/graph.py):
     users active in the same (hour, event_type) group become weighted
     edges. Within-group pairing is quadratic in the GROUP, so the
-    group cap ({_Q74_MAX_GROUP} — genuinely exercised: sf0.01 has
-    groups up to 10 users) drops mega-groups before pairing, the same
-    hot-key discipline as the text ladder's max_shingle_df. This is
-    the co-engagement graph behind recommendation/community features,
+    hot-group gate drops the largest groups before pairing — the same
+    hot-key discipline as the text ladder's max_shingle_df, here in
+    its SF-STABLE quantile form (keep the bottom {_Q74_KEEP_FRAC:.0%}
+    of groups by exact cume_dist): a FIXED cap tuned at sf0.01 emptied
+    the graph at sf1, where every hour-group is 10x denser — the
+    quantile tracks the distribution at any scale, and the gate is
+    genuinely exercised at sf0.01 (group sizes reach 10). This is the
+    co-engagement graph behind recommendation/community features,
     built without ever leaving DataFrames."""
     from cdc_makanmana_spark.operators.graph import cooccurrence_edges
 
@@ -3500,7 +3506,7 @@ def q74_coactivity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
     )
     return cooccurrence_edges(
-        ev, "user_id", ["w", "event_type"], max_group=_Q74_MAX_GROUP
+        ev, "user_id", ["w", "event_type"], keep_frac=_Q74_KEEP_FRAC
     )
 
 
@@ -3538,7 +3544,7 @@ def q75_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
     )
     edges = cooccurrence_edges(
-        ev, "user_id", ["w", "event_type"], max_group=_Q74_MAX_GROUP
+        ev, "user_id", ["w", "event_type"], keep_frac=_Q74_KEEP_FRAC
     )
     return triangle_counts(edges)
 

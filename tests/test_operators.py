@@ -1046,3 +1046,26 @@ def test_triangle_counts_known_graph(spark):
     got = {r.id: r.n_triangles for r in triangle_counts(edges).collect()}
     # triangles: (1,2,3) and (1,2,4)
     assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_cooccurrence_quantile_gate_tracks_distribution(spark):
+    """keep_frac gate: the largest ~5% of groups drop regardless of
+    absolute size — the SF-stable form (a fixed cap tuned at one data
+    density empties the graph at another)."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    rows = []
+    for gi in range(20):       # 19 small groups of 2, one mega-group of 30
+        if gi < 19:
+            rows += [(f"g{gi}", gi * 100), (f"g{gi}", gi * 100 + 1)]
+        else:
+            rows += [("mega", u) for u in range(5000, 5030)]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    edges = cooccurrence_edges(df, "uid", ["grp"], keep_frac=0.95).collect()
+    ids = {i for r in edges for i in (r.id_a, r.id_b)}
+    assert len(edges) == 19 and not any(i >= 5000 for i in ids)  # mega dropped
+    # both gates at once is an error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        cooccurrence_edges(df, "uid", ["grp"], max_group=3, keep_frac=0.9)
