@@ -2122,8 +2122,8 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q48_TARGET_BLOCK = 64
 _Q48_M_CACHE: dict[str, int] = {}
 
-_Q48_ORACLE = f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+_Q48_CTES = f"""
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (
       SELECT greatest(1, cast(ceil(count(*)::DOUBLE
                                    / (count(DISTINCT label) * {_Q48_TARGET_BLOCK})) AS BIGINT)) AS m
@@ -2142,6 +2142,10 @@ _Q48_ORACLE = f"""
       FROM e JOIN c ON e.label = c.label
       GROUP BY e.vec_id, e.label, e.v
     )
+"""
+
+_Q48_ORACLE = f"""
+    WITH {_Q48_CTES}
     SELECT x.vec_id AS id_a, y.vec_id AS id_b,
            round(list_dot_product(x.v, y.v)
              / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
@@ -3547,6 +3551,79 @@ def q75_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", ["w", "event_type"], keep_frac=_Q74_KEEP_FRAC
     )
     return triangle_counts(edges)
+
+
+_Q76_K = 5
+
+_Q76_ORACLE = f"""
+    WITH {{ctes}},
+    pairs AS (
+      SELECT x.vec_id AS src_id, y.vec_id AS dst_id,
+             round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+               6) AS cosine_sim
+      FROM a x JOIN a y ON x.label = y.label AND x.cell = y.cell
+                       AND x.vec_id <> y.vec_id)
+    SELECT src_id, dst_id, cosine_sim,
+           row_number() OVER (PARTITION BY src_id
+                              ORDER BY cosine_sim DESC, dst_id ASC) AS rank
+    FROM pairs
+    QUALIFY row_number() OVER (PARTITION BY src_id
+                               ORDER BY cosine_sim DESC, dst_id ASC) <= {_Q76_K}
+"""
+
+
+@query("q76_knn_graph", None)
+def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked kNN-graph construction: each vector's {_Q76_K} nearest
+    neighbors WITHIN its label × quantizer-cell block (q48's composite
+    blocking; neighbors outside the block are missed — the documented
+    approximation every blocked ANN makes, recall governed by the
+    block builder). The kNN graph is THE input artifact for
+    graph-based dedup, clustering and kNN-classification over
+    embeddings; built here as blocked directed pairs → per-source
+    top-k window with a deterministic (rounded-cosine, id) order both
+    engines replay. Scale shape inherits q48's ~linear pair cost; the
+    window ranks within-block candidate lists, never a global sort."""
+    import math
+
+    from pyspark.sql import Window
+
+    from cdc_makanmana_spark.operators.ann import (
+        embedding_near_duplicates_by_block,
+        label_cell_assign,
+        label_seed_cells,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    m = _Q48_M_CACHE.get(sf_dir)
+    if m is None:
+        n, n_labels = e.agg(F.count("*"), F.count_distinct("label")).first()
+        m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
+        _Q48_M_CACHE[sf_dir] = m
+    centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
+    blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
+        "__blk", F.concat_ws(":", "label", "__cell")
+    )
+    pairs = embedding_near_duplicates_by_block(
+        blocked, "__blk", threshold=-1.0, vec_col="embedding", id_col="vec_id"
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "cosine_sim"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src_id"), F.col("id_a").alias("dst_id"), "cosine_sim"
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine_sim"), F.asc("dst_id"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _Q76_K)
+        .select("src_id", "dst_id", "cosine_sim", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+ORACLE_SQL["q76_knn_graph"] = _Q76_ORACLE.format(ctes=_Q48_CTES.strip())
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
