@@ -85,7 +85,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     bounded upstream by the edge builder's group cap. Returns
     (id, n_triangles) for nodes in at least one triangle.
     """
-    e = edges.select("id_a", "id_b").distinct()
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    # the edge list feeds THREE branches of the wedge join — without a
+    # lineage cut the entire upstream edge-construction pipeline runs
+    # three times (measured: the declared q75 planned 31 exchanges
+    # before the cut, 3x the edge builder's own plan)
+    e = _materialize(edges.select("id_a", "id_b").distinct())
     ab = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     bc = e.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
     ac = e.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))

@@ -3605,8 +3605,14 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")
     )
-    pairs = embedding_near_duplicates_by_block(
-        blocked, "__blk", threshold=-1.0, vec_col="embedding", id_col="vec_id"
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    # pairs feed both directions of the symmetric union — cut lineage
+    # so the block pipeline (assign + pair + cosine) runs once
+    pairs = _materialize(
+        embedding_near_duplicates_by_block(
+            blocked, "__blk", threshold=-1.0, vec_col="embedding", id_col="vec_id"
+        )
     )
     sym = pairs.select(
         F.col("id_a").alias("src_id"), F.col("id_b").alias("dst_id"), "cosine_sim"
