@@ -136,6 +136,7 @@ def pagerank(
     damping: float = 0.85,
     max_iter: int = 100,
     tol: float = 1e-6,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (id_a, id_b) — the
     influence/centrality score for the graphs this module builds
@@ -151,6 +152,12 @@ def pagerank(
     raises if ``max_iter`` passes without reaching ``tol`` — silent
     non-convergence would hand downstream consumers wrong ranks.
 
+    ``weight_col`` names an edge-weight column (e.g. the co-occurrence
+    graph's ``n_groups``): contributions then split proportionally to
+    weight instead of equally — the weighted PageRank a co-engagement
+    graph wants (a pair co-active every day should carry more
+    influence than a one-off). Unweighted is weight 1 everywhere.
+
     Dangling nodes cannot exist here by construction (an edge list's
     nodes all have degree >= 1), so the dangling-mass correction is
     deliberately absent; feed isolated nodes separately if the graph
@@ -158,11 +165,14 @@ def pagerank(
     """
     from cdc_makanmana_spark.operators.dedup import _materialize
 
-    und = edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    ).distinct()
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    und = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), w.alias("w")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), w.alias("w"))
+    ).groupBy("src", "dst").agg(F.sum("w").alias("w"))
     und = _materialize(und)
-    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = und.groupBy("src").agg(F.sum("w").alias("deg"))
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, rank double")
@@ -174,7 +184,10 @@ def pagerank(
     for _ in range(max_iter):
         contrib = (
             links.join(ranks, links.src == ranks.id)
-            .select(F.col("dst").alias("id"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("id"),
+                (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
+            )
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )

@@ -1098,6 +1098,18 @@ def test_pagerank_known_graph_and_convergence(spark):
     for k in adj:
         assert abs(got[k] - r[k]) < 1e-5
 
+    # weighted: a heavy edge pulls rank toward its endpoints — on a
+    # path 1-2-3 with weight(1,2)=9, weight(2,3)=1, node 1 outranks 3
+    wedges = spark.createDataFrame(
+        [(1, 2, 9), (2, 3, 1)], "id_a long, id_b long, wt long"
+    )
+    wr = {r.id: r.rank for r in pagerank(wedges, weight_col="wt").collect()}
+    assert abs(sum(wr.values()) - 1.0) < 1e-6
+    assert wr[1] > wr[3]
+    # unweighted on the same topology ties the endpoints
+    ur = {r.id: r.rank for r in pagerank(wedges).collect()}
+    assert abs(ur[1] - ur[3]) < 1e-9
+
 
 def test_top_m_edges_degree_bound_and_survival(spark):
     """Sparsification: every node keeps at most m incident edges from
