@@ -137,6 +137,7 @@ def pagerank(
     max_iter: int = 100,
     tol: float = 1e-6,
     weight_col: str | None = None,
+    fixed_iter: int | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (id_a, id_b) — the
     influence/centrality score for the graphs this module builds
@@ -162,6 +163,14 @@ def pagerank(
     nodes all have degree >= 1), so the dangling-mass correction is
     deliberately absent; feed isolated nodes separately if the graph
     has them (their rank is the bare teleport term).
+
+    ``fixed_iter`` runs EXACTLY that many iterations with no
+    convergence probe at all — zero driver-side collects in the loop,
+    and a deterministic iteration count an external replica (the
+    DuckDB oracle's recursive CTE) can replay bit-for-bit in
+    structure. The convergence-checked mode stays the default for
+    consumers that need a quality guarantee rather than a fixed
+    budget.
     """
     from cdc_makanmana_spark.operators.dedup import _materialize
 
@@ -181,9 +190,10 @@ def pagerank(
         deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
     )
     links = _materialize(und.join(deg, "src"))
-    for _ in range(max_iter):
+
+    def step(r: DataFrame) -> DataFrame:
         contrib = (
-            links.join(ranks, links.src == ranks.id)
+            links.join(r, links.src == r.id)
             .select(
                 F.col("dst").alias("id"),
                 (F.col("rank") * F.col("w") / F.col("deg")).alias("c"),
@@ -191,14 +201,24 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        new_ranks = _materialize(
-            ranks.select("id").join(contrib, "id", "left").select(
+        return _materialize(
+            r.select("id").join(contrib, "id", "left").select(
                 "id",
                 (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
                     "rank"
                 ),
             )
         )
+
+    if fixed_iter is not None:
+        if fixed_iter < 1:
+            raise ValueError(f"fixed_iter must be >= 1, got {fixed_iter}")
+        for _ in range(fixed_iter):
+            ranks = step(ranks)
+        return ranks
+
+    for _ in range(max_iter):
+        new_ranks = step(ranks)
         delta = (
             ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("r2"))))

@@ -3648,6 +3648,71 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["q76_knn_graph"] = _Q76_ORACLE.format(ctes=_Q48_CTES.strip())
 
 
+_Q77_ITER = 8
+
+
+@query(
+    "q77_pagerank_influence",
+    f"""
+    WITH RECURSIVE {_Q74_EDGE_SQL},
+    sym0 AS (
+      SELECT id_a AS src, id_b AS dst, n_groups AS wt FROM edges
+      UNION ALL SELECT id_b, id_a, n_groups FROM edges),
+    kept AS (
+      SELECT src, dst FROM sym0
+      QUALIFY row_number() OVER (PARTITION BY src
+                                 ORDER BY wt DESC, dst ASC) <= {_Q75_TOP_M}),
+    e AS (SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+          FROM kept),
+    sym AS (SELECT id_a AS src, id_b AS dst FROM e
+            UNION ALL SELECT id_b, id_a FROM e),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY src),
+    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+    pr(iter, id, rank) AS (
+      SELECT 0, src, 1.0 / nn.n FROM deg, nn
+      UNION ALL
+      SELECT p.iter + 1, s.dst,
+             0.15 / max(nn.n) + 0.85 * sum(p.rank / d.d)
+      FROM pr p
+      JOIN sym s ON s.src = p.id
+      JOIN deg d ON d.src = s.src
+      CROSS JOIN nn
+      WHERE p.iter < {_Q77_ITER}
+      GROUP BY p.iter + 1, s.dst)
+    SELECT id, round(rank, 6) AS rank
+    FROM pr WHERE iter = {_Q77_ITER}
+    """,
+)
+def q77_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank influence scores over the q74 co-activity graph
+    (operators/graph.py ``pagerank``), degree-bounded first by
+    top-{_Q75_TOP_M} sparsification like q75. Declared in
+    ``fixed_iter`` mode ({_Q77_ITER} iterations): the loop then has
+    ZERO driver-side collects — each iteration is one shuffle on the
+    node id plus a lineage cut, plan depth O(1) per iteration — and a
+    deterministic iteration count the oracle replays as a recursive
+    CTE (iteration counter in the working table, aggregation in the
+    recursive member). Ranks are rounded to 6 dp on both sides: the
+    two engines sum contributions in different orders, so the raw
+    doubles differ at ~1e-15 while the algorithm is identical.
+    Unweighted here (sparsification drops weights); the weighted form
+    is unit-tested (tests/test_operators.py pagerank weights)."""
+    from cdc_makanmana_spark.operators.graph import (
+        cooccurrence_edges,
+        pagerank,
+        top_m_edges,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
+    )
+    edges = cooccurrence_edges(
+        ev, "user_id", ["w", "event_type"], keep_frac=_Q74_KEEP_FRAC
+    )
+    ranks = pagerank(top_m_edges(edges, m=_Q75_TOP_M), fixed_iter=_Q77_ITER)
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -1111,6 +1111,34 @@ def test_pagerank_known_graph_and_convergence(spark):
     assert abs(ur[1] - ur[3]) < 1e-9
 
 
+def test_pagerank_fixed_iter_matches_python_reference(spark):
+    """fixed_iter mode runs EXACTLY k iterations (no convergence
+    probe): matches a k-step Python power iteration to 1e-12, differs
+    from the converged answer at small k, and rejects k < 1."""
+    import pytest
+
+    from cdc_makanmana_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    adj = {1: [2, 3, 4], 2: [1, 3], 3: [1, 2], 4: [1]}
+    n, d = 4, 0.85
+    r = {k: 1.0 / n for k in adj}
+    for _ in range(3):
+        r = {
+            k: (1 - d) / n + d * sum(r[j] / len(adj[j]) for j in adj if k in adj[j])
+            for k in adj
+        }
+    got = {row.id: row.rank for row in pagerank(edges, fixed_iter=3).collect()}
+    for k in adj:
+        assert abs(got[k] - r[k]) < 1e-12
+    conv = {row.id: row.rank for row in pagerank(edges).collect()}
+    assert any(abs(got[k] - conv[k]) > 1e-7 for k in adj)
+    with pytest.raises(ValueError, match="fixed_iter"):
+        pagerank(edges, fixed_iter=0)
+
+
 def test_top_m_edges_degree_bound_and_survival(spark):
     """Sparsification: every node keeps at most m incident edges from
     its own ranking, an edge survives if EITHER endpoint ranks it, and
