@@ -3713,6 +3713,118 @@ def q77_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+_Q78_WIN_S = 7 * 86400
+
+
+@query(
+    "q78_rolling_window_features",
+    f"""
+    WITH f AS (
+      SELECT user_id,
+             count(*) OVER w AS n7,
+             sum(value) OVER w AS v7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+                   RANGE BETWEEN {_Q78_WIN_S} PRECEDING AND CURRENT ROW))
+    SELECT user_id,
+           max(n7) AS peak_7d_events,
+           round(max(v7), 6) AS peak_7d_value,
+           count(*) AS n_events
+    FROM f GROUP BY user_id
+    """,
+)
+def q78_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-time-window features via a RANGE frame — the window
+    shape the rest of the surface lacks (q09 is ROWS-unbounded, q30 is
+    bucketed sliding windows; THIS is a true per-row trailing interval:
+    each event sees exactly the user's events in the preceding 7 days).
+    The standard burstiness/velocity feature for abuse detection and
+    user modeling. Order key is whole epoch seconds on BOTH sides
+    (timestamps carry sub-second precision; Spark's long cast truncates
+    where a raw DuckDB epoch() keeps fractions — the one semantic trap
+    of numeric RANGE frames over timestamps). One shuffle on user_id;
+    the frame is evaluated by Spark's sliding WindowExec with no
+    self-join — at 100 TB this is the only linear-cost way to express
+    'events in my trailing week', the binned self-join alternative
+    (q30's shape) multiplies rows by windows-per-event."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("sec"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-_Q78_WIN_S, 0)
+    )
+    f = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n7"),
+        F.sum("value").over(w).alias("v7"),
+    )
+    return f.groupBy("user_id").agg(
+        F.max("n7").alias("peak_7d_events"),
+        F.round(F.max("v7"), 6).alias("peak_7d_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "q79_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, m.med, abs(e.value - m.med) AS dev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, median(dev) AS mad FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           count(*) AS n_events,
+           sum(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+           round(any_value(d.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+)
+def q79_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: median + MAD (median
+    absolute deviation), flag |x - med| > 3·MAD — the
+    heavy-tail-safe alternative to mean/stddev z-scores (one abusive
+    whale shifts a mean; it cannot shift a median). Two exact-
+    percentile aggregation passes with a group-keyed join between them
+    — at scale both joins are group-cardinality dims against the fact
+    (AQE broadcasts them), and exact percentile() is a per-group sort
+    bounded by the largest group; swap approx_percentile in when
+    groups stop fitting (q51 covers that tier). No float-divergence
+    risk in the hash: medians interpolate identically in both engines
+    and no large summation is involved — the only sum is an integer
+    outlier count."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(med, "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
