@@ -3825,6 +3825,142 @@ def q79_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q80_nation_metrics_unpivot",
+    """
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             count(*)::DOUBLE AS n_customers,
+             round(sum(c_acctbal), 2) AS customer_acctbal
+      FROM customer GROUP BY c_nationkey),
+    s AS (
+      SELECT s_nationkey AS nationkey,
+             count(*)::DOUBLE AS n_suppliers,
+             round(sum(s_acctbal), 2) AS supplier_acctbal
+      FROM supplier GROUP BY s_nationkey),
+    wide AS (
+      SELECT n.n_name AS nation,
+             coalesce(c.n_customers, 0) AS n_customers,
+             coalesce(c.customer_acctbal, 0) AS customer_acctbal,
+             coalesce(s.n_suppliers, 0) AS n_suppliers,
+             coalesce(s.supplier_acctbal, 0) AS supplier_acctbal
+      FROM nation n
+      LEFT JOIN c ON c.nationkey = n.n_nationkey
+      LEFT JOIN s ON s.nationkey = n.n_nationkey)
+    SELECT nation, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN
+             (n_customers, customer_acctbal, n_suppliers, supplier_acctbal))
+    """,
+)
+def q80_nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (melt):
+    a per-nation metrics matrix (customer/supplier counts and balances)
+    unpivoted to (nation, metric, value) tidy rows — the reshape every
+    metrics store and plotting layer wants, and the API-surface twin of
+    q56's long→wide pivot. Unpivot is a zero-shuffle generator (each
+    input row expands to k rows map-side; Spark plans an Expand node) —
+    the UNION-ALL-of-k-scans alternative reads the fact k times. The
+    dims here are nation-cardinality; the aggregations underneath are
+    the only shuffles."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("customer_acctbal"),
+        )
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("supplier_acctbal"),
+        )
+    )
+    wide = (
+        nation.join(cust, nation.n_nationkey == cust.nationkey, "left")
+        .drop("nationkey")
+        .join(supp, nation.n_nationkey == supp.nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("n_customers", F.lit(0.0)).alias("n_customers"),
+            F.coalesce("customer_acctbal", F.lit(0.0)).alias("customer_acctbal"),
+            F.coalesce("n_suppliers", F.lit(0.0)).alias("n_suppliers"),
+            F.coalesce("supplier_acctbal", F.lit(0.0)).alias("supplier_acctbal"),
+        )
+    )
+    return wide.unpivot(
+        ["nation"],
+        ["n_customers", "customer_acctbal", "n_suppliers", "supplier_acctbal"],
+        "metric",
+        "value",
+    )
+
+
+_Q81_K = 50
+
+_Q81_ORACLE = rf"""
+    WITH t AS (
+      SELECT doc_id, source,
+             1 + len(list_filter(string_split_regex(trim(text), '[ \t\n\r\f\x0B]+'),
+                                 x -> x <> ''))::BIGINT AS w
+      FROM documents WHERE text IS NOT NULL),
+    keyed AS (
+      SELECT doc_id, source, w,
+             ln((({_h64_sql("doc_id::VARCHAR || ':wsample'")} % 1000000 + 1000000) % 1000000
+                 + 0.5) / 1000000.0) / w AS k
+      FROM t)
+    SELECT source, doc_id, w AS weight,
+           row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC)::BIGINT AS rank
+    FROM keyed
+    QUALIFY row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id ASC) <= {_Q81_K}
+"""
+
+
+@query("q81_weighted_sample", _Q81_ORACLE)
+def q81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the A-Res
+    reservoir scheme, Efraimidis-Spirakis): each doc draws a salted-
+    hash uniform u and competes on key = ln(u)/w (the monotone twin of
+    u^(1/w)); the top {_Q81_K} keys per source ARE a weighted sample —
+    here w = 1 + token count, so sampling is proportional to token
+    mass, the mixing primitive when corpus budgets are counted in
+    tokens, not documents. Fully replayable like q41/q42 (membership is
+    a pure function of doc_id), and distributed-friendly in a way true
+    reservoir streams aren't: a per-source top-k window, map-side
+    pre-prunable, no sequential scan. The hash→key transform keeps u in
+    (0,1) via (bucket + 0.5)/1e6 so ln() never sees 0. The sort key
+    stays unprojected: both engines rank the same doubles and only the
+    integer rank reaches the hash-diff."""
+    from pyspark.sql import Window
+
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    t = d.select(
+        "doc_id",
+        "source",
+        (1 + token_count("text").cast("long")).alias("w"),
+    )
+    u = (
+        F.pmod(
+            md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))),
+            F.lit(1000000),
+        )
+        + 0.5
+    ) / 1000000.0
+    keyed = t.withColumn("k", F.log(u) / F.col("w"))
+    win = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= _Q81_K)
+        .select("source", "doc_id", F.col("w").alias("weight"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
