@@ -3961,6 +3961,50 @@ def q81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q82_COLS = ["doc_id", "source", "lang", "text_len"]
+
+_Q82_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, source, lang, length(text) AS text_len FROM documents),
+    one AS (SELECT
+      count(*) AS n_rows,
+      {exprs}
+    FROM d)
+    {selects}
+""".format(
+    exprs=",\n      ".join(
+        f"count(CASE WHEN {c} IS NULL THEN 1 END) AS {c}_nulls,"
+        f" count(DISTINCT {c}) AS {c}_nd,"
+        f" min({c})::VARCHAR AS {c}_min, max({c})::VARCHAR AS {c}_max"
+        for c in _Q82_COLS
+    ),
+    selects="\n    UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, n_rows, {c}_nulls AS n_nulls,"
+        f" {c}_nd AS n_distinct, {c}_min AS min_value, {c}_max AS max_value FROM one"
+        for c in _Q82_COLS
+    ),
+)
+
+
+@query("q82_table_profile", _Q82_ORACLE)
+def q82_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profiling (observe.py ``profile``): per-column
+    null counts, distinct counts, min/max over the documents table —
+    the first query anyone runs on an unfamiliar 100 TB table, shaped
+    so it stays one scan + one aggregate regardless of column count
+    (the naive loop is k scans). Declared with exact distincts so
+    DuckDB can replay it (the scale default is HLL — q59 covers the
+    sketch tier); text is profiled through its LENGTH (an integral
+    derived column) because float/str renderings of raw text min/max
+    are the one thing two engines won't agree on byte-for-byte."""
+    from cdc_makanmana_spark.observe import profile
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.length("text").alias("text_len")
+    )
+    return profile(d, _Q82_COLS, exact_distinct=True)
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

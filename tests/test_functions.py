@@ -382,6 +382,36 @@ class TestObserveQC:
         assert obs.get["n_rows"] == 50
 
 
+class TestProfile:
+    def test_profile_stats_and_modes(self, spark):
+        """Exact mode counts nulls/distincts precisely; min/max use
+        NATIVE ordering (9 < 10 for ints, despite '10' < '9' as text);
+        approx mode lands within the HLL error band; unknown columns
+        raise; the whole profile is ONE aggregate job per mode."""
+        import pytest
+
+        from cdc_makanmana_spark.observe import profile
+
+        df = spark.createDataFrame(
+            [(9, "b"), (10, None), (10, "a"), (2, "a")],
+            "k long, s string",
+        )
+        got = {r.col_name: r for r in profile(df, exact_distinct=True).collect()}
+        assert set(got) == {"k", "s"}
+        assert got["k"].n_rows == 4 and got["s"].n_rows == 4
+        assert got["k"].n_nulls == 0 and got["s"].n_nulls == 1
+        assert got["k"].n_distinct == 3 and got["s"].n_distinct == 2
+        # native ordering before the string cast
+        assert got["k"].min_value == "2" and got["k"].max_value == "10"
+        assert got["s"].min_value == "a" and got["s"].max_value == "b"
+
+        approx = {r.col_name: r for r in profile(df).collect()}
+        assert abs(approx["k"].n_distinct - 3) <= 1
+
+        with pytest.raises(ValueError, match="unknown column"):
+            profile(df, ["k", "nope"])
+
+
 class TestSentenceSplitUDTF:
     def test_dataframe_and_sql_lateral(self, spark):
         from cdc_makanmana_spark.functions.table_functions import (
