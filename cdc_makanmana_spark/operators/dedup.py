@@ -116,6 +116,86 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return fp.join(keep, [id_col, "__fp"], "inner").drop("__fp")
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    window: int = 3,
+    block_prefix: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-duplicate candidates: sort docs
+    by normalized text within a prefix block, compare each doc to its
+    next ``window`` neighbors in sort order, keep pairs whose distinct-
+    token Jaccard clears ``threshold``. The classic entity-resolution
+    blocking family the ladder otherwise lacks (Hernández-Stolfo
+    merge/purge): shingle/minhash blocking keys on CONTENT OVERLAP,
+    SNM keys on SORT ADJACENCY — it catches near-dups whose shared
+    prefix dominates (templated boilerplate, versioned titles) at
+    O(N·w) pairs with no inverted index at all.
+
+    Scale shape: the sort is per prefix-block (a block-partitioned
+    window, never a global single-partition sort), and neighbors come
+    from ``lead()`` expressions — ZERO joins, so no block-quadratic
+    intermediate (a block self-join on rn-ranges would materialize
+    |block|² rows before its range filter). Misses: pairs straddling a
+    block boundary, and near-dups whose difference lands in the first
+    ``block_prefix`` chars — the standard SNM answer is multiple
+    passes with different keys (compose with the ladder's other tiers,
+    e.g. q23/q24, exactly as multi-pass SNM prescribes). Blank/NULL
+    text follows the ladder-wide drop policy.
+
+    Reference parity: the fuzzy name-matching surface
+    (/root/reference/src/services/halalService.ts similarity tiers),
+    re-expressed as a scale-safe candidate generator — north-star
+    extension like the rest of the ladder."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    d = (
+        _drop_blank_text(df, text_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            _norm_text(F.col(text_col)).alias("__norm"),
+        )
+        .withColumn("__blk", F.substring("__norm", 1, block_prefix))
+        .withColumn("__toks", F.array_distinct(F.split("__norm", " ")))
+    )
+    win = Window.partitionBy("__blk").orderBy("__norm", "__id")
+    # window exprs first (generators can't host them), explode second
+    led = d.select(
+        "__id",
+        "__toks",
+        F.array(
+            *[
+                F.struct(
+                    F.lead("__id", i).over(win).alias("id_b"),
+                    F.lead("__toks", i).over(win).alias("toks_b"),
+                )
+                for i in range(1, window + 1)
+            ]
+        ).alias("__leads"),
+    )
+    nb = (
+        led.select("__id", "__toks", F.explode("__leads").alias("__nb"))
+        .filter(F.col("__nb.id_b").isNotNull())
+    )
+    jac = F.round(
+        F.size(F.array_intersect("__toks", F.col("__nb.toks_b"))).cast("double")
+        / F.size(F.array_union("__toks", F.col("__nb.toks_b"))),
+        6,
+    )
+    return (
+        nb.select(
+            F.least("__id", F.col("__nb.id_b")).alias("id_a"),
+            F.greatest("__id", F.col("__nb.id_b")).alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def word_shingles(text_col, n: int = 3):
     """Distinct word n-gram shingles of normalized text (expression)."""
     words = F.split(_norm_text(text_col), " ")

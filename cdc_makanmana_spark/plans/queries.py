@@ -4005,6 +4005,167 @@ def q82_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile(d, _Q82_COLS, exact_distinct=True)
 
 
+@query(
+    "q83_chi2_association",
+    """
+    WITH cells AS (
+      SELECT source, lang, count(*)::DOUBLE AS o
+      FROM documents GROUP BY source, lang),
+    rt AS (SELECT source, sum(o) AS r FROM cells GROUP BY source),
+    ct AS (SELECT lang, sum(o) AS c FROM cells GROUP BY lang),
+    tot AS (SELECT sum(o) AS n FROM cells)
+    SELECT c.source, c.lang, c.o::BIGINT AS observed,
+           round(rt.r * ct.c / tot.n, 6) AS expected,
+           round((c.o - rt.r * ct.c / tot.n) * (c.o - rt.r * ct.c / tot.n)
+                 / (rt.r * ct.c / tot.n), 6) AS chi2_term
+    FROM cells c
+    JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN tot
+    """,
+)
+def q83_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency analysis of source × lang — the
+    association stat behind data-mix curation decisions ('is language
+    skew explained by source composition?'). One groupBy builds the
+    contingency cells; the marginals are re-aggregations OF THE CELLS
+    (group-cardinality, never a second fact scan) joined back as tiny
+    dims. Per-cell chi2 terms, not the summed statistic, keep the
+    hash-diff float-exact: counts are integers in doubles (< 2^53, so
+    marginal sums are EXACT) and the (o-e)²/e arithmetic is the same
+    IEEE expression tree in both engines; a summed chi2 would instead
+    hash the engines' different addition orders. The scalar-total
+    cross join is a 1-row broadcast."""
+    cells = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    cells = _materialize(cells)  # feeds 3 aggregations + the final join
+    rt = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    e = F.col("r") * F.col("c") / F.col("n")
+    return (
+        cells.join(rt, "source")
+        .join(ct, "lang")
+        .crossJoin(tot)
+        .select(
+            "source",
+            "lang",
+            F.col("o").cast("long").alias("observed"),
+            F.round(e, 6).alias("expected"),
+            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+_Q84_BINS = 20
+
+
+@query(
+    "q84_equiwidth_histogram",
+    f"""
+    WITH b AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    h AS (
+      SELECT least(floor((value - mn) / ((mx - mn) / {_Q84_BINS})),
+                   {_Q84_BINS - 1})::BIGINT AS bucket,
+             mn, mx
+      FROM events CROSS JOIN b)
+    SELECT bucket,
+           count(*) AS n,
+           round(any_value(mn) + bucket * ((any_value(mx) - any_value(mn)) / {_Q84_BINS}), 6) AS lo
+    FROM h GROUP BY bucket
+    """,
+)
+def q84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of events.value in {_Q84_BINS} buckets —
+    the distribution-shape primitive behind every profiler UI and
+    outlier triage. Two passes by necessity (bounds, then binning);
+    the bounds row is a 1-row broadcast, the bin expression is pure
+    codegen arithmetic written IDENTICALLY on both engines (floor of
+    the same IEEE division — Spark's ``width_bucket`` built-in exists
+    but its edge semantics are its own, so the portable expression is
+    declared). Top-edge values clamp into the last bucket
+    (``least(..., {_Q84_BINS - 1})``), the standard closed-right final
+    bin. Sparse buckets are simply absent — at 100 TB densifying 20
+    rows is the reader's one-liner, not the engine's shuffle."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / _Q84_BINS
+    h = ev.crossJoin(b).select(
+        F.least(
+            F.floor((F.col("value") - F.col("mn")) / width),
+            F.lit(_Q84_BINS - 1),
+        )
+        .cast("long")
+        .alias("bucket"),
+        "mn",
+        "mx",
+    )
+    return h.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.first("mn") + F.col("bucket") * ((F.first("mx") - F.first("mn")) / _Q84_BINS),
+            6,
+        ).alias("lo"),
+    )
+
+
+_Q85_W = 3
+_Q85_PFX = 4
+_Q85_THRESH = 0.5
+
+_Q85_ORACLE = rf"""
+    WITH d AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    r AS (
+      SELECT id, norm, substr(norm, 1, {_Q85_PFX}) AS blk,
+             row_number() OVER (PARTITION BY substr(norm, 1, {_Q85_PFX})
+                                ORDER BY norm, id) AS rn,
+             list_distinct(string_split(norm, ' ')) AS toks
+      FROM d),
+    p AS (
+      SELECT a.id AS ia, b.id AS ib, a.toks AS ta, b.toks AS tb
+      FROM r a JOIN r b
+        ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_Q85_W}),
+    j AS (
+      SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+             round(len(list_intersect(ta, tb))::DOUBLE
+                   / len(list_distinct(ta || tb)), 6) AS jaccard
+      FROM p)
+    SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= {_Q85_THRESH}
+"""
+
+
+@query("q85_sorted_neighborhood_neardup", _Q85_ORACLE)
+def q85_sorted_neighborhood_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs (operators/dedup.py
+    ``sorted_neighborhood_pairs``) — the SNM blocking family added to
+    the ladder: sort within a {_Q85_PFX}-char prefix block, compare
+    each doc to its next {_Q85_W} sort neighbors via ``lead()``
+    expressions (O(N·w) candidates, zero joins — the oracle's
+    rn-range self-join materializes |block|² rows first, which is
+    exactly the shape the operator avoids), keep distinct-token
+    Jaccard >= {_Q85_THRESH}. Complements content-overlap blocking
+    (q23/q24): adjacency catches shared-prefix boilerplate those tiers
+    rank low, and multi-pass SNM composes with them."""
+    from cdc_makanmana_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        window=_Q85_W,
+        block_prefix=_Q85_PFX,
+        threshold=_Q85_THRESH,
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

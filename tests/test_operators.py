@@ -152,6 +152,38 @@ def test_ngram_jaccard_finds_near_dup(spark):
     assert pairs[0].jaccard > 0.5
 
 
+def test_sorted_neighborhood_pairs(spark):
+    """SNM: adjacent-in-sort near-dups pair; docs beyond the window or
+    in another prefix block don't; blank/NULL text is dropped; w < 1
+    rejected."""
+    import pytest
+
+    from cdc_makanmana_spark.operators.dedup import sorted_neighborhood_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base + " extra"),          # sort-adjacent near-dup
+            Row(doc_id=3, text="alpha unrelated words entirely different"),
+            Row(doc_id=4, text="zzz another block entirely"),  # different prefix block
+            Row(doc_id=5, text=None),
+            Row(doc_id=6, text="   "),
+        ]
+    )
+    got = sorted_neighborhood_pairs(df, "text", "doc_id", window=2, threshold=0.5)
+    rows = got.collect()
+    assert [(r.id_a, r.id_b) for r in rows] == [(1, 2)]
+    assert rows[0].jaccard > 0.8
+    # window=1: only sort-adjacent pairs form — 1-2 and 2-3, never 1-3
+    all_pairs = sorted_neighborhood_pairs(
+        df, "text", "doc_id", window=1, threshold=0.0
+    ).collect()
+    assert sorted((p.id_a, p.id_b) for p in all_pairs) == [(1, 2), (2, 3)]
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, "text", "doc_id", window=0)
+
+
 def test_minhash_near_duplicates(spark):
     base = ("spark is a unified analytics engine for large scale data "
             "processing with high level apis in scala java python and r")
