@@ -4032,8 +4032,9 @@ def q83_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-diff float-exact: counts are integers in doubles (< 2^53, so
     marginal sums are EXACT) and the (o-e)²/e arithmetic is the same
     IEEE expression tree in both engines; a summed chi2 would instead
-    hash the engines' different addition orders. The scalar-total
-    cross join is a 1-row broadcast."""
+    hash the engines' different addition orders. The grand total rides
+    a scalar subquery — injected as a runtime literal, no join operator
+    (a 1-row cross join would plan the banned BNLJ)."""
     cells = (
         _t(spark, sf_dir, "documents")
         .groupBy("source", "lang")
@@ -4042,21 +4043,22 @@ def q83_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_makanmana_spark.operators.dedup import _materialize
 
     cells = _materialize(cells)  # feeds 3 aggregations + the final join
-    rt = cells.groupBy("source").agg(F.sum("o").alias("r"))
-    ct = cells.groupBy("lang").agg(F.sum("o").alias("c"))
-    tot = cells.agg(F.sum("o").alias("n"))
-    e = F.col("r") * F.col("c") / F.col("n")
-    return (
-        cells.join(rt, "source")
-        .join(ct, "lang")
-        .crossJoin(tot)
-        .select(
-            "source",
-            "lang",
-            F.col("o").cast("long").alias("observed"),
-            F.round(e, 6).alias("expected"),
-            F.round((F.col("o") - e) * (F.col("o") - e) / e, 6).alias("chi2_term"),
-        )
+    # the grand total attaches as a SCALAR SUBQUERY (planned as a
+    # Subquery stage whose 1-row result is injected as a literal — no
+    # join operator at all): both the bare cross join and the
+    # constant-key equi-join trick plan the BroadcastNestedLoopJoin
+    # the engine bans plan-wide
+    cells.createOrReplaceTempView("q83_cells")
+    e = "rt.r * ct.c / (SELECT sum(o) FROM q83_cells)"
+    return spark.sql(
+        f"""
+        WITH rt AS (SELECT source, sum(o) AS r FROM q83_cells GROUP BY source),
+             ct AS (SELECT lang, sum(o) AS c FROM q83_cells GROUP BY lang)
+        SELECT c.source, c.lang, CAST(c.o AS BIGINT) AS observed,
+               round({e}, 6) AS expected,
+               round((c.o - {e}) * (c.o - {e}) / ({e}), 6) AS chi2_term
+        FROM q83_cells c JOIN rt USING (source) JOIN ct USING (lang)
+        """
     )
 
 
@@ -4082,7 +4084,8 @@ def q84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value in {_Q84_BINS} buckets —
     the distribution-shape primitive behind every profiler UI and
     outlier triage. Two passes by necessity (bounds, then binning);
-    the bounds row is a 1-row broadcast, the bin expression is pure
+    the bounds ride scalar subqueries (runtime literals, zero join
+    operators), the bin expression is pure
     codegen arithmetic written IDENTICALLY on both engines (floor of
     the same IEEE division — Spark's ``width_bucket`` built-in exists
     but its edge semantics are its own, so the portable expression is
@@ -4091,24 +4094,22 @@ def q84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bin. Sparse buckets are simply absent — at 100 TB densifying 20
     rows is the reader's one-liner, not the engine's shuffle."""
     ev = _t(spark, sf_dir, "events").select("value")
-    b = ev.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    width = (F.col("mx") - F.col("mn")) / _Q84_BINS
-    h = ev.crossJoin(b).select(
-        F.least(
-            F.floor((F.col("value") - F.col("mn")) / width),
-            F.lit(_Q84_BINS - 1),
-        )
-        .cast("long")
-        .alias("bucket"),
-        "mn",
-        "mx",
-    )
-    return h.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(
-            F.first("mn") + F.col("bucket") * ((F.first("mx") - F.first("mn")) / _Q84_BINS),
-            6,
-        ).alias("lo"),
+    # bounds attach as scalar subqueries (Subquery stage, result
+    # injected as a literal — no join operator; a 1-row cross join or
+    # constant-key equi-join both plan the banned BNLJ). Spark reuses
+    # the repeated identical subqueries (ReusedSubquery).
+    ev.createOrReplaceTempView("q84_ev")
+    mn, mx = "(SELECT min(value) FROM q84_ev)", "(SELECT max(value) FROM q84_ev)"
+    return spark.sql(
+        f"""
+        WITH h AS (
+          SELECT CAST(least(floor((value - {mn}) / (({mx} - {mn}) / {_Q84_BINS})),
+                            {_Q84_BINS - 1}) AS BIGINT) AS bucket
+          FROM q84_ev)
+        SELECT bucket, count(*) AS n,
+               round({mn} + bucket * (({mx} - {mn}) / {_Q84_BINS}), 6) AS lo
+        FROM h GROUP BY bucket
+        """
     )
 
 
