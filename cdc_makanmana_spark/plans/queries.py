@@ -4049,15 +4049,18 @@ def q83_chi2_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant-key equi-join trick plan the BroadcastNestedLoopJoin
     # the engine bans plan-wide
     cells.createOrReplaceTempView("q83_cells")
-    e = "rt.r * ct.c / (SELECT sum(o) FROM q83_cells)"
     return spark.sql(
-        f"""
+        """
         WITH rt AS (SELECT source, sum(o) AS r FROM q83_cells GROUP BY source),
-             ct AS (SELECT lang, sum(o) AS c FROM q83_cells GROUP BY lang)
-        SELECT c.source, c.lang, CAST(c.o AS BIGINT) AS observed,
-               round({e}, 6) AS expected,
-               round((c.o - {e}) * (c.o - {e}) / ({e}), 6) AS chi2_term
-        FROM q83_cells c JOIN rt USING (source) JOIN ct USING (lang)
+             ct AS (SELECT lang, sum(o) AS c FROM q83_cells GROUP BY lang),
+             j AS (
+               SELECT c.source, c.lang, c.o,
+                      rt.r * ct.c / (SELECT sum(o) FROM q83_cells) AS e
+               FROM q83_cells c JOIN rt USING (source) JOIN ct USING (lang))
+        SELECT source, lang, CAST(o AS BIGINT) AS observed,
+               round(e, 6) AS expected,
+               round((o - e) * (o - e) / e, 6) AS chi2_term
+        FROM j
         """
     )
 
@@ -4084,8 +4087,11 @@ def q84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of events.value in {_Q84_BINS} buckets —
     the distribution-shape primitive behind every profiler UI and
     outlier triage. Two passes by necessity (bounds, then binning);
-    the bounds ride scalar subqueries (runtime literals, zero join
-    operators), the bin expression is pure
+    the bounds ride ONE struct-valued scalar subquery (a Subquery
+    stage injected as a runtime literal — zero join operators, and
+    exactly one extra scan; per-reference scalar subqueries planned 5
+    independent rescans, and a 1-row cross join plans the banned
+    BNLJ). The bin expression is pure
     codegen arithmetic written IDENTICALLY on both engines (floor of
     the same IEEE division — Spark's ``width_bucket`` built-in exists
     but its edge semantics are its own, so the portable expression is
@@ -4099,16 +4105,23 @@ def q84_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constant-key equi-join both plan the banned BNLJ). Spark reuses
     # the repeated identical subqueries (ReusedSubquery).
     ev.createOrReplaceTempView("q84_ev")
-    mn, mx = "(SELECT min(value) FROM q84_ev)", "(SELECT max(value) FROM q84_ev)"
     return spark.sql(
         f"""
         WITH h AS (
-          SELECT CAST(least(floor((value - {mn}) / (({mx} - {mn}) / {_Q84_BINS})),
-                            {_Q84_BINS - 1}) AS BIGINT) AS bucket
-          FROM q84_ev)
+          SELECT value,
+                 (SELECT named_struct('mn', min(value), 'mx', max(value))
+                  FROM q84_ev) AS b
+          FROM q84_ev),
+        g AS (
+          SELECT CAST(least(floor((value - b.mn) / ((b.mx - b.mn) / {_Q84_BINS})),
+                            {_Q84_BINS - 1}) AS BIGINT) AS bucket,
+                 b
+          FROM h)
         SELECT bucket, count(*) AS n,
-               round({mn} + bucket * (({mx} - {mn}) / {_Q84_BINS}), 6) AS lo
-        FROM h GROUP BY bucket
+               round(any_value(b).mn
+                     + bucket * ((any_value(b).mx - any_value(b).mn) / {_Q84_BINS}),
+                     6) AS lo
+        FROM g GROUP BY bucket
         """
     )
 
