@@ -138,6 +138,7 @@ def pagerank(
     tol: float = 1e-6,
     weight_col: str | None = None,
     fixed_iter: int | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over an undirected edge list (id_a, id_b) — the
     influence/centrality score for the graphs this module builds
@@ -171,6 +172,15 @@ def pagerank(
     structure. The convergence-checked mode stays the default for
     consumers that need a quality guarantee rather than a fixed
     budget.
+
+    ``seeds`` (a 1-column ``id`` frame) switches to PERSONALIZED
+    PageRank: all teleport mass lands uniformly on the seed set
+    instead of every node — ranks become proximity-to-the-seeds, the
+    'related items' primitive (seed = one merchant → ranks = its
+    co-activity neighborhood, weighted by multi-hop structure).
+    Non-seed nodes start at 0 and earn rank only through inflow; the
+    seed frame joins in as a dim (seed-cardinality, broadcastable),
+    never collected.
     """
     from cdc_makanmana_spark.operators.dedup import _materialize
 
@@ -185,10 +195,21 @@ def pagerank(
     n = deg.count()
     if n == 0:
         return edges.sparkSession.createDataFrame([], "id long, rank double")
-    base = float((1.0 - damping) / n)
-    ranks = _materialize(
-        deg.select(F.col("src").alias("id"), F.lit(1.0 / n).alias("rank"))
-    )
+
+    nodes = deg.select(F.col("src").alias("id"))
+    if seeds is None:
+        base_col = F.lit(float((1.0 - damping) / n))
+        ranks = _materialize(nodes.withColumn("rank", F.lit(1.0 / n)))
+    else:
+        s = seeds.select(F.col("id")).distinct()
+        n_seeds = s.count()
+        if n_seeds == 0:
+            raise ValueError("personalized pagerank requires a non-empty seed set")
+        with_seed = nodes.join(
+            s.withColumn("__s", F.lit(1.0 / n_seeds)), "id", "left"
+        ).withColumn("__s", F.coalesce("__s", F.lit(0.0)))
+        base_col = F.lit(1.0 - damping) * F.col("__s")
+        ranks = _materialize(with_seed.withColumn("rank", F.col("__s")))
     links = _materialize(und.join(deg, "src"))
 
     def step(r: DataFrame, cut: bool = True) -> DataFrame:
@@ -201,13 +222,17 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("inflow"))
         )
-        out = r.select("id").join(contrib, "id", "left").select(
-            "id",
-            (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+        carry = ["id"] if seeds is None else ["id", "__s"]
+        out = r.select(*carry).join(contrib, "id", "left").select(
+            *carry,
+            (base_col + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
                 "rank"
             ),
         )
         return _materialize(out) if cut else out
+
+    def finish(r: DataFrame) -> DataFrame:
+        return r.select("id", "rank") if seeds is not None else r
 
     if fixed_iter is not None:
         if fixed_iter < 1:
@@ -221,18 +246,19 @@ def pagerank(
         for i in range(fixed_iter):
             last = i == fixed_iter - 1
             ranks = step(ranks, cut=(i % 2 == 1) or last)
-        return ranks
+        return finish(ranks)
 
     for _ in range(max_iter):
         new_ranks = step(ranks)
         delta = (
-            ranks.join(new_ranks.withColumnRenamed("rank", "r2"), "id")
+            ranks.select("id", "rank")
+            .join(new_ranks.select("id", F.col("rank").alias("r2")), "id")
             .agg(F.sum(F.abs(F.col("rank") - F.col("r2"))))
             .collect()[0][0]
         )
         ranks = new_ranks
         if delta is not None and delta < tol:
-            return ranks
+            return finish(ranks)
     raise RuntimeError(
         f"pagerank did not converge within {max_iter} iterations (delta {delta:.2e})"
     )

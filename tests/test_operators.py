@@ -1171,6 +1171,44 @@ def test_pagerank_fixed_iter_matches_python_reference(spark):
         pagerank(edges, fixed_iter=0)
 
 
+def test_pagerank_personalized_seed_proximity(spark):
+    """Personalized PageRank on a path 1-2-3-4-5 with seed {1}: the
+    seed's neighborhood outranks the far end (rank decays outward from
+    node 2, which collects inflow from BOTH sides and so can outrank
+    the degree-1 seed itself); matches a Python reference to 1e-9;
+    converged mode agrees; empty seed set raises."""
+    import pytest
+
+    from cdc_makanmana_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.rank for r in pagerank(edges, seeds=seeds, fixed_iter=40).collect()}
+    assert min(got[1], got[2]) > got[3] > got[4] > got[5] > 0
+
+    # python reference: r' = (1-d)*s + d * M r
+    adj = {1: [2], 2: [1, 3], 3: [2, 4], 4: [3, 5], 5: [4]}
+    d, s = 0.85, {1: 1.0}
+    r = {k: s.get(k, 0.0) for k in adj}
+    for _ in range(40):
+        r = {
+            k: (1 - d) * s.get(k, 0.0)
+            + d * sum(r[j] / len(adj[j]) for j in adj if k in adj[j])
+            for k in adj
+        }
+    for k in adj:
+        assert abs(got[k] - r[k]) < 1e-9
+
+    conv = {row.id: row.rank for row in pagerank(edges, seeds=seeds).collect()}
+    for k in adj:
+        assert abs(conv[k] - r[k]) < 1e-4
+
+    with pytest.raises(ValueError, match="non-empty seed"):
+        pagerank(edges, seeds=seeds.filter("id = 99"), fixed_iter=2)
+
+
 def test_top_m_edges_degree_bound_and_survival(spark):
     """Sparsification: every node keeps at most m incident edges from
     its own ranking, an edge survives if EITHER endpoint ranks it, and
