@@ -4297,6 +4297,103 @@ def q87_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q88_rolling_active_users",
+    """
+    WITH du AS (SELECT DISTINCT ts::DATE AS d, user_id FROM events),
+    contrib AS (
+      SELECT user_id,
+             unnest(generate_series(d, (d + INTERVAL 6 DAY)::DATE,
+                                    INTERVAL 1 DAY))::DATE AS report_day
+      FROM du),
+    dc AS (SELECT DISTINCT user_id, report_day FROM contrib)
+    SELECT report_day, count(*) AS wau
+    FROM dc
+    WHERE report_day <= (SELECT max(ts::DATE) FROM events)
+    GROUP BY report_day
+    """,
+)
+def q88_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day active users per day (WAU) — the
+    engagement headline metric. Sliding DISTINCT cannot ride a window
+    frame (count_distinct isn't frame-able) and the naive day×day
+    range self-join re-counts every user 7× through a join; instead
+    each (day, user) pair CONTRIBUTES ITSELF to the 7 report days it
+    makes active — one explode of a 7-element date sequence, a
+    distinct, a count. O(7·|day-user pairs|) rows, no join operator at
+    all; the trailing edge clips on max(date) via a scalar subquery.
+    At 100 TB the day×user distinct is bounded by cardinality, not
+    event volume — the sketch alternative (per-day HLL partials merged
+    7-wide) trades exactness for a k× smaller shuffle and composes
+    with q59's tier."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    )
+    du = ev.distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("report_day"),
+    ).distinct()
+    ev.createOrReplaceTempView("q88_ev")
+    contrib.createOrReplaceTempView("q88_contrib")
+    return spark.sql(
+        """
+        SELECT report_day, count(*) AS wau
+        FROM q88_contrib
+        WHERE report_day <= (SELECT max(d) FROM q88_ev)
+        GROUP BY report_day
+        """
+    )
+
+
+_Q89_HALF_LIFE_D = 7.0
+
+
+@query(
+    "q89_decayed_engagement",
+    f"""
+    WITH mx AS (SELECT max(ts) AS mts FROM events)
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(value * exp(-0.6931471805599453 / {_Q89_HALF_LIFE_D}
+                                 * (epoch(date_trunc('second', mx.mts))
+                                    - epoch(date_trunc('second', ts))) / 86400.0)), 6)
+             AS decayed_value
+    FROM events CROSS JOIN mx
+    GROUP BY user_id
+    """,
+)
+def q89_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user (half-life
+    {_Q89_HALF_LIFE_D:.0f} days, anchored at the corpus max timestamp)
+    — the recency-weighted feature that replaces 'activity in the last
+    N days' cliffs with a smooth decay; one map-side-combinable
+    aggregation, weights computed inline in codegen. The anchor rides
+    a scalar subquery; ages use whole epoch seconds on both sides
+    (Spark's unix_timestamp truncates where DuckDB's epoch() keeps
+    fractions — q78's RANGE-frame trap again). Hash-safety: each term
+    is value·exp(·) with
+    |sum| bounded by per-user event counts (~10²), so cross-engine
+    summation-order noise sits ~1e-13 — far under the 6 dp declared
+    precision (contrast the banned global float-sum shapes)."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    ev.createOrReplaceTempView("q89_ev")
+    lam = 0.6931471805599453 / _Q89_HALF_LIFE_D
+    return spark.sql(
+        f"""
+        SELECT user_id,
+               count(*) AS n_events,
+               round(sum(value * exp(-{lam!r}
+                         * (unix_timestamp((SELECT max(ts) FROM q89_ev)) - unix_timestamp(ts))
+                         / 86400.0)), 6) AS decayed_value
+        FROM q89_ev
+        GROUP BY user_id
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
