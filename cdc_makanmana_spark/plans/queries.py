@@ -4394,6 +4394,77 @@ def q89_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q91_association_lift",
+    """
+    WITH t AS (
+      SELECT DISTINCT user_id, date_trunc('hour', ts) AS w, event_type
+      FROM events),
+    n AS (SELECT count(*) AS nb FROM (SELECT DISTINCT user_id, w FROM t)),
+    item AS (SELECT event_type, count(*) AS n_item FROM t GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pair
+      FROM t a JOIN t b
+        ON a.user_id = b.user_id AND a.w = b.w AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, p.n_pair,
+           round(p.n_pair::DOUBLE / n.nb, 6) AS support,
+           round(p.n_pair::DOUBLE / ia.n_item, 6) AS conf_a_to_b,
+           round(p.n_pair::DOUBLE * n.nb / (ia.n_item * ib.n_item), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.type_a
+    JOIN item ib ON ib.event_type = p.type_b
+    CROSS JOIN n
+    """,
+)
+def q91_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over behavior baskets: each (user, hour) is a
+    basket of distinct event types; support / confidence / lift per
+    type pair — the market-basket primitive behind 'users who X also
+    Y'. Pair generation REUSES the co-occurrence edge builder
+    (operators/graph.py) with the hot-group gate disabled (baskets are
+    bounded by the type vocabulary, so within-group pairing is
+    constant-size by construction — the gate exists for unbounded
+    groups). Counts are exact integers; lift's cross-engine arithmetic
+    is exact until 2^53, rounded at 6. The basket total N rides a
+    scalar subquery (zero join operators on the Spark side, where a
+    1-row attach would otherwise plan the banned BNLJ)."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    t = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("hour", "ts").alias("w"), "event_type")
+        .distinct()
+    )
+    pairs = cooccurrence_edges(
+        t, "event_type", ["user_id", "w"], max_group=1_000_000
+    ).select(
+        F.col("id_a").alias("type_a"),
+        F.col("id_b").alias("type_b"),
+        F.col("n_groups").alias("n_pair"),
+    )
+    item = t.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_item"))
+    t.select("user_id", "w").distinct().createOrReplaceTempView("q91_baskets")
+    joined = (
+        pairs.join(item.select(F.col("event_type").alias("type_a"),
+                               F.col("n_item").alias("n_a")), "type_a")
+        .join(item.select(F.col("event_type").alias("type_b"),
+                          F.col("n_item").alias("n_b")), "type_b")
+    )
+    joined.createOrReplaceTempView("q91_joined")
+    return spark.sql(
+        """
+        SELECT type_a, type_b, n_pair,
+               round(CAST(n_pair AS DOUBLE) / (SELECT count(*) FROM q91_baskets), 6)
+                 AS support,
+               round(CAST(n_pair AS DOUBLE) / n_a, 6) AS conf_a_to_b,
+               round(CAST(n_pair AS DOUBLE) * (SELECT count(*) FROM q91_baskets)
+                     / (n_a * n_b), 6) AS lift
+        FROM q91_joined
+        """
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
