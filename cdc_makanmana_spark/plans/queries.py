@@ -4465,6 +4465,83 @@ def q91_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q92_ORACLE = r"""
+    WITH d AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    s0 AS (
+      SELECT DISTINCT source,
+             unnest([array_to_string(w[i:i+2], ' ')
+                     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+      FROM d),
+    n AS (SELECT source, count(*) AS n_sh FROM s0 GROUP BY source),
+    common AS (
+      SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+      FROM s0 a JOIN s0 b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT c.src_a, c.src_b, c.n_common,
+           round(c.n_common::DOUBLE
+                 / (na.n_sh + nb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN n na ON na.source = c.src_a
+    JOIN n nb ON nb.source = c.src_b
+"""
+
+
+@query("q92_source_overlap", _Q92_ORACLE)
+def q92_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level source overlap: Jaccard similarity between each
+    pair of SOURCES over their distinct word-3-shingle sets — 'which
+    crawls duplicate each other', the corpus-composition diagnostic
+    that decides whether two feeds are worth ingesting separately.
+    Rolls the dedup ladder's shingle machinery up one level: distinct
+    (source, shingle) pairs, per-shingle sorted source-set →
+    `_pairs_within_sorted` expansion (bounded by |sources|² per
+    shingle, with |sources| ~ tens — never document-quadratic), exact
+    integer intersection counts. At 100 TB the (source, shingle)
+    distinct is the only fact-scale shuffle; everything after is
+    source-vocabulary-sized."""
+    from cdc_makanmana_spark.operators.dedup import (
+        _drop_blank_text,
+        _pairs_within_sorted,
+        word_shingles,
+    )
+
+    d = _drop_blank_text(_t(spark, sf_dir, "documents"), "text")
+    s0 = (
+        d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+        .distinct()
+    )
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    s0 = _materialize(s0)  # feeds the per-source counts AND the pair join
+    n = s0.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sets = s0.groupBy("sh").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+    common = (
+        sets.select(_pairs_within_sorted("srcs").alias("p"))
+        .select(F.col("p.id_a").alias("src_a"), F.col("p.id_b").alias("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(n.select(F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")), "src_a")
+        .join(n.select(F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
