@@ -153,6 +153,64 @@ def test_q65_commonness_shuffles_hashes_not_bigrams(spark):
         assert first in ("__h", "id", "doc_id"), f"string shuffle key: {keys}"
 
 
+def test_q85_snm_plans_zero_joins(spark):
+    """Sorted-neighborhood's whole point: candidates come from lead()
+    windows, never a join — a join operator in the plan means the
+    block-quadratic rn-range self-join crept back in."""
+    plan = _plan(spark, "q85_sorted_neighborhood_neardup")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, f"SNM planned a {j}"
+    assert "Window" in plan
+
+
+def test_q84_histogram_bounds_attach_without_joins(spark):
+    """The histogram's 1-row bounds must ride a scalar subquery: zero
+    join operators, and exactly 2 scans of events (data + bounds) —
+    per-reference scalar subqueries once planned 7 rescans."""
+    import re
+
+    plan = _plan(spark, "q84_equiwidth_histogram")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    # formatted mode prints each node in the tree AND the detail list —
+    # count detail entries ("(n) Scan parquet") once
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_q88_wau_plans_no_join(spark):
+    """Exact rolling WAU via sequence-explode contribution: the naive
+    day-range self-join is the banned shape; the plan must be
+    generate → distinct → aggregate with no join operator."""
+    plan = _plan(spark, "q88_rolling_active_users")
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+    assert "explode(sequence" in plan
+
+
+def test_q86_trend_is_single_aggregation_pass(spark):
+    """The regr_* family must reduce to one partial+final aggregation
+    over the scan: exactly one Exchange, no window, no join."""
+    import re
+
+    plan = _plan(spark, "q86_group_trend")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Window" not in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan
+
+
+def test_q77_pagerank_output_plan_is_cut(spark):
+    """fixed_iter PageRank lineage-cuts every second step: the FINAL
+    frame's visible plan must be shallow (a checkpoint scan + the last
+    propagation segment), not 8 iterations of accumulated joins —
+    bounded plan depth is what keeps iteration 100 as cheap as
+    iteration 1."""
+    import re
+
+    plan = _plan(spark, "q77_pagerank_influence")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 6
+
+
 def test_q58_count_side_broadcasts_fact_never_shuffles(spark):
     """q58's per-source counts (20 rows) must come back to the fact
     table as a broadcast join: the only Exchange allowed in the plan
