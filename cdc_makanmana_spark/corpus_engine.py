@@ -95,6 +95,62 @@ class CorpusPipeline:
         )
         return self._with(dedup_keep_best(self.df, pairs, self.id_col))
 
+    def dedup_snm(
+        self, window: int = 3, block_prefix: int = 4, threshold: float = 0.5
+    ) -> "CorpusPipeline":
+        """Sorted-neighborhood dedup pass (q85): prefix-block sort +
+        lead() neighbor Jaccard → connected components → keep min-id.
+        Multi-pass SNM composes by chaining with ``dedup_near`` —
+        adjacency catches shared-prefix boilerplate that content
+        blocking ranks low, and vice versa."""
+        from cdc_makanmana_spark.operators.dedup import (
+            dedup_keep_best,
+            sorted_neighborhood_pairs,
+        )
+
+        pairs = sorted_neighborhood_pairs(
+            self.df, self.text_col, self.id_col,
+            window=window, block_prefix=block_prefix, threshold=threshold,
+        )
+        return self._with(dedup_keep_best(self.df, pairs, self.id_col))
+
+    def sample_weighted(
+        self, k_per_group: int, group_col: str, salt: str = ":wsample"
+    ) -> "CorpusPipeline":
+        """A-Res weighted sampling without replacement (q81): keep the
+        top-k docs per group by key ln(u)/w with w = 1 + token count —
+        token-mass-proportional, deterministic, rerun-stable."""
+        from pyspark.sql import Window
+
+        from cdc_makanmana_spark.functions.text import token_count
+        from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+        w = 1 + token_count(self.text_col).cast("long")
+        u = (
+            F.pmod(
+                md5_hash64(F.concat(F.col(self.id_col).cast("string"), F.lit(salt))),
+                F.lit(1_000_000),
+            )
+            + 0.5
+        ) / 1_000_000.0
+        win = Window.partitionBy(group_col).orderBy(
+            F.desc(F.log(u) / w), F.asc(self.id_col)
+        )
+        out = (
+            self.df.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k_per_group)
+            .drop("__rn")
+        )
+        return self._with(out)
+
+    def profile(self, columns: list[str] | None = None) -> DataFrame:
+        """Single-pass per-column profile of the CURRENT pipeline state
+        (q82 / observe.profile) — a terminal diagnostic, not a stage:
+        returns the stats frame, leaving the pipeline unchanged."""
+        from cdc_makanmana_spark.observe import profile as _profile
+
+        return _profile(self.df, columns)
+
     def decontaminate(self, eval_df: DataFrame, n: int = 5) -> "CorpusPipeline":
         """Remove docs sharing any word n-gram with the eval suite
         (q49; eval shingles broadcast — the corpus never shuffles)."""

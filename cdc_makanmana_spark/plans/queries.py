@@ -4542,6 +4542,58 @@ def q92_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_activity_gini",
+    """
+    WITH ux AS (
+      SELECT event_type, user_id, count(*) AS x
+      FROM events GROUP BY event_type, user_id),
+    r AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x ASC, user_id ASC) AS i
+      FROM ux)
+    SELECT event_type,
+           count(*) AS n_users,
+           sum(x) AS n_events,
+           round(2.0 * sum(i * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY event_type
+    """,
+)
+def q93_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity within each event type —
+    the concentration diagnostic (gini→0: engagement spread evenly;
+    →1: a handful of whales/bots produce everything), the same lens a
+    corpus curator points at source/domain concentration before
+    deciding caps (q58's rate table is what you DO about a high gini).
+    Computed from the sorted-cumsum identity 2·Σi·xᵢ/(n·Σx) − (n+1)/n
+    with a per-type rank window; every xᵢ and rank is an INTEGER, so
+    Σi·xᵢ and Σx are exact in both engines (< 2^53) and the only float
+    ops are two divisions — hash-deterministic without rounding
+    tricks. One shuffle to the (type,user) rollup (fact-scale), then
+    everything is user-cardinality."""
+    from pyspark.sql import Window
+
+    ux = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("x"), F.asc("user_id"))
+    r = ux.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return r.groupBy("event_type").agg(
+        n.alias("n_users"),
+        F.sum("x").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -749,3 +749,33 @@ class TestCorpusPipeline:
         packed = pipe.pack(budget=5).df
         assert {"n_tokens", "shard_id"} <= set(packed.columns)
         assert packed.filter("shard_id >= 0").count() == 2
+
+    def test_snm_sample_and_profile_stages(self, spark):
+        """The session-4 stages compose through the facade: dedup_snm
+        drops the sort-adjacent near-dup, sample_weighted keeps k per
+        group deterministically, profile reports the current state
+        without mutating the pipeline."""
+        from cdc_makanmana_spark.corpus_engine import CorpusPipeline
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        docs = spark.createDataFrame(
+            [
+                (1, "en", base),
+                (2, "en", base + " extra"),
+                (3, "en", "alpha unrelated words entirely different today"),
+                (4, "de", "zzz ein anderer block ganz anders hier"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        pipe = CorpusPipeline(docs).dedup_snm(window=2, threshold=0.5)
+        kept = sorted(r.doc_id for r in pipe.df.collect())
+        assert kept == [1, 3, 4]                  # 2 folded into 1's cluster
+
+        sampled = pipe.sample_weighted(1, "lang")
+        ids_a = sorted(r.doc_id for r in sampled.df.collect())
+        ids_b = sorted(r.doc_id for r in pipe.sample_weighted(1, "lang").df.collect())
+        assert ids_a == ids_b and len(ids_a) == 2  # deterministic, 1 per lang
+
+        prof = {r.col_name: r for r in pipe.profile(["lang"]).collect()}
+        assert prof["lang"].n_rows == 3 and prof["lang"].n_nulls == 0
+        assert sorted(r.doc_id for r in pipe.df.collect()) == kept  # unchanged
