@@ -201,7 +201,12 @@ def pagerank(
         base_col = F.lit(float((1.0 - damping) / n))
         ranks = _materialize(nodes.withColumn("rank", F.lit(1.0 / n)))
     else:
-        s = seeds.select(F.col("id")).distinct()
+        # cut the seed frame's lineage BEFORE counting: seeds often
+        # derive from the same edge pipeline being ranked (q87), and an
+        # uncut frame re-runs that whole pipeline once for the count
+        # and once per consumer (measured: 24 s vs 7 s for the declared
+        # q87 at sf0.1)
+        s = _materialize(seeds.select(F.col("id")).distinct())
         n_seeds = s.count()
         if n_seeds == 0:
             raise ValueError("personalized pagerank requires a non-empty seed set")

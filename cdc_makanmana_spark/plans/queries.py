@@ -4283,7 +4283,12 @@ def q87_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = cooccurrence_edges(
         ev, "user_id", ["w", "event_type"], keep_frac=_Q74_KEEP_FRAC
     )
-    sparse = top_m_edges(edges, m=_Q75_TOP_M)
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    # the sparsified edge list feeds BOTH the rank loop and the seed
+    # derivation — cut its lineage so the co-occurrence pipeline runs
+    # once, not once per consumer
+    sparse = _materialize(top_m_edges(edges, m=_Q75_TOP_M))
     seeds = (
         sparse.select(F.col("id_a").alias("id"))
         .unionByName(sparse.select(F.col("id_b").alias("id")))
