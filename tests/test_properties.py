@@ -289,3 +289,113 @@ def test_asof_tolerance_matches_naive_property(spark, obs, probes, tol):
     assert sorted(got.values(), key=lambda x: (x is None, x)) == sorted(
         want, key=lambda x: (x is None, x)
     )
+
+
+@given(
+    groups=st.lists(
+        st.tuples(st.integers(0, 2), st.lists(_word, min_size=1, max_size=12).map(" ".join)),
+        min_size=1,
+        max_size=25,
+    ),
+    k=st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_sample_order_independent_property(spark, groups, k):
+    """A-Res weighted sampling (q81's expression): membership is a pure
+    function of (id, weight) — repartitioning/reordering the input
+    never changes the selected set, and each group keeps exactly
+    min(k, |group|) rows."""
+    from pyspark.sql import Window
+
+    from cdc_makanmana_spark.functions.text import token_count
+    from cdc_makanmana_spark.operators.dedup import md5_hash64
+
+    rows = [(i, f"g{g}", t) for i, (g, t) in enumerate(groups)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+
+    def select(frame):
+        w = 1 + token_count("text").cast("long")
+        u = (
+            F.pmod(
+                md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":p"))),
+                F.lit(1_000_000),
+            )
+            + 0.5
+        ) / 1_000_000.0
+        win = Window.partitionBy("grp").orderBy(F.desc(F.log(u) / w), F.asc("doc_id"))
+        return {
+            (r.grp, r.doc_id)
+            for r in frame.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .collect()
+        }
+
+    a = select(df)
+    b = select(df.repartition(7, "text").sortWithinPartitions(F.desc("doc_id")))
+    assert a == b
+    from collections import Counter
+
+    sizes = Counter(g for g, _ in a)
+    want = Counter()
+    for _, (g, _t) in zip(rows, groups):
+        want[f"g{g}"] += 1
+    assert sizes == Counter({g: min(k, n) for g, n in want.items()})
+
+
+@given(texts=st.lists(st.lists(_word, min_size=1, max_size=10).map(" ".join),
+                      min_size=1, max_size=20))
+@settings(max_examples=10, deadline=None)
+def test_snm_pair_invariants_property(spark, texts):
+    """Sorted-neighborhood pairs on arbitrary word soup: every pair is
+    ordered (id_a < id_b), unique, scores within [0, 1], and honors
+    the threshold; identical texts adjacent in sort order always pair
+    at jaccard 1.0 when within the window."""
+    from collections import Counter
+
+    from cdc_makanmana_spark.operators.dedup import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = sorted_neighborhood_pairs(df, "text", "doc_id", window=2, threshold=0.0).collect()
+    pairs = [(r.id_a, r.id_b) for r in got]
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(set(pairs))
+    assert all(0.0 <= r.jaccard <= 1.0 for r in got)
+    # duplicated text (<= window copies) must produce a 1.0 pair
+    norm = Counter(" ".join(t.split()).lower() for t in texts)
+    for t, n in norm.items():
+        if 2 <= n <= 3 and t:
+            assert any(
+                abs(r.jaccard - 1.0) < 1e-9 for r in got
+            ), f"no perfect pair for duplicated text {t!r}"
+            break
+
+
+@given(
+    counts=st.lists(st.integers(1, 40), min_size=1, max_size=30),
+)
+@settings(max_examples=15, deadline=None)
+def test_gini_identity_matches_reference_property(spark, counts):
+    """The q93 sorted-cumsum Gini identity on arbitrary count vectors:
+    equals the classic O(n log n) Python formula exactly, is 0 for
+    constant vectors, and stays in [0, 1)."""
+    from pyspark.sql import Window
+
+    rows = [(i, c) for i, c in enumerate(counts)]
+    df = spark.createDataFrame(rows, "user_id long, x long")
+    w = Window.partitionBy(F.lit(1)).orderBy(F.asc("x"), F.asc("user_id"))
+    r = df.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    got = r.agg(
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (n * F.sum("x"))
+            - (n + F.lit(1.0)) / n,
+            9,
+        ).alias("g")
+    ).collect()[0].g
+    xs = sorted(counts)
+    nn, tot = len(xs), sum(xs)
+    want = 2.0 * sum((i + 1) * x for i, x in enumerate(xs)) / (nn * tot) - (nn + 1.0) / nn
+    assert abs(got - round(want, 9)) < 1e-9
+    assert 0.0 <= got < 1.0
+    if len(set(counts)) == 1:
+        assert got == 0.0
