@@ -123,18 +123,11 @@ class CorpusPipeline:
         from pyspark.sql import Window
 
         from cdc_makanmana_spark.functions.text import token_count
-        from cdc_makanmana_spark.operators.dedup import md5_hash64
+        from cdc_makanmana_spark.operators.dedup import ares_weight_key
 
         w = 1 + token_count(self.text_col).cast("long")
-        u = (
-            F.pmod(
-                md5_hash64(F.concat(F.col(self.id_col).cast("string"), F.lit(salt))),
-                F.lit(1_000_000),
-            )
-            + 0.5
-        ) / 1_000_000.0
         win = Window.partitionBy(group_col).orderBy(
-            F.desc(F.log(u) / w), F.asc(self.id_col)
+            F.desc(ares_weight_key(self.id_col, w, salt)), F.asc(self.id_col)
         )
         out = (
             self.df.withColumn("__rn", F.row_number().over(win))

@@ -77,7 +77,11 @@ def profile(
     engines — profile derived integral columns (e.g. lengths) when the
     output must hash-match an external replica.
     """
-    cols = columns or df.columns
+    cols = df.columns if columns is None else columns
+    if not cols:
+        raise ValueError(
+            "profile: empty column list (pass None to profile every column)"
+        )
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"profile: unknown column(s) {missing}")

@@ -428,6 +428,29 @@ def md5_hash64(col) -> "F.Column":
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
+def ares_weight_key(id_col: str, weight, salt: str = ":wsample"):
+    """The A-Res weighted-sampling key (Efraimidis-Spirakis): ln(u)/w
+    for a salted-hash uniform u ∈ (0,1) derived from the row id —
+    rank DESCENDING on this key and keep the top k for a weighted
+    sample without replacement whose membership is a pure function of
+    (id, weight): order-, partitioning- and rerun-independent.
+
+    Defined ONCE here because the hash→uniform→key arithmetic must
+    stay bit-identical between the oracle-checked declared query (q81)
+    and the pipeline stage users run (CorpusPipeline.sample_weighted);
+    a one-sided tweak would silently decouple them. The (bucket+0.5)/1e6
+    construction keeps u strictly inside (0,1) so ln() never sees 0.
+    """
+    u = (
+        F.pmod(
+            md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            F.lit(1_000_000),
+        )
+        + 0.5
+    ) / 1_000_000.0
+    return F.log(u) / weight
+
+
 def winnowing_fingerprint_rows(
     df: DataFrame,
     text_col: str,

@@ -180,7 +180,9 @@ def pagerank(
     co-activity neighborhood, weighted by multi-hop structure).
     Non-seed nodes start at 0 and earn rank only through inflow; the
     seed frame joins in as a dim (seed-cardinality, broadcastable),
-    never collected.
+    never collected. Seeds absent from the edge list are IGNORED
+    (teleport mass splits over in-graph seeds only, so ranks keep
+    summing to ~1); raises if no seed intersects the graph.
     """
     from cdc_makanmana_spark.operators.dedup import _materialize
 
@@ -205,11 +207,17 @@ def pagerank(
         # derive from the same edge pipeline being ranked (q87), and an
         # uncut frame re-runs that whole pipeline once for the count
         # and once per consumer (measured: 24 s vs 7 s for the declared
-        # q87 at sf0.1)
-        s = _materialize(seeds.select(F.col("id")).distinct())
+        # q87 at sf0.1). Intersect with the graph's nodes FIRST: a
+        # seed absent from the edge list would otherwise inflate
+        # n_seeds while receiving no mass, silently shrinking total
+        # teleport below (1-d) and deflating every rank.
+        s = _materialize(seeds.select(F.col("id")).distinct().join(nodes, "id"))
         n_seeds = s.count()
         if n_seeds == 0:
-            raise ValueError("personalized pagerank requires a non-empty seed set")
+            raise ValueError(
+                "personalized pagerank requires a non-empty seed set "
+                "intersecting the graph's nodes"
+            )
         with_seed = nodes.join(
             s.withColumn("__s", F.lit(1.0 / n_seeds)), "id", "left"
         ).withColumn("__s", F.coalesce("__s", F.lit(0.0)))

@@ -3650,11 +3650,10 @@ ORACLE_SQL["q76_knn_graph"] = _Q76_ORACLE.format(ctes=_Q48_CTES.strip())
 
 _Q77_ITER = 8
 
-
-@query(
-    "q77_pagerank_influence",
-    f"""
-    WITH RECURSIVE {_Q74_EDGE_SQL},
+# top-M-sparsified undirected graph + degrees, shared by BOTH
+# recursive-CTE PageRank oracles (q77, q87) — one definition so the
+# two can never silently rank different graphs
+_QGRAPH_SPARSE_SQL = f"""
     sym0 AS (
       SELECT id_a AS src, id_b AS dst, n_groups AS wt FROM edges
       UNION ALL SELECT id_b, id_a, n_groups FROM edges),
@@ -3666,7 +3665,15 @@ _Q77_ITER = 8
           FROM kept),
     sym AS (SELECT id_a AS src, id_b AS dst FROM e
             UNION ALL SELECT id_b, id_a FROM e),
-    deg AS (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY src),
+    deg AS (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY src)
+"""
+
+
+@query(
+    "q77_pagerank_influence",
+    f"""
+    WITH RECURSIVE {_Q74_EDGE_SQL},
+    {_QGRAPH_SPARSE_SQL},
     nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
     pr(iter, id, rank) AS (
       SELECT 0, src, 1.0 / nn.n FROM deg, nn
@@ -3724,7 +3731,8 @@ _Q78_WIN_S = 7 * 86400
              count(*) OVER w AS n7,
              sum(value) OVER w AS v7
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY epoch(date_trunc('second', ts))::BIGINT
                    RANGE BETWEEN {_Q78_WIN_S} PRECEDING AND CURRENT ROW))
     SELECT user_id,
            max(n7) AS peak_7d_events,
@@ -3739,10 +3747,12 @@ def q78_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed sliding windows; THIS is a true per-row trailing interval:
     each event sees exactly the user's events in the preceding 7 days).
     The standard burstiness/velocity feature for abuse detection and
-    user modeling. Order key is whole epoch seconds on BOTH sides
-    (timestamps carry sub-second precision; Spark's long cast truncates
-    where a raw DuckDB epoch() keeps fractions — the one semantic trap
-    of numeric RANGE frames over timestamps). One shuffle on user_id;
+    user modeling. Order key is whole epoch seconds on BOTH sides,
+    truncated identically: Spark's long cast FLOORS while DuckDB's
+    ``epoch(ts)::BIGINT`` ROUNDS half the keys up (measured: 49.9k of
+    100k sf0.1 keys differ under the naive cast), so the oracle pins
+    ``date_trunc('second')`` before the cast — the one semantic trap
+    of numeric RANGE frames over timestamps. One shuffle on user_id;
     the frame is evaluated by Spark's sliding WindowExec with no
     self-join — at 100 TB this is the only linear-cost way to express
     'events in my trailing week', the binned self-join alternative
@@ -3937,7 +3947,7 @@ def q81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer rank reaches the hash-diff."""
     from pyspark.sql import Window
 
-    from cdc_makanmana_spark.operators.dedup import md5_hash64
+    from cdc_makanmana_spark.operators.dedup import ares_weight_key
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = d.select(
@@ -3945,14 +3955,7 @@ def q81_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (1 + token_count("text").cast("long")).alias("w"),
     )
-    u = (
-        F.pmod(
-            md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":wsample"))),
-            F.lit(1000000),
-        )
-        + 0.5
-    ) / 1000000.0
-    keyed = t.withColumn("k", F.log(u) / F.col("w"))
+    keyed = t.withColumn("k", ares_weight_key("doc_id", F.col("w")))
     win = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("doc_id"))
     return (
         keyed.withColumn("rank", F.row_number().over(win))
@@ -4227,18 +4230,7 @@ _Q87_SEED_MOD = 29
     "q87_personalized_pagerank",
     f"""
     WITH RECURSIVE {_Q74_EDGE_SQL},
-    sym0 AS (
-      SELECT id_a AS src, id_b AS dst, n_groups AS wt FROM edges
-      UNION ALL SELECT id_b, id_a, n_groups FROM edges),
-    kept AS (
-      SELECT src, dst FROM sym0
-      QUALIFY row_number() OVER (PARTITION BY src
-                                 ORDER BY wt DESC, dst ASC) <= {_Q75_TOP_M}),
-    e AS (SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
-          FROM kept),
-    sym AS (SELECT id_a AS src, id_b AS dst FROM e
-            UNION ALL SELECT id_b, id_a FROM e),
-    deg AS (SELECT src, count(*)::DOUBLE AS d FROM sym GROUP BY src),
+    {_QGRAPH_SPARSE_SQL},
     sd AS (SELECT src AS id,
                   1.0 / (SELECT count(*) FROM deg WHERE src % {_Q87_SEED_MOD} = 0) AS s
            FROM deg WHERE src % {_Q87_SEED_MOD} = 0),
@@ -4399,6 +4391,59 @@ def q89_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q90_BINS = 10
+
+_Q90_QS = ", ".join(str(i / _Q90_BINS) for i in range(1, _Q90_BINS))
+
+
+@query(
+    "q90_equidepth_histogram",
+    f"""
+    WITH b AS (SELECT quantile_cont(value, [{_Q90_QS}]) AS bs FROM events),
+    h AS (
+      SELECT value,
+             len(list_filter((SELECT bs FROM b), x -> value > x))::BIGINT AS bucket
+      FROM events)
+    SELECT bucket, count(*) AS n,
+           round(min(value), 6) AS lo, round(max(value), 6) AS hi
+    FROM h GROUP BY bucket
+    """,
+)
+def q90_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram ({_Q90_BINS} quantile buckets) — q84's
+    complement: equal POPULATION per bucket instead of equal width,
+    the shape profilers and optimizers actually store (equi-width
+    collapses under skew). The scale-safe form: the {_Q90_BINS - 1}
+    interior boundaries come from ONE exact-percentile aggregation
+    (swap approx_percentile at the q51/q59 tier), ride a single
+    array-valued scalar subquery, and binning is a codegen
+    count-of-boundaries-below per row — NOT the textbook
+    ntile()-over-everything, whose single-partition global-sort window
+    is exactly what local[32] warns about and a 1000-executor cluster
+    dies on. Both engines interpolate percentiles identically (same
+    sort, same linear blend), so strict boundary comparison
+    hash-matches without rounding tricks."""
+    ev = _t(spark, sf_dir, "events").select("value")
+    ev.createOrReplaceTempView("q90_ev")
+    return spark.sql(
+        f"""
+        WITH w AS (
+          SELECT value,
+                 (SELECT percentile(value, array({_Q90_QS})) FROM q90_ev) AS bs
+          FROM q90_ev),
+        h AS (
+          SELECT value,
+                 aggregate(bs, 0L,
+                   (acc, x) -> acc + CASE WHEN value > x THEN 1L ELSE 0L END
+                 ) AS bucket
+          FROM w)
+        SELECT bucket, count(*) AS n,
+               round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        FROM h GROUP BY bucket
+        """
+    )
+
+
 @query(
     "q91_association_lift",
     """
@@ -4436,7 +4481,12 @@ def q91_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row attach would otherwise plan the banned BNLJ)."""
     from cdc_makanmana_spark.operators.graph import cooccurrence_edges
 
-    t = (
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    # the distinct triple frame feeds three consumers (pair builder,
+    # item counts, basket view) — cut lineage so the fact scan +
+    # distinct run once (the q87 lesson; census showed 6 scans uncut)
+    t = _materialize(
         _t(spark, sf_dir, "events")
         .select("user_id", F.date_trunc("hour", "ts").alias("w"), "event_type")
         .distinct()

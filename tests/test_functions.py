@@ -410,6 +410,9 @@ class TestProfile:
 
         with pytest.raises(ValueError, match="unknown column"):
             profile(df, ["k", "nope"])
+        # explicit empty list is an error, not silently-all-columns
+        with pytest.raises(ValueError, match="empty column list"):
+            profile(df, [])
 
 
 class TestSentenceSplitUDTF:
