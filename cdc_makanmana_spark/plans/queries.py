@@ -1453,10 +1453,10 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q37_duplicate_clusters",
-    f"""
-    WITH d AS (
+# q24-pair → recursive-reachability CTE chain, shared by the q37
+# component oracle and the q95 cluster-size profile built on it
+_Q37_CTES = f"""
+    d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -1486,6 +1486,13 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.dst, r.anc FROM r JOIN edges e ON e.src = r.id)
       SELECT * FROM r)
+"""
+
+
+@query(
+    "q37_duplicate_clusters",
+    f"""
+    WITH {_Q37_CTES}
     SELECT id, min(anc) AS component FROM reach GROUP BY id
     """,
 )
@@ -4646,6 +4653,114 @@ def q93_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + F.lit(1.0)) / n,
             6,
         ).alias("gini"),
+    )
+
+
+_Q94_BUCKET = f"(({_h64_sql('doc_id::VARCHAR || %r' % ':split')} % 100) + 100) % 100"
+
+
+@query(
+    "q94_split_balance_audit",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CASE WHEN {_Q94_BUCKET} < 90 THEN 'train'
+                  WHEN {_Q94_BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents),
+    cells AS (SELECT source, split, count(*)::DOUBLE AS o FROM s GROUP BY source, split),
+    rt AS (SELECT source, sum(o) AS r FROM cells GROUP BY source),
+    ct AS (SELECT split, sum(o) AS c FROM cells GROUP BY split),
+    j AS (
+      SELECT c.source, c.split, c.o,
+             rt.r * ct.c / (SELECT sum(o) FROM cells) AS e
+      FROM cells c JOIN rt USING (source) JOIN ct USING (split))
+    SELECT source, split, CAST(o AS BIGINT) AS observed,
+           round(e, 6) AS expected,
+           round((o - e) * (o - e) / e, 6) AS chi2_term
+    FROM j
+    """,
+)
+def q94_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-balance audit — the ML-ops QA check that q41's hash split
+    is INDEPENDENT of source (a split whose test fold over-samples one
+    source silently biases every eval number downstream): the q83
+    chi-square machinery pointed at the source × split contingency of
+    the deterministic split. Expected cells are what a perfectly
+    source-blind 90/5/5 split would produce; large chi2 terms flag the
+    cells to investigate. Pure composition of two declared operators —
+    the split is a codegen projection, the audit one groupBy + cell
+    re-aggregations (no second fact scan), the total a scalar
+    subquery."""
+    from cdc_makanmana_spark.operators.dedup import _materialize, md5_hash64
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))),
+        F.lit(100),
+    )
+    s = d.select(
+        "source",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    cells = _materialize(
+        s.groupBy("source", "split").agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    cells.createOrReplaceTempView("q94_cells")
+    return spark.sql(
+        """
+        WITH rt AS (SELECT source, sum(o) AS r FROM q94_cells GROUP BY source),
+             ct AS (SELECT split, sum(o) AS c FROM q94_cells GROUP BY split),
+             j AS (
+               SELECT c.source, c.split, c.o,
+                      rt.r * ct.c / (SELECT sum(o) FROM q94_cells) AS e
+               FROM q94_cells c JOIN rt USING (source) JOIN ct USING (split))
+        SELECT source, split, CAST(o AS BIGINT) AS observed,
+               round(e, 6) AS expected,
+               round((o - e) * (o - e) / e, 6) AS chi2_term
+        FROM j
+        """
+    )
+
+
+@query(
+    "q95_cluster_size_profile",
+    f"""
+    WITH {_Q37_CTES},
+    comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           (cluster_size * count(*))::BIGINT AS n_docs
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q95_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the corpus-duplication
+    profile a curator reads before choosing dedup aggressiveness (a
+    long tail of pairs is routine; one 10k-doc cluster is a template
+    or a crawler trap and deserves inspection, not silent keep-best).
+    q37's connected components rolled up twice: component → size,
+    size → (n_clusters, n_docs). Both rollups are cluster-cardinality
+    — the fact-scale work ends at the pair generation q37 already
+    bounds. Oracle shares q37's recursive-CTE chain verbatim, so the
+    profile certifies the same clustering."""
+    from cdc_makanmana_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = ngram_jaccard_pairs(
+        d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
     )
 
 
