@@ -3472,23 +3472,34 @@ def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q74_KEEP_FRAC = 0.95
 
-_Q74_EDGE_SQL = f"""
-    g AS (
+
+def _q74_edge_sql(suffix: str = "", pred: str = "TRUE") -> str:
+    """The co-activity edge CTE chain, parameterized by a row
+    predicate and a CTE-name suffix so one oracle can build several
+    filtered graphs (q96's week-over-week churn); the unfiltered
+    default (``WHERE TRUE``) keeps q74/q75/q77/q87 semantics
+    unchanged."""
+    s = suffix
+    return f"""
+    g{s} AS (
       SELECT DISTINCT date_trunc('hour', ts) AS w, event_type, user_id
-      FROM events),
-    sizes AS (
-      SELECT w, event_type, count(*) AS n FROM g GROUP BY w, event_type),
-    ok AS (
-      SELECT w, event_type FROM sizes
+      FROM events WHERE {pred}),
+    sizes{s} AS (
+      SELECT w, event_type, count(*) AS n FROM g{s} GROUP BY w, event_type),
+    ok{s} AS (
+      SELECT w, event_type FROM sizes{s}
       QUALIFY cume_dist() OVER (ORDER BY n) <= {_Q74_KEEP_FRAC}),
-    cg AS (SELECT g.* FROM g JOIN ok USING (w, event_type)),
-    edges AS (
+    cg{s} AS (SELECT g{s}.* FROM g{s} JOIN ok{s} USING (w, event_type)),
+    edges{s} AS (
       SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS n_groups
-      FROM cg a JOIN cg b
+      FROM cg{s} a JOIN cg{s} b
         ON a.w = b.w AND a.event_type = b.event_type
        AND a.user_id < b.user_id
       GROUP BY 1, 2)
 """
+
+
+_Q74_EDGE_SQL = _q74_edge_sql()
 
 
 @query(
@@ -4761,6 +4772,74 @@ def q95_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+    )
+
+
+_Q96_CUT = "2024-01-15"
+
+
+@query(
+    "q96_edge_churn",
+    f"""
+    WITH {_q74_edge_sql("1", f"ts < TIMESTAMP '{_Q96_CUT} 00:00:00'")},
+    {_q74_edge_sql("2", f"ts >= TIMESTAMP '{_Q96_CUT} 00:00:00'")}
+    SELECT coalesce(a.id_a, b.id_a) AS id_a,
+           coalesce(a.id_b, b.id_b) AS id_b,
+           CASE WHEN a.id_a IS NULL THEN 'new'
+                WHEN b.id_a IS NULL THEN 'dropped'
+                ELSE 'persisted' END AS status,
+           coalesce(a.n_groups, 0) AS w1_groups,
+           coalesce(b.n_groups, 0) AS w2_groups
+    FROM edges1 a FULL OUTER JOIN edges2 b
+      ON a.id_a = b.id_a AND a.id_b = b.id_b
+    """,
+)
+def q96_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph churn: the co-activity graph built on two
+    halves of the window (before/after {_Q96_CUT}), full-outer-joined
+    on the edge key into new / dropped / persisted edges with both
+    weights — relationship formation and decay, the signal behind
+    community-drift and account-takeover detection (a user whose
+    ENTIRE neighborhood turns over in a week changed hands or
+    changed bots). Each half reuses the q74 builder unchanged —
+    construction stays gated and group-bounded — and the diff join
+    shuffles on the 2-id edge key, edge-cardinality not fact-
+    cardinality. The SF-stable quantile gate runs PER HALF, exactly
+    as the oracle's parameterized CTE chain replays it."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.date_trunc("hour", "ts").alias("w"), "event_type", "user_id"
+    )
+    cut = F.lit(_Q96_CUT).cast("timestamp")
+
+    def half(pred):
+        return cooccurrence_edges(
+            ev.filter(pred).drop("ts"),
+            "user_id",
+            ["w", "event_type"],
+            keep_frac=_Q74_KEEP_FRAC,
+        )
+
+    a = half(F.col("ts") < cut)
+    b = half(F.col("ts") >= cut)
+    return (
+        a.withColumnRenamed("n_groups", "w1_groups")
+        .join(
+            b.withColumnRenamed("n_groups", "w2_groups"),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.when(F.col("w1_groups").isNull(), "new")
+            .when(F.col("w2_groups").isNull(), "dropped")
+            .otherwise("persisted")
+            .alias("status"),
+            F.coalesce("w1_groups", F.lit(0)).alias("w1_groups"),
+            F.coalesce("w2_groups", F.lit(0)).alias("w2_groups"),
+        )
     )
 
 
