@@ -4843,6 +4843,53 @@ def q96_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q97_time_weighted_value",
+    """
+    WITH o AS (
+      SELECT user_id, value,
+             epoch(date_trunc('second', ts))::BIGINT AS sec,
+             lead(epoch(date_trunc('second', ts))::BIGINT)
+               OVER (PARTITION BY user_id ORDER BY epoch(date_trunc('second', ts))::BIGINT,
+                     event_id) AS nxt
+      FROM events),
+    seg AS (SELECT user_id, value, nxt - sec AS dt FROM o WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           count(*) AS n_intervals,
+           sum(dt) AS total_sec,
+           round(sum(value * dt) / sum(dt), 6) AS twap
+    FROM seg GROUP BY user_id
+    """,
+)
+def q97_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (the TWAP/step-function
+    mean): each observation holds until the next one, so its weight is
+    the interval it was live — the correct aggregate for sampled state
+    (plain avg() over-counts bursts: 100 readings in one minute must
+    not outweigh one reading that held for a day). One lead() window
+    builds the step segments — no self-join, no interval explosion;
+    whole-second timestamps pinned on both engines (the q78/q89 rule);
+    zero-length segments from same-second ties carry zero weight
+    identically. Per-user float sums stay ~1e8 with ~1e-6 absolute
+    noise — twelve orders under the 6 dp declared precision."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "value", F.col("ts").cast("long").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seg = (
+        ev.withColumn("nxt", F.lead("sec").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("dt", F.col("nxt") - F.col("sec"))
+    )
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").alias("total_sec"),
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
