@@ -123,6 +123,7 @@ def sorted_neighborhood_pairs(
     window: int = 3,
     block_prefix: int = 4,
     threshold: float = 0.5,
+    reverse_key: bool = False,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-duplicate candidates: sort docs
     by normalized text within a prefix block, compare each doc to its
@@ -142,7 +143,11 @@ def sorted_neighborhood_pairs(
     block boundary, and near-dups whose difference lands in the first
     ``block_prefix`` chars — the standard SNM answer is multiple
     passes with different keys (compose with the ladder's other tiers,
-    e.g. q23/q24, exactly as multi-pass SNM prescribes). Blank/NULL
+    e.g. q23/q24, exactly as multi-pass SNM prescribes).
+    ``reverse_key=True`` is the canonical second pass: block and sort
+    on the REVERSED normalized text, catching suffix-templated
+    near-dups whose difference sits in the forward prefix (similarity
+    is still token Jaccard of the forward text). Blank/NULL
     text follows the ladder-wide drop policy.
 
     Reference parity: the fuzzy name-matching surface
@@ -159,10 +164,13 @@ def sorted_neighborhood_pairs(
             F.col(id_col).alias("__id"),
             _norm_text(F.col(text_col)).alias("__norm"),
         )
-        .withColumn("__blk", F.substring("__norm", 1, block_prefix))
+        .withColumn(
+            "__key", F.reverse("__norm") if reverse_key else F.col("__norm")
+        )
+        .withColumn("__blk", F.substring("__key", 1, block_prefix))
         .withColumn("__toks", F.array_distinct(F.split("__norm", " ")))
     )
-    win = Window.partitionBy("__blk").orderBy("__norm", "__id")
+    win = Window.partitionBy("__blk").orderBy("__key", "__id")
     # window exprs first (generators can't host them), explode second
     led = d.select(
         "__id",

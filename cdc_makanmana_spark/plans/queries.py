@@ -4890,6 +4890,209 @@ def q97_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _snm_pair_sql(suffix: str, key: str) -> str:
+    """q85's SNM pair CTEs with a parameterized sort/block key —
+    ``key`` is a SQL expression over ``norm`` ('norm' or
+    'reverse(norm)') so the q98 multi-pass oracle can replay both
+    passes from one definition."""
+    s = suffix
+    return rf"""
+    d{s} AS (
+      SELECT doc_id AS id,
+             trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS norm
+      FROM documents
+      WHERE text IS NOT NULL
+        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
+    r{s} AS (
+      SELECT id, norm, {key} AS k, substr({key}, 1, {_Q85_PFX}) AS blk,
+             row_number() OVER (PARTITION BY substr({key}, 1, {_Q85_PFX})
+                                ORDER BY {key}, id) AS rn,
+             list_distinct(string_split(norm, ' ')) AS toks
+      FROM d{s}),
+    p{s} AS (
+      SELECT a.id AS ia, b.id AS ib, a.toks AS ta, b.toks AS tb
+      FROM r{s} a JOIN r{s} b
+        ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + {_Q85_W}),
+    j{s} AS (
+      SELECT DISTINCT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b,
+             round(len(list_intersect(ta, tb))::DOUBLE
+                   / len(list_distinct(ta || tb)), 6) AS jaccard
+      FROM p{s})
+"""
+
+
+@query(
+    "q98_snm_multipass",
+    f"""
+    WITH {_snm_pair_sql("f", "norm")},
+    {_snm_pair_sql("r", "reverse(norm)")},
+    fwd AS (SELECT * FROM jf WHERE jaccard >= {_Q85_THRESH}),
+    rev AS (SELECT * FROM jr WHERE jaccard >= {_Q85_THRESH})
+    SELECT coalesce(f.id_a, r.id_a) AS id_a,
+           coalesce(f.id_b, r.id_b) AS id_b,
+           coalesce(f.jaccard, r.jaccard) AS jaccard,
+           (f.id_a IS NOT NULL) AS in_forward,
+           (r.id_a IS NOT NULL) AS in_reverse
+    FROM fwd f FULL OUTER JOIN rev r
+      ON f.id_a = r.id_a AND f.id_b = r.id_b
+    """,
+)
+def q98_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood — the textbook completion of
+    q85: a second pass sorts on the REVERSED text so suffix-templated
+    near-dups (same boilerplate tail, different head — invisible to a
+    forward prefix block) become sort-adjacent; the full-outer merge
+    flags which pass found each pair (in_reverse-only pairs are
+    exactly the recall the single pass loses). Same O(N·w) zero-join
+    shape per pass; Jaccard is computed on the forward tokens in both
+    passes, so a pair found twice carries one identical score."""
+    from cdc_makanmana_spark.operators.dedup import sorted_neighborhood_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    kw = dict(window=_Q85_W, block_prefix=_Q85_PFX, threshold=_Q85_THRESH)
+    fwd = sorted_neighborhood_pairs(d, "text", "doc_id", **kw).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    rev = sorted_neighborhood_pairs(
+        d, "text", "doc_id", reverse_key=True, **kw
+    ).dropDuplicates(["id_a", "id_b"])
+    f = fwd.select("id_a", "id_b", "jaccard", F.lit(True).alias("in_forward"))
+    r = rev.select(
+        "id_a", "id_b", F.col("jaccard").alias("r_jaccard"), F.lit(True).alias("in_reverse")
+    )
+    return (
+        f.join(r, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.coalesce("jaccard", "r_jaccard").alias("jaccard"),
+            F.coalesce("in_forward", F.lit(False)).alias("in_forward"),
+            F.coalesce("in_reverse", F.lit(False)).alias("in_reverse"),
+        )
+    )
+
+
+# 25, not 10: uniform fixture activity churns a tiny top-10 completely
+# between halves (intersection 0 at sf0.01 — a vacuous declared result);
+# top-25 keeps 5 persistent hitters so the intersection path is exercised
+_Q99_K = 25
+
+
+@query(
+    "q99_persistent_heavy_hitters",
+    f"""
+    WITH c1 AS (
+      SELECT user_id, count(*) AS n1 FROM events
+      WHERE ts < TIMESTAMP '{_Q96_CUT} 00:00:00' GROUP BY user_id),
+    c2 AS (
+      SELECT user_id, count(*) AS n2 FROM events
+      WHERE ts >= TIMESTAMP '{_Q96_CUT} 00:00:00' GROUP BY user_id),
+    t1 AS (
+      SELECT user_id, n1,
+             row_number() OVER (ORDER BY n1 DESC, user_id ASC) AS r1
+      FROM c1 QUALIFY r1 <= {_Q99_K}),
+    t2 AS (
+      SELECT user_id, n2,
+             row_number() OVER (ORDER BY n2 DESC, user_id ASC) AS r2
+      FROM c2 QUALIFY r2 <= {_Q99_K})
+    SELECT user_id, n1, r1, n2, r2
+    FROM t1 JOIN t2 USING (user_id)
+    """,
+)
+def q99_persistent_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persistent heavy hitters: users in the top-{_Q99_K} by volume
+    in BOTH halves of the window — the stability filter that separates
+    structurally heavy accounts (infrastructure, power users) from
+    one-burst spikes (incidents, crawls): act-on lists want the
+    former. Each half is one map-side-combinable count; the top-k
+    windows rank a user-cardinality frame (never the fact), ties
+    broken on user_id identically in both engines; the final inner
+    join intersects two {_Q99_K}-row frames."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    cut = F.lit(_Q96_CUT).cast("timestamp")
+
+    def topk(pred, n_name, r_name):
+        c = ev.filter(pred).groupBy("user_id").agg(F.count(F.lit(1)).alias(n_name))
+        w = Window.partitionBy(F.lit(1)).orderBy(F.desc(n_name), F.asc("user_id"))
+        return (
+            c.withColumn(r_name, F.row_number().over(w))
+            .filter(F.col(r_name) <= _Q99_K)
+        )
+
+    t1 = topk(F.col("ts") < cut, "n1", "r1")
+    t2 = topk(F.col("ts") >= cut, "n2", "r2")
+    return t1.join(t2, "user_id").select("user_id", "n1", "r1", "n2", "r2")
+
+
+@query(
+    "q100_referential_audit",
+    """
+    WITH parent AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 3)
+    SELECT 'lineitem->orders_snapshot' AS relation,
+           (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM parent p
+                              WHERE p.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    """,
+)
+def q100_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — per foreign-key relation, child
+    row count and orphan count via LEFT ANTI joins: the data-quality
+    gate run after every ingest, and the check that catches a torn
+    snapshot (a parent table read mid-replace) before downstream joins
+    silently drop rows. The first relation audits against a SIMULATED
+    partial orders snapshot (q73's predicate), so the orphan path is
+    genuinely exercised (~9% of lineitems); the intact relations prove
+    the zero case. Each anti-join shuffles on the key (AQE broadcasts
+    the dim side where it fits); counts are exact integers."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey")
+    parent = orders.filter(F.col("o_orderkey") % 11 != 3).select("o_orderkey")
+
+    # one left join + conditional count per relation (an anti-join +
+    # separate total would scan the child twice; scalar cross joins of
+    # the two counts would plan the banned BNLJ)
+    pairs = [
+        ("lineitem->orders_snapshot", li, "l_orderkey", parent, "o_orderkey"),
+        ("orders->customer", orders, "o_custkey", cust.select("c_custkey"), "c_custkey"),
+        ("customer->nation", cust, "c_nationkey", nation, "n_nationkey"),
+    ]
+    outs = []
+    for name, child, ck, pdf, pk in pairs:
+        flagged = child.select(F.col(ck).alias("k")).join(
+            pdf.select(F.col(pk).alias("k")).distinct().withColumn("__hit", F.lit(1)),
+            "k",
+            "left",
+        )
+        outs.append(
+            flagged.agg(
+                F.lit(name).alias("relation"),
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(F.when(F.col("__hit").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
