@@ -180,6 +180,24 @@ def test_sorted_neighborhood_pairs(spark):
         df, "text", "doc_id", window=1, threshold=0.0
     ).collect()
     assert sorted((p.id_a, p.id_b) for p in all_pairs) == [(1, 2), (2, 3)]
+
+    # reverse_key pass: suffix-templated dups (shared tail, different
+    # head) are invisible to the forward prefix block but adjacent
+    # under the reversed key
+    suf = spark.createDataFrame(
+        [
+            (10, "apple one shared boilerplate tail ending here"),
+            (11, "zebra two shared boilerplate tail ending here"),
+            (12, "totally different text with another ending word"),
+        ],
+        "doc_id long, text string",
+    )
+    fwd = sorted_neighborhood_pairs(suf, "text", "doc_id", window=1, threshold=0.5)
+    rev = sorted_neighborhood_pairs(
+        suf, "text", "doc_id", window=1, threshold=0.5, reverse_key=True
+    )
+    assert [(p.id_a, p.id_b) for p in fwd.collect()] == []
+    assert [(p.id_a, p.id_b) for p in rev.collect()] == [(10, 11)]
     with pytest.raises(ValueError, match="window"):
         sorted_neighborhood_pairs(df, "text", "doc_id", window=0)
 
