@@ -139,6 +139,7 @@ def pagerank(
     weight_col: str | None = None,
     fixed_iter: int | None = None,
     seeds: DataFrame | None = None,
+    cut_every: int = 2,
 ) -> DataFrame:
     """PageRank over an undirected edge list (id_a, id_b) — the
     influence/centrality score for the graphs this module builds
@@ -250,15 +251,18 @@ def pagerank(
     if fixed_iter is not None:
         if fixed_iter < 1:
             raise ValueError(f"fixed_iter must be >= 1, got {fixed_iter}")
-        # lineage-cut every SECOND step: each materialize is an eager
-        # job, and on small/medium graphs the per-job fixed cost — not
-        # the shuffles — dominates the loop (measured: 8 cuts 10.1 s,
-        # 4 cuts 5.9 s at sf0.1; plan depth stays O(1) at 2 chained
-        # propagation steps). The convergence mode can't batch — it
-        # needs the delta between CONSECUTIVE iterations.
+        # lineage-cut every ``cut_every``-th step: each materialize is
+        # an eager job, and on small/medium graphs the per-job fixed
+        # cost — not the shuffles — dominates the loop (measured at
+        # sf0.1: 8 cuts 10.1 s, 4 cuts 5.9 s; plan depth stays O(1) at
+        # ``cut_every`` chained propagation steps). The convergence
+        # mode can't batch — it needs the delta between CONSECUTIVE
+        # iterations.
+        if cut_every < 1:
+            raise ValueError(f"cut_every must be >= 1, got {cut_every}")
         for i in range(fixed_iter):
             last = i == fixed_iter - 1
-            ranks = step(ranks, cut=(i % 2 == 1) or last)
+            ranks = step(ranks, cut=(i % cut_every == cut_every - 1) or last)
         return finish(ranks)
 
     for _ in range(max_iter):

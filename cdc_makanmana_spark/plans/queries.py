@@ -838,13 +838,29 @@ def q23_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratically, exact Jaccard confirms). 16 bands x 2 rows on
     32 hashes → P(miss | J=0.9) = (1-0.81)^16 ≈ 3e-12, so the output
     hash-matches the brute-force oracle; a recall bug breaks the match."""
-    from cdc_makanmana_spark.operators.dedup import minhash_near_duplicates, word_shingles
+    from cdc_makanmana_spark.operators.dedup import (
+        _materialize,
+        minhash_near_duplicates,
+        word_shingles,
+    )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_near_duplicates(
-        d, "text", "doc_id", num_hashes=32, bands=16, threshold=0.5
-    ).select("id_a", "id_b")
-    sh = d.select(
+    # cand feeds the id prune AND the rerank join — cut lineage so the
+    # LSH pipeline (signatures + band join) runs once
+    cand = _materialize(
+        minhash_near_duplicates(
+            d, "text", "doc_id", num_hashes=32, bands=16, threshold=0.5
+        ).select("id_a", "id_b")
+    )
+    # build the interpreted-HOF shingle arrays only for candidate docs
+    # (semi-join prune): the rerank's cost is then bounded by the
+    # candidate count, never the corpus size
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = d.join(cand_ids, "doc_id", "left_semi").select(
         F.col("doc_id").alias("__sid"), word_shingles(F.col("text"), 3).alias("__sh")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -4538,18 +4554,19 @@ def q91_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q92_ORACLE = r"""
+_Q92_ORACLE = rf"""
     WITH d AS (
       SELECT source,
              string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents
       WHERE text IS NOT NULL
         AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
-    s0 AS (
-      SELECT DISTINCT source,
+    raw AS (
+      SELECT source,
              unnest([array_to_string(w[i:i+2], ' ')
-                     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
+                     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh0
       FROM d),
+    s0 AS (SELECT DISTINCT source, {_h64_sql('sh0')} AS sh FROM raw),
     n AS (SELECT source, count(*) AS n_sh FROM s0 GROUP BY source),
     common AS (
       SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
@@ -4574,18 +4591,24 @@ def q92_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, shingle) pairs, per-shingle sorted source-set →
     `_pairs_within_sorted` expansion (bounded by |sources|² per
     shingle, with |sources| ~ tens — never document-quadratic), exact
-    integer intersection counts. At 100 TB the (source, shingle)
-    distinct is the only fact-scale shuffle; everything after is
+    integer intersection counts. Shingles are 64-bit-hashed BEFORE the
+    distinct (the ladder's rule, dedup.py ngram_jaccard_pairs): the
+    only fact-scale shuffle then moves (source, 8-byte key) rows
+    instead of shingle strings. The hash is the portable md5-derived
+    ``md5_hash64`` so the oracle replays it bit-for-bit — collisions
+    (≈n²/2⁶⁵) collapse the same shingle pair in both engines, keeping
+    counts exactly equal. At 100 TB everything after that distinct is
     source-vocabulary-sized."""
     from cdc_makanmana_spark.operators.dedup import (
-        _drop_blank_text,
         _pairs_within_sorted,
-        word_shingles,
+        md5_hash64,
+        shingle_rows,
     )
 
-    d = _drop_blank_text(_t(spark, sf_dir, "documents"), "text")
+    d = _t(spark, sf_dir, "documents").select("source", "text")
     s0 = (
-        d.select("source", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+        shingle_rows(d, "text", ["source"], 3)
+        .select("source", md5_hash64(F.col("__s")).alias("sh"))
         .distinct()
     )
     from cdc_makanmana_spark.operators.dedup import _materialize
