@@ -139,7 +139,7 @@ def pagerank(
     weight_col: str | None = None,
     fixed_iter: int | None = None,
     seeds: DataFrame | None = None,
-    cut_every: int = 2,
+    cut_every: int = 4,
 ) -> DataFrame:
     """PageRank over an undirected edge list (id_a, id_b) — the
     influence/centrality score for the graphs this module builds
@@ -253,11 +253,13 @@ def pagerank(
             raise ValueError(f"fixed_iter must be >= 1, got {fixed_iter}")
         # lineage-cut every ``cut_every``-th step: each materialize is
         # an eager job, and on small/medium graphs the per-job fixed
-        # cost — not the shuffles — dominates the loop (measured at
-        # sf0.1: 8 cuts 10.1 s, 4 cuts 5.9 s; plan depth stays O(1) at
-        # ``cut_every`` chained propagation steps). The convergence
-        # mode can't batch — it needs the delta between CONSECUTIVE
-        # iterations.
+        # cost — not the shuffles — dominates the loop (interleaved
+        # min-of-3 on the declared q77 graph at sf0.1: cadence 2 →
+        # 8.4 s, cadence 4 → 4.9 s, cadence 8 → 5.4 s; plan depth
+        # stays O(1) at ``cut_every`` chained propagation steps, and
+        # past ~4 the deeper codegen/optimizer pass starts costing
+        # more than the saved jobs). The convergence mode can't batch
+        # — it needs the delta between CONSECUTIVE iterations.
         if cut_every < 1:
             raise ValueError(f"cut_every must be >= 1, got {cut_every}")
         for i in range(fixed_iter):
