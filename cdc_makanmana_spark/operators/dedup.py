@@ -535,25 +535,34 @@ def winnowing_fingerprint_rows(
     inside a higher-order-function lambda, which Spark evaluates
     INTERPRETED, outside whole-stage codegen and without common-
     subexpression elimination — measured 23.7 s vs 2.1 s at sf0.1 for
-    the md5 gram hash (11x). Here only the cheap gram-string build
-    stays in a HOF; grams are then posexploded and hashed in a
-    codegen'd projection (the q24 shingle lesson, ``word_shingles``),
-    and the window-min selection becomes a window function over
+    the md5 gram hash (11x). Here gram building, hashing, and the
+    window-min selection are all codegen: an index sequence is
+    exploded and each gram assembled with ``concat_ws`` over NULL-safe
+    ``get`` lookups (the ``shingle_rows`` formulation), hashed in the
+    same projection, and the window-min becomes a window function over
     (id, gram_idx) — one shuffle on the id, everything JVM-compiled.
 
     ``gram_hash``: "xxhash64" (scale default) or "md5_64" (oracle-
     portable, q40).
     """
-    words = F.split(_norm_text(F.col(text_col)), " ")
-    n_grams = F.greatest(F.size(words) - (k - 1), F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
-    )
-    g = _spread(_drop_blank_text(df, text_col)).select(
+    base = _spread(_drop_blank_text(df, text_col)).select(
         F.col(id_col).alias("__id"),
-        F.size(words).alias("__nw"),
-        F.posexplode(grams).alias("__idx", "__gram"),
+        F.split(_norm_text(F.col(text_col)), " ").alias("__w"),
+    )
+    g = base.select(
+        "__id",
+        F.size("__w").alias("__nw"),
+        "__w",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1)))
+        ).alias("__i"),
+    ).select(
+        "__id",
+        "__nw",
+        (F.col("__i") - 1).alias("__idx"),
+        F.concat_ws(
+            " ", *[F.get("__w", F.col("__i") + j - 1) for j in range(k)]
+        ).alias("__gram"),
     )
     hash_fn = md5_hash64 if gram_hash == "md5_64" else F.xxhash64
     h = g.select(
