@@ -803,25 +803,40 @@ def connected_components(
     def _label_sum(lab: DataFrame):
         return lab.agg(F.sum(F.col("component").cast("decimal(38,0)"))).collect()[0][0]
 
-    prev_sum = _label_sum(labels)
-    converged = False
-    for _ in range(max_iter):
+    def _step(lab: DataFrame) -> DataFrame:
         # neighbor labels: for each node, the min label among neighbors
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
+            edges.join(lab, edges.dst == lab.id)
             .groupBy("src")
             .agg(F.min("component").alias("n_min"))
             .withColumnRenamed("src", "id")
         )
-        labels = _materialize(
-            labels.join(neighbor_min, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("component"), F.coalesce("n_min", "component")).alias(
-                    "component"
-                ),
-            )
+        return lab.join(neighbor_min, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("n_min", "component")).alias(
+                "component"
+            ),
         )
+
+    prev_sum = _label_sum(labels)
+    converged = False
+    # TWO propagation steps per materialize+convergence-check: labels
+    # only ever decrease, so checking every second step still detects
+    # the fixpoint (at most one redundant step after convergence) while
+    # halving the eager jobs and driver collects that dominate the loop
+    # on shallow graphs (near-dup diameters are a handful). Within the
+    # chained double step the intermediate labels frame feeds two
+    # branches; its shuffle is deduplicated by Spark's ReusedExchange,
+    # so the batch costs ~1 extra aggregation, not a recompute.
+    # Iteration accounting: max_iter still bounds PROPAGATION STEPS.
+    steps = 0
+    while steps < max_iter:
+        batch = 2 if steps + 2 <= max_iter else 1
+        lab2 = labels
+        for _ in range(batch):
+            lab2 = _step(lab2)
+        labels = _materialize(lab2)
+        steps += batch
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True
