@@ -1263,3 +1263,45 @@ def test_top_m_edges_degree_bound_and_survival(spark):
         deg[a] += 1
         deg[b] += 1
     assert max(deg.values()) <= 4 or deg[1] == 5  # hub kept via spokes
+
+
+def test_shingle_rows_matches_word_shingles_contract(spark):
+    """The codegen row form (shingle_rows) and the HOF array form
+    (word_shingles) must agree on the per-doc DISTINCT shingle set —
+    including the short-doc floor (a doc with fewer than n words
+    yields its full text as the single shingle) — and the row form
+    must drop NULL/blank texts like the ladder's uniform policy."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.operators.dedup import shingle_rows, word_shingles
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "two words"),               # shorter than n=3 -> one shingle
+            (3, "one"),                     # single word
+            (4, "dup dup dup dup"),         # within-doc duplicate shingles
+            (5, "  spaced\tout\n tokens here  "),  # whitespace normalization
+            (6, None),                      # dropped
+            (7, "   "),                     # blank -> dropped
+        ],
+        "id long, text string",
+    )
+    rows = (
+        shingle_rows(docs, "text", ["id"], 3)
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_set("__s")).alias("got"))
+    )
+    arrays = docs.select(
+        "id", F.sort_array(word_shingles(F.col("text"), 3)).alias("want")
+    )
+    joined = {r.id: (r.got, r.want) for r in rows.join(arrays, "id").collect()}
+    assert set(joined) == {1, 2, 3, 4, 5}  # 6/7 dropped by blank policy
+    for i, (got, want) in joined.items():
+        assert got == want, f"doc {i}: {got} != {want}"
+    # short docs: exactly the full normalized text as the one shingle
+    assert joined[2][0] == ["two words"]
+    assert joined[3][0] == ["one"]
+    # occurrence form keeps duplicates (callers distinct on demand)
+    occ = shingle_rows(docs.filter("id = 4"), "text", ["id"], 3).count()
+    assert occ == 2 and joined[4][0] == ["dup dup dup"]
