@@ -220,11 +220,22 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
-def shingle_rows(df: DataFrame, text_col: str, carry: list[str], n: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    text_col: str,
+    carry: list[str],
+    n: int = 3,
+    with_pos: bool = False,
+) -> DataFrame:
     """Word n-gram shingles as ROWS: one output row per shingle
     OCCURRENCE (within-doc duplicates are NOT dropped — callers that
     need per-doc distinct sets hash to 8 bytes and ``distinct()``),
     carrying ``carry`` columns plus the shingle string ``__s``.
+    ``with_pos=True`` additionally emits the 0-based gram position
+    ``__idx`` and the doc's word count ``__nw`` (the winnowing
+    window-min consumer's inputs) so positional consumers share this
+    single formulation of the short-doc-floor / NULL-safe-get
+    contract.
 
     This is the codegen formulation of ``word_shingles``+explode: the
     words array is built once, an index sequence 1..max(len-n+1, 1) is
@@ -245,6 +256,7 @@ def shingle_rows(df: DataFrame, text_col: str, carry: list[str], n: int = 3) -> 
     )
     idx = w.select(
         *carry,
+        *([F.size("__w").alias("__nw")] if with_pos else []),
         "__w",
         F.explode(
             F.sequence(F.lit(1), F.greatest(F.size("__w") - (n - 1), F.lit(1)))
@@ -254,6 +266,7 @@ def shingle_rows(df: DataFrame, text_col: str, carry: list[str], n: int = 3) -> 
     # mode (element_at would raise under ANSI)
     return idx.select(
         *carry,
+        *([F.col("__nw"), (F.col("__i") - 1).alias("__idx")] if with_pos else []),
         F.concat_ws(
             " ", *[F.get("__w", F.col("__i") + k - 1) for k in range(n)]
         ).alias("__s"),
@@ -545,31 +558,19 @@ def winnowing_fingerprint_rows(
     ``gram_hash``: "xxhash64" (scale default) or "md5_64" (oracle-
     portable, q40).
     """
-    base = _spread(_drop_blank_text(df, text_col)).select(
-        F.col(id_col).alias("__id"),
-        F.split(_norm_text(F.col(text_col)), " ").alias("__w"),
-    )
-    g = base.select(
-        "__id",
-        F.size("__w").alias("__nw"),
-        "__w",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.size("__w") - (k - 1), F.lit(1)))
-        ).alias("__i"),
-    ).select(
-        "__id",
-        "__nw",
-        (F.col("__i") - 1).alias("__idx"),
-        F.concat_ws(
-            " ", *[F.get("__w", F.col("__i") + j - 1) for j in range(k)]
-        ).alias("__gram"),
+    g = shingle_rows(
+        _spread(df.select(F.col(id_col).alias("__id"), text_col)),
+        text_col,
+        ["__id"],
+        n=k,
+        with_pos=True,
     )
     hash_fn = md5_hash64 if gram_hash == "md5_64" else F.xxhash64
     h = g.select(
         "__id",
         F.greatest(F.col("__nw") - (k - 1), F.lit(1)).alias("__ng"),
         "__idx",
-        hash_fn(F.col("__gram")).alias("__h"),
+        hash_fn(F.col("__s")).alias("__h"),
     )
     from pyspark.sql import Window as W
 
@@ -821,22 +822,26 @@ def connected_components(
     prev_sum = _label_sum(labels)
     converged = False
     # TWO propagation steps per materialize+convergence-check: labels
-    # only ever decrease, so checking every second step still detects
-    # the fixpoint (at most one redundant step after convergence) while
-    # halving the eager jobs and driver collects that dominate the loop
-    # on shallow graphs (near-dup diameters are a handful). Within the
-    # chained double step the intermediate labels frame feeds two
-    # branches; its shuffle is deduplicated by Spark's ReusedExchange,
-    # so the batch costs ~1 extra aggregation, not a recompute.
-    # Iteration accounting: max_iter still bounds PROPAGATION STEPS.
+    # only ever decrease, so a batch whose end sum equals the previous
+    # check's sum proves the fixpoint, while halving the eager jobs
+    # and driver collects that dominate the loop on shallow graphs
+    # (near-dup diameters are a handful). Within the chained double
+    # step the intermediate labels frame feeds two branches; its
+    # shuffle is deduplicated by Spark's ReusedExchange, so the batch
+    # costs ~1 extra aggregation, not a recompute.
+    #
+    # Bound semantics: ``max_iter`` bounds CHANGING propagation steps
+    # (the graph-diameter budget), not detection overhead — the loop
+    # allows one extra confirming batch beyond it, so a graph whose
+    # labels stop changing by step max_iter always converges cleanly
+    # (no spurious raise from checking only at batch boundaries), and
+    # one still changing past it still raises. Batch granularity makes
+    # the bound effectively round up to the next even step count.
     steps = 0
-    while steps < max_iter:
-        batch = 2 if steps + 2 <= max_iter else 1
-        lab2 = labels
-        for _ in range(batch):
-            lab2 = _step(lab2)
+    while steps < max_iter + 2:
+        lab2 = _step(_step(labels))
         labels = _materialize(lab2)
-        steps += batch
+        steps += 2
         new_sum = _label_sum(labels)
         if new_sum == prev_sum:
             converged = True

@@ -1305,3 +1305,30 @@ def test_shingle_rows_matches_word_shingles_contract(spark):
     # occurrence form keeps duplicates (callers distinct on demand)
     occ = shingle_rows(docs.filter("id = 4"), "text", ["id"], 3).count()
     assert occ == 2 and joined[4][0] == ["dup dup dup"]
+
+
+def test_connected_components_converges_at_the_diameter_bound(spark):
+    """Regression: the batched (2-step) convergence check must not
+    tighten the usable max_iter bound — a chain needing exactly
+    max_iter changing steps converges (detection batches are allowed
+    beyond the bound), while one needing more still raises."""
+    import pytest
+
+    from cdc_makanmana_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    # diameter-3 chain: labels change for 3 steps; max_iter=4 accepted
+    # these on the per-step check and must keep doing so
+    got = {r.id: r.component for r in connected_components(chain, max_iter=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+    # ...and max_iter=3 (exactly the changing-step count) also works
+    got3 = {r.id: r.component for r in connected_components(chain, max_iter=3).collect()}
+    assert got3 == {1: 1, 2: 1, 3: 1, 4: 1}
+    # a 10-chain needs 9 changing steps; max_iter=4 must still refuse
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(long_chain, max_iter=4)
