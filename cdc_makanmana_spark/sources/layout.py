@@ -82,3 +82,95 @@ def write_range_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key(
+    quantized: "list",
+    bits: int = 8,
+):
+    """Morton (Z-order) interleave of pre-quantized columns: bit j of
+    column i lands at position ``j * n_cols + i`` of the key, so the
+    key's ordering alternates between dimensions at every bit — rows
+    close in ANY dimension stay close in key order, which is what
+    makes multi-column min/max pruning work (a single-column sort
+    gives one dimension perfect clustering and the others none).
+
+    ``quantized`` are integer Columns already in ``[0, 2**bits)``
+    (see ``write_zordered`` for the quantizer). Pure codegen bit ops
+    — ``bits * n_cols`` shift/mask/or terms, no UDF, no shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(quantized)
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, q in enumerate(quantized):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q.cast("long"), j).bitwiseAND(F.lit(1)),
+                    j * n + i,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 32,
+) -> None:
+    """Multi-dimension data-skipping layout: Z-order clustering on
+    ``cols`` (2-4 numeric/timestamp columns), then range-repartition +
+    sort on the Morton key before writing parquet.
+
+    ``write_range_sorted`` clusters ONE dimension perfectly and the
+    rest not at all; Z-order trades a little per-dimension tightness
+    for usable min/max pruning on EVERY listed column — the layout for
+    a table filtered sometimes by time, sometimes by entity, sometimes
+    by both (the Delta/Iceberg OPTIMIZE ZORDER discipline, expressed
+    with plain DataFrame ops).
+
+    Quantization is equi-width over the observed min/max (ONE small
+    aggregate job at write time — 2 scalars per column on the driver,
+    never data-sized): q = floor((x - min) / span * 2**bits), clamped.
+    Equi-width keeps the quantizer pure codegen; heavily skewed
+    columns cluster less tightly than a quantile quantizer would (the
+    documented tradeoff — at that point pre-bucket the skewed column
+    into its own partition column instead). NULLs quantize to 0 and
+    therefore cluster together at the low end of the layout.
+
+    Timestamp columns are quantized on their epoch-second value.
+    """
+    from pyspark.sql import functions as F
+
+    num = {
+        c: (
+            F.unix_timestamp(F.col(c)).cast("double")
+            if dict(df.dtypes)[c].startswith("timestamp")
+            else F.col(c).cast("double")
+        )
+        for c in cols
+    }
+    stats = df.agg(
+        *[F.min(e).alias(f"mn_{c}") for c, e in num.items()],
+        *[F.max(e).alias(f"mx_{c}") for c, e in num.items()],
+    ).collect()[0]
+    hi = (1 << bits) - 1
+    quantized = []
+    for c, e in num.items():
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1.0
+        q = F.floor((e - F.lit(mn)) / F.lit(span) * (1 << bits))
+        quantized.append(
+            F.coalesce(F.least(F.greatest(q, F.lit(0)), F.lit(hi)), F.lit(0))
+        )
+    (
+        df.withColumn("__zkey", zorder_key(quantized, bits))
+        .repartitionByRange(n_files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -797,3 +797,61 @@ def test_schema_evolution_declared_schema_spans_file_generations(spark, tmp_path
     assert df.filter("id >= 50").agg({"score": "min"}).collect()[0][0] == 100
     plan = df.filter("id = 60")._jdf.queryExecution().executedPlan().toString()
     assert "extra" not in plan  # undeclared column never read
+
+
+def test_zorder_layout_clusters_every_listed_dimension(spark, tmp_path):
+    """The multi-dimension skipping property, from the parquet
+    footers: after write_zordered on (x, y) each file covers a small
+    fraction of BOTH value ranges (so min/max pruning works for a
+    filter on either column), where a single-column range sort
+    clusters only its own column and a hash layout clusters nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdc_makanmana_spark.sources.layout import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    # two independent uniform dimensions
+    df = spark.range(0, 40_000).selectExpr(
+        "cast(pmod(hash(id), 10000) as long) as x",
+        "cast(pmod(hash(id * 7 + 3), 10000) as long) as y",
+    )
+    zdir, sdir, hdir = (str(tmp_path / d) for d in ("z", "s", "h"))
+    write_zordered(df, zdir, ["x", "y"], bits=8, n_files=16)
+    write_range_sorted(df, sdir, ["x"], n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(hdir)
+
+    def mean_span(d, col):
+        spans = []
+        for f in sorted(os.listdir(d)):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                c = next(
+                    md.row_group(rg).column(i)
+                    for i in range(md.num_columns)
+                    if md.row_group(rg).column(i).path_in_schema == col
+                )
+                mins.append(c.statistics.min)
+                maxs.append(c.statistics.max)
+            spans.append((max(maxs) - min(mins)) / 10000.0)
+        return sum(spans) / len(spans)
+
+    # z-order: every dimension clusters (files cover a strict subset
+    # of both ranges); 16 files over 2 dims -> ~1/4 of each range,
+    # assert with headroom
+    assert mean_span(zdir, "x") < 0.55
+    assert mean_span(zdir, "y") < 0.55
+    # single-column sort: its own column tight, the other unclustered
+    assert mean_span(sdir, "x") < 0.15
+    assert mean_span(sdir, "y") > 0.9
+    # hash layout: nothing clusters
+    assert mean_span(hdir, "x") > 0.9
+    assert mean_span(hdir, "y") > 0.9
+    # the layout is a reshuffle, not a transformation: same rows
+    assert spark.read.parquet(zdir).count() == 40_000
