@@ -18,6 +18,7 @@ from cdc_makanmana_spark.operators.dedup import (
     _norm_text,
     _spread,
     md5_hash64,
+    shingle_rows,
 )
 
 
@@ -103,23 +104,19 @@ def bigram_commonness(
     caller treats absence as "no signal", same as the ladder's blank
     policy).
     """
-    d = df.filter(F.col(text_col).isNotNull())
-    words = F.split(_norm_text(F.col(text_col)), " ")
-    base = _spread(d).select(
-        F.col(id_col), words.alias("__w"), F.size(words).alias("__n")
-    )
+    # row-form bigrams (shingle_rows n=2, codegen — not an interpreted
+    # transform lambda); __nw >= 2 excludes sub-bigram docs, which also
+    # drops shingle_rows' short-doc floor shingle for 1-word docs
     bi = (
-        base.filter(F.col("__n") >= 2)
-        .select(
-            id_col,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.col("__n") - 1),
-                    lambda i: F.array_join(F.slice(F.col("__w"), i, 2), " "),
-                )
-            ).alias("__b"),
+        shingle_rows(
+            _spread(df.select(id_col, text_col)),
+            text_col,
+            [id_col],
+            n=2,
+            with_pos=True,
         )
-        .select(id_col, md5_hash64(F.col("__b")).alias("__h"))
+        .filter(F.col("__nw") >= 2)
+        .select(id_col, md5_hash64(F.col("__s")).alias("__h"))
     )
     c = F.count(F.lit(1)).over(Window.partitionBy("__h"))
     return (
