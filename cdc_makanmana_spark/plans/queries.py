@@ -113,14 +113,17 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-shaped join→agg→top-k. customer is the small side →
-    broadcast; top-k plans TakeOrderedAndProject (no global sort)."""
+    """TPC-H Q3-shaped join→agg→top-k. customer is smaller than the
+    fact tables but NOT bounded (it scales with the dataset), so it
+    carries no pinned broadcast hint — AQE broadcasts it while its
+    segment slice fits and falls back to a shuffle join at scale.
+    Top-k plans TakeOrderedAndProject (no global sort)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -144,8 +147,11 @@ def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-shaped star join: all dims broadcast → the fact table
-    never shuffles until the final (small-key) aggregation."""
+    """TPC-H Q5-shaped star join. nation/region are BOUNDED dims
+    (25/5 rows at any scale) → pinned broadcast; customer scales with
+    the dataset, so its join is left to AQE (broadcast while small,
+    shuffle join at 100 TB — a pinned hint there is the driver-OOM
+    class tests/test_plans.py bans for resolve_halal)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -153,7 +159,7 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
@@ -1446,12 +1452,13 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface beyond rollup/cube): per-nation, per-priority, and
     per-(nation, priority) aggregates in one pass — Catalyst plans a
     single Expand + hash aggregate, one shuffle total, vs three
-    separate groupBys and three shuffles. Dim joins broadcast."""
+    separate groupBys and three shuffles. The bounded nation dim is
+    pinned broadcast; customer (unbounded) is left to AQE."""
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     j = o.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        c.select("c_custkey", "c_nationkey"),
         o.o_custkey == c.c_custkey,
     ).join(
         F.broadcast(n.select("n_nationkey", "n_name")),
@@ -3261,9 +3268,13 @@ def q69_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers (no log, no FP accumulation) keeps the oracle hash
     stable. Scale shape: the (source, word) rollup is map-side
     combinable — post-combine shuffle volume is bounded by
-    |vocab|x|sources|x|partitions|, not corpus size; the source-count
-    side broadcasts back onto it; top-k is one window over
-    |vocab|x|sources| rows, nowhere near the fact table."""
+    |vocab|x|sources|x|partitions|, not corpus size; the per-word
+    source-count side joins back WITHOUT a pinned broadcast hint
+    (vocabulary grows unboundedly with the corpus — Heaps' law — so
+    AQE broadcasts while it fits and shuffles on the 8-byte-ish word
+    key otherwise, both sides already partitioned by word from their
+    groupBys); top-k is one window over |vocab|x|sources| rows,
+    nowhere near the fact table."""
     from pyspark.sql import Window
 
     from cdc_makanmana_spark.operators.dedup import _drop_blank_text, _norm_text
@@ -3276,7 +3287,7 @@ def q69_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
     sfc = tf.groupBy("word").agg(F.count(F.lit(1)).alias("n_sources"))
-    scored = tf.join(F.broadcast(sfc), "word").select(
+    scored = tf.join(sfc, "word").select(
         "source",
         "word",
         "tf",

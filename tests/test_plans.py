@@ -57,6 +57,37 @@ def test_q03_join_tree_is_all_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+def _hinted_broadcast_joins(spark, name: str) -> int:
+    """Build the query with auto-broadcast OFF, so the only possible
+    BroadcastHashJoins are ones pinned by an F.broadcast hint; return
+    how many the physical plan contains."""
+    import re
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return len(re.findall(r"\(\d+\) BroadcastHashJoin", plan))
+
+
+def test_unbounded_sides_carry_no_broadcast_pin(spark):
+    """customer scales with the dataset and a per-word vocabulary
+    grows with the corpus (Heaps' law): neither may carry a pinned
+    F.broadcast hint — at 100 TB a pinned hint is a driver/executor
+    OOM regardless of what AQE would have chosen. Only the BOUNDED
+    dims (nation 25 rows, region 5 rows — fixed by the data model)
+    may be pinned. With auto-broadcast disabled the hinted joins are
+    the only BroadcastHashJoins left, so the counts below are exact:
+    q03 keeps nation+region (2), q36 keeps nation (1), q02/q69 keep
+    none."""
+    assert _hinted_broadcast_joins(spark, "q03_region_nation_revenue") == 2
+    assert _hinted_broadcast_joins(spark, "q36_grouping_sets") == 1
+    assert _hinted_broadcast_joins(spark, "q02_top_orders_by_segment") == 0
+    assert _hinted_broadcast_joins(spark, "q69_source_distinctive_terms") == 0
+
+
 def test_shingle_shuffle_moves_hashes_not_strings(spark):
     """The shingle shuffle must move 64-bit hashes, never shingle
     strings (the 100 TB shuffle-volume rule in ngram_jaccard_pairs).
