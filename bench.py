@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from cdc_makanmana_spark.session import get_spark
+from cdc_makanmana_spark.session import get_spark, release_materialized
 from cdc_makanmana_spark.plans.queries import QUERIES
 
 
@@ -51,8 +51,10 @@ def main() -> None:
     # Drop cached blocks left by operators that persist() small
     # intermediates (minhash/simhash self-joins) before the timed pass
     # — stale cache from the warmup otherwise accumulates heap pressure
-    # that taxes late queries with GC pauses.
+    # that taxes late queries with GC pauses. localCheckpoint blocks
+    # need the explicit release; clearCache doesn't see them.
     spark.catalog.clearCache()
+    release_materialized(spark)
 
     # Host-speed calibration: a fixed synthetic job (shuffle + agg over
     # spark.range — no IO, no query-surface code) timed min-of-3. Round
@@ -80,6 +82,12 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             spark.catalog.clearCache()
+            # Drop the finished query's localCheckpoint blocks: they are
+            # invisible to clearCache and survive GC across the py4j
+            # boundary, so without this the iterative queries' blocks
+            # pile up all session (measured: q77 at sf1 ran 11.9 s late
+            # in a 100-plan session vs 6.7 s fresh).
+            release_materialized(spark)
             # Untimed GC at the query boundary: a 48-plan session carries
             # heap garbage (codegen classes, shuffle bookkeeping) whose
             # collection otherwise lands INSIDE later queries' timings —

@@ -52,6 +52,54 @@ def get_spark(app_name: str = "cdc-makanmana-spark") -> SparkSession:
     return builder.getOrCreate()
 
 
+def release_materialized(spark: SparkSession) -> int:
+    """Unpersist every persisted RDD in the session — the explicit
+    job-boundary release for ``_materialize``'s ``localCheckpoint``
+    blocks (operators/dedup.py:93).
+
+    Checkpoint blocks are NOT dropped by ``spark.catalog.clearCache()``
+    (that only covers SQL-cached plans), and GC-driven cleanup is
+    unreliable across the py4j boundary: the Python DataFrame must be
+    collected, py4j must deliver the detach, the JVM must GC the
+    Dataset, and only then does ContextCleaner's weak-ref queue
+    unpersist the blocks — measured in-session as stored RDDs
+    surviving ``gc.collect()`` + ``System.gc()`` indefinitely, taxing
+    every later query's heap (iterative queries in a 100-plan bench
+    session ran ~1.8× their fresh-session wall; bench.py calls this
+    at each query boundary for exactly that reason).
+
+    CONTRACT: a localCheckpoint's blocks are its ONLY data (lineage is
+    truncated), so any DataFrame a prior query returned becomes
+    unusable after this call. Call it only when those results are
+    dead — a bench/job boundary, a pipeline stage hand-off after the
+    sink write, a long-lived service between requests.
+
+    Returns the number of RDDs released.
+    """
+    jrdds = list(spark.sparkContext._jsc.getPersistentRDDs().values())
+    for jrdd in jrdds:
+        jrdd.unpersist(False)
+    return len(jrdds)
+
+
+def release_checkpoint(df) -> bool:
+    """Unpersist the blocks behind ONE ``localCheckpoint``-ed
+    DataFrame (the frame becomes unusable — its lineage was truncated,
+    so those blocks were its only data). The targeted sibling of
+    ``release_materialized`` for callers that hold the exact frame —
+    e.g. a streaming ``foreachBatch`` that checkpoints per micro-batch
+    and must not let blocks accumulate for the life of the stream,
+    while concurrent queries' persisted RDDs stay untouched.
+
+    Returns True if the frame was checkpoint-backed and was released.
+    """
+    jplan = df._jdf.queryExecution().analyzed()
+    if jplan.getClass().getSimpleName() != "LogicalRDD":
+        return False
+    jplan.rdd().unpersist(False)
+    return True
+
+
 def cluster_conf(executors: int = 1000, cores_per_executor: int = 8) -> dict[str, str]:
     """Recommended conf overrides for the 100 TB / ~1000-executor
     design point — the knobs whose LOCAL defaults above are deliberate

@@ -33,6 +33,7 @@ from pyspark.sql.types import StructType
 
 from cdc_makanmana_spark import fs
 from cdc_makanmana_spark.operators.similarity import argmax_per_group
+from cdc_makanmana_spark.session import release_checkpoint
 
 
 @contextmanager
@@ -213,17 +214,27 @@ def upsert_to_parquet(
         # disjoint. (A lakehouse MERGE gets this from snapshot
         # isolation.)
         merged = latest_state(combined, key_cols, ts_col).localCheckpoint(eager=True)
-        with _partition_overwrite(spark):
-            # Dynamic mode replaces exactly the partitions present in
-            # the written data — the untouched buckets' files are never
-            # read or rewritten.
-            merged.write.mode("overwrite").partitionBy("__bucket").parquet(target_path)
-        # Dynamic overwrite only replaces partitions PRESENT in the
-        # output: a touched bucket whose every key was deleted yields
-        # zero rows and would silently keep its stale files. Drop those
-        # partitions explicitly (a lakehouse MERGE's delete clause does
-        # this transactionally).
-        surviving = {r[0] for r in merged.select("__bucket").distinct().collect()}
+        try:
+            with _partition_overwrite(spark):
+                # Dynamic mode replaces exactly the partitions present
+                # in the written data — the untouched buckets' files
+                # are never read or rewritten.
+                merged.write.mode("overwrite").partitionBy("__bucket").parquet(
+                    target_path
+                )
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # output: a touched bucket whose every key was deleted
+            # yields zero rows and would silently keep its stale files.
+            # Drop those partitions explicitly (a lakehouse MERGE's
+            # delete clause does this transactionally).
+            surviving = {
+                r[0] for r in merged.select("__bucket").distinct().collect()
+            }
+        finally:
+            # This batch's checkpoint blocks die WITH the batch: a
+            # stream runs for months, and un-released per-batch blocks
+            # accumulate in executor storage memory for its lifetime.
+            release_checkpoint(merged)
         for b in set(touched) - surviving:
             fs.delete(spark, f"{target_path}/__bucket={b}", recursive=True)
 

@@ -1332,3 +1332,26 @@ def test_connected_components_converges_at_the_diameter_bound(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(long_chain, max_iter=4)
+
+
+def test_release_materialized_drops_checkpoint_blocks(spark):
+    """localCheckpoint blocks are invisible to clearCache and survive
+    GC across the py4j boundary; release_materialized is the explicit
+    job-boundary drop. It must empty the block store and leave the
+    session fully usable for new queries."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.operators.dedup import _materialize
+    from cdc_makanmana_spark.session import release_materialized
+
+    df = _materialize(spark.range(1000).withColumn("k", F.col("id") % 7))
+    assert df.count() == 1000
+    stored = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(stored) >= 1  # the checkpoint is holding blocks
+    spark.catalog.clearCache()  # does NOT drop checkpoint blocks
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) >= 1
+    released = release_materialized(spark)
+    assert released >= 1
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+    # the session keeps working for fresh plans
+    assert spark.range(10).count() == 10

@@ -88,6 +88,10 @@ def test_upsert_stream_materializes_latest_state(spark, tmp_path):
     state = {r.key: r.value for r in spark.read.parquet(target).collect()}
     assert state == {1: 10.0, 2: 21.0, 4: 40.0}  # 3 deleted, 2 updated
 
+    # a stream runs for months: each batch's localCheckpoint blocks
+    # must die with the batch, not accumulate in executor storage
+    assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
+
 
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The 100 TB property of the upsert sink: a micro-batch touching
