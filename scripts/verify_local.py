@@ -18,7 +18,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from cdc_makanmana_spark.session import get_spark
+from cdc_makanmana_spark.session import get_spark, release_materialized
 from cdc_makanmana_spark.tables import TABLE_NAMES
 from cdc_makanmana_spark.plans.queries import ORACLE_SQL, QUERIES
 
@@ -74,6 +74,11 @@ def main() -> None:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # drop the finished query's localCheckpoint blocks so the
+            # 100-plan sweep doesn't accumulate them (same boundary
+            # release bench.py does)
+            release_materialized(spark)
         # The driver's canonicalizer pandas-sorts every column; container
         # types (array/map/struct) are unhashable there even though this
         # script's norm_value can stringify them. Flag them as failures so
