@@ -59,6 +59,14 @@ def _run_available(stream_df, sink_dir, ckpt_dir, output_mode="append"):
 
 
 def test_upsert_stream_materializes_latest_state(spark, tmp_path):
+    from cdc_makanmana_spark.session import release_materialized
+
+    # start from an empty block store: earlier test files in the shared
+    # session (plan builds of iterative queries) may have live
+    # checkpoint blocks, and the leak assertion below is about THIS
+    # stream's batches only
+    release_materialized(spark)
+
     src = str(tmp_path / "src")
     target = str(tmp_path / "target")
     # batch 1: inserts for keys 1..3
