@@ -9,7 +9,10 @@ organic at any size, reruns are bit-identical, and no fixture row is
 copied. Value DOMAINS (mktsegments, brands, part types, event types,
 document vocabulary, langs, sources) are read from the sf0.1 fixture's
 distinct values so the generated data speaks the same dictionary the
-declared queries filter/classify on.
+declared queries filter/classify on; document text additionally mixes
+in a synthetic token space that grows with the corpus (~n_docs/5 ids)
+so shingle document-frequency follows a Heaps-law-ish curve instead of
+saturating — see the vocabulary note at the documents section.
 
 Planted structure mirrors the fixture's:
 - documents: ~2% near-duplicates (an earlier doc's exact word sequence
@@ -212,15 +215,35 @@ def main() -> None:
     )
 
     # --- documents (planted ~2% near-dups) ------------------------------
+    # Vocabulary must GROW with the corpus (Heaps' law), or scale
+    # probes go vacuous: with the fixture's ~50-word dictionary alone,
+    # by 30x every 3-shingle's document frequency exceeds the dedup
+    # ladder's hot-key cap, ALL shingles get dropped, and q24/q37/q67/
+    # q95 return zero rows (measured: q24 15k pairs at 10x, 0 at 30x —
+    # their "speedup" was vacuity, not scaling). Each word position
+    # draws 50/50 from the fixture dictionary (keeps filter/classifier
+    # /BM25 queries non-vacuous) or from a synthetic id space sized
+    # ~n_docs/5, so rare shingles exist at any factor and planted
+    # near-dup pairs stay discoverable through below-cap shingles.
+    n_syn = max(n["documents"] // 5, 100)
+
     def words_of(idc: Column) -> Column:
         nw = (F.pmod(F.xxhash64(idc, F.lit("dn")), F.lit(66)) + 15).cast("int")
-        return F.transform(
-            F.sequence(F.lit(1), nw),
-            lambda i: F.element_at(
+
+        def one_word(i: Column) -> Column:
+            fixture = F.element_at(
                 F.array(*[F.lit(w) for w in vocab]),
                 (F.pmod(F.xxhash64(idc, F.lit("dw"), i), F.lit(len(vocab))) + 1).cast("int"),
-            ),
-        )
+            )
+            synth = F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(idc, F.lit("dsyn"), i), F.lit(n_syn)).cast("string"),
+            )
+            return F.when(
+                F.pmod(F.xxhash64(idc, F.lit("dmix"), i), F.lit(2)) == 0, fixture
+            ).otherwise(synth)
+
+        return F.transform(F.sequence(F.lit(1), nw), one_word)
 
     d = ids(spark, n["documents"], "doc_id")
     is_dup = F.pmod(F.col("doc_id"), F.lit(50)) == 49
