@@ -79,6 +79,21 @@ def file_size(spark: SparkSession, path_str: str) -> int:
     return fs.getFileStatus(path).getLen()
 
 
+def stat_token(spark: SparkSession, path_str: str) -> str:
+    """``mtime:len`` change-detection token for a file or directory
+    (``absent`` if missing) — regenerating a source table changes its
+    token, which cache keys fold in so a stale derived artifact is
+    never served against refreshed data. A directory's mtime updates
+    whenever entries are added/removed (every Spark rewrite creates
+    new part files), so the token works for both single-file and
+    directory-shaped tables."""
+    fs, path = _fs_path(spark, path_str)
+    if not fs.exists(path):
+        return "absent"
+    st = fs.getFileStatus(path)
+    return f"{st.getModificationTime()}:{st.getLen()}"
+
+
 def read_text(spark: SparkSession, path_str: str) -> str | None:
     """Small-sidecar read (JSON metadata, a few hundred bytes); None if
     absent. Not for data files."""

@@ -861,7 +861,11 @@ def connected_components(
 
 
 def dedup_keep_best(
-    df: DataFrame, pair_df: DataFrame, id_col: str, exact: bool = True
+    df: DataFrame,
+    pair_df: DataFrame,
+    id_col: str,
+    exact: bool = True,
+    comps: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-level dedup: given near-dup pairs (id_a, id_b), keep one
     representative row per duplicate CLUSTER.
@@ -872,8 +876,18 @@ def dedup_keep_best(
     is the cheap one-pass approximation (drop the higher id of every
     pair) — keeps at least one doc per cluster but may keep several on
     chain-shaped clusters; use when pairs are already transitive.
+
+    ``comps`` short-circuits the component resolution with a
+    precomputed (id, component) cluster map — the build-artifact path:
+    a pipeline that materializes its cluster map once (plans/queries
+    ``_dup_clusters``) passes it here instead of re-clustering per
+    report. ``pair_df`` is ignored when ``comps`` is given.
     """
-    if exact:
+    if comps is not None:
+        losers = comps.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    elif exact:
         comps = connected_components(pair_df)
         losers = comps.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)

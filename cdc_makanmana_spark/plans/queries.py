@@ -1524,21 +1524,64 @@ _Q37_CTES = f"""
 # never touch these caches — they stay on the measured surface; the
 # artifacts serve the families built ON TOP of the products
 # (q37/q67/q95 on pairs, q75/q77/q87 on edges).
-_ARTIFACTS: dict[tuple[str, str], str] = {}
+_ARTIFACTS: dict[tuple[str, str, str], str] = {}
 
 
-def _artifact(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+def _cache_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple[str, str]:
+    """Cache key for anything derived from ``tables`` under ``sf_dir``:
+    folds in a mtime:size token per source table (fs.stat_token), so
+    regenerating the data invalidates every derived cache entry — a
+    bare sf_dir key would silently serve artifacts built from the
+    previous generation of the files."""
+    from cdc_makanmana_spark import fs
+
+    token = ";".join(
+        f"{t}={fs.stat_token(spark, f'{sf_dir}/{t}.parquet')}" for t in tables
+    )
+    return (sf_dir, token)
+
+
+def _artifact(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    tables: tuple[str, ...],
+    build,
+) -> DataFrame:
     """Build-once/read-many parquet artifact: `build()` runs on the
-    first request for (sf_dir, name); every later request is a plain
-    parquet scan (its own lineage root — no localCheckpoint blocks to
-    release, no session pinning)."""
-    key = (sf_dir, name)
+    first request for this (sf_dir, name, source-fingerprint); every
+    later request is a plain parquet scan (its own lineage root — no
+    localCheckpoint blocks to release, no session pinning).
+
+    The cache key folds in a mtime:size fingerprint of the source
+    ``tables`` (fs.stat_token), so regenerating the data under the
+    same sf_dir invalidates the artifact instead of silently serving
+    stale bytes. The on-disk path is deterministic per fingerprint and
+    gated on the ``_COMMITTED`` marker written LAST (fs.mark_committed
+    — the engine's sink commit protocol), so later PROCESSES reuse a
+    committed artifact instead of rebuilding, and a crash mid-build
+    leaves an unmarked dir the next run overwrites. Not safe against
+    two processes building the same artifact at the same instant —
+    acceptable for a build artifact whose rebuild is idempotent."""
+    from cdc_makanmana_spark import fs
+
+    import hashlib
+
+    digest = hashlib.md5(
+        "|".join(_cache_key(spark, sf_dir, *tables)).encode()
+    ).hexdigest()[:16]
+    key = (sf_dir, name, digest)
     path = _ARTIFACTS.get(key)
     if path is None:
+        import os
         import tempfile
 
-        path = tempfile.mkdtemp(prefix=f"artifact_{name}_")
-        build().write.mode("overwrite").parquet(path)
+        path = os.path.join(
+            tempfile.gettempdir(), "cdc_makanmana_artifacts", f"{name}_{digest}"
+        )
+        if not fs.is_committed(spark, path):
+            build().write.mode("overwrite").parquet(path)
+            fs.mark_committed(spark, path)
         _ARTIFACTS[key] = path
     return spark.read.parquet(path)
 
@@ -1555,7 +1598,7 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
         )
 
-    return _artifact(spark, sf_dir, "dedup_pairs", build)
+    return _artifact(spark, sf_dir, "dedup_pairs", ("documents",), build)
 
 
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1570,6 +1613,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "dedup_clusters",
+        ("documents",),
         lambda: connected_components(_near_dup_pairs(spark, sf_dir)),
     )
 
@@ -1630,7 +1674,7 @@ def q38_salted_supplier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q39_INDEX_CACHE: dict[str, list[list[float]]] = {}
+_Q39_INDEX_CACHE: dict[tuple[str, str], list[list[float]]] = {}
 
 
 @query(
@@ -1661,10 +1705,11 @@ def q39_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_makanmana_spark.operators.ann import cosine_topk_ivf, ivf_train
 
     e = _t(spark, sf_dir, "embeddings")
-    centers = _Q39_INDEX_CACHE.get(sf_dir)
+    k39 = _cache_key(spark, sf_dir, "embeddings")
+    centers = _Q39_INDEX_CACHE.get(k39)
     if centers is None:
         centers = ivf_train(e, n_cells=8, sample_fraction=0.5)
-        _Q39_INDEX_CACHE[sf_dir] = centers
+        _Q39_INDEX_CACHE[k39] = centers
     return cosine_topk_ivf(e, _QUERY_VEC, k=10, n_cells=8, n_probe=8, centers=centers)
 
 
@@ -2209,7 +2254,7 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measures (sf1: 2k-vector label blocks -> ~64-vector composite
 # blocks).
 _Q48_TARGET_BLOCK = 64
-_Q48_M_CACHE: dict[str, int] = {}
+_Q48_M_CACHE: dict[tuple[str, str], int] = {}
 
 _Q48_CTES = f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2266,13 +2311,14 @@ def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> D
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    m = _Q48_M_CACHE.get(sf_dir)
+    k48 = _cache_key(spark, sf_dir, "embeddings")
+    m = _Q48_M_CACHE.get(k48)
     if m is None:
         n, n_labels = e.agg(
             F.count("*"), F.count_distinct("label")
         ).first()
         m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
-        _Q48_M_CACHE[sf_dir] = m
+        _Q48_M_CACHE[k48] = m
     centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
     blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")
@@ -2368,7 +2414,7 @@ _Q50_ORACLE = r"""
 # SignatureIndex object: the object pins the building SparkSession,
 # and serving a later session a handle on a stopped context is the
 # trap every other per-sf_dir cache here avoids by storing plain data.
-_Q50_INDEX_CACHE: dict[str, str] = {}
+_Q50_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
 @query("q50_dedup_incremental_batch", _Q50_ORACLE)
@@ -2385,16 +2431,26 @@ def q50_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars", "text")
     batch = d.filter(F.pmod("doc_id", F.lit(4)) == 3)
-    path = _Q50_INDEX_CACHE.get(sf_dir)
+    k50 = _cache_key(spark, sf_dir, "documents")
+    path = _Q50_INDEX_CACHE.get(k50)
     if path is None:
+        # deterministic per-source-fingerprint path: later processes
+        # reopen the built index instead of rebuilding (append of an
+        # already-committed batch_id is a no-op by the index's own
+        # commit protocol), and a regenerated corpus gets a new path
+        import hashlib
+        import os
         import tempfile
 
-        path = tempfile.mkdtemp(prefix="q50_sigidx_")
+        digest = hashlib.md5("|".join(k50).encode()).hexdigest()[:16]
+        path = os.path.join(
+            tempfile.gettempdir(), "cdc_makanmana_artifacts", f"q50_sigidx_{digest}"
+        )
         idx = SignatureIndex(
             spark, path, text_col="text", id_col="doc_id", num_hashes=32, bands=16
         )
         idx.append(d.filter(F.pmod("doc_id", F.lit(4)) != 3), batch_id=0)
-        _Q50_INDEX_CACHE[sf_dir] = path
+        _Q50_INDEX_CACHE[k50] = path
     else:
         idx = SignatureIndex(
             spark, path, text_col="text", id_col="doc_id", num_hashes=32, bands=16
@@ -2447,7 +2503,7 @@ def q51_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # libm drift. Query terms are fixture-vocabulary words present at every
 # sf.
 _Q52_TERMS = ("window", "column", "scan")
-_Q52_STATS_CACHE: dict[str, tuple[int, int]] = {}
+_Q52_STATS_CACHE: dict[tuple[str, str], tuple[int, int]] = {}
 
 _Q52_ORACLE = rf"""
     WITH d AS (
@@ -2488,7 +2544,8 @@ def q52_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_makanmana_spark.operators.search import _norm_split, bm25_rank
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    stats = _Q52_STATS_CACHE.get(sf_dir)
+    k52 = _cache_key(spark, sf_dir, "documents")
+    stats = _Q52_STATS_CACHE.get(k52)
     if stats is None:
         base = (
             d.filter(F.col("text").isNotNull())
@@ -2496,7 +2553,7 @@ def q52_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("__w") != F.array(F.lit("")))
         )
         n, tdl = base.agg(F.count("*"), F.sum(F.size("__w"))).first()
-        stats = _Q52_STATS_CACHE[sf_dir] = (int(n), int(tdl))
+        stats = _Q52_STATS_CACHE[k52] = (int(n), int(tdl))
     return bm25_rank(
         d, list(_Q52_TERMS), "text", "doc_id", topk=10, corpus_stats=stats
     )
@@ -3216,15 +3273,14 @@ def q67_cluster_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report itself is one broadcast-size anti-join + rollup. The
     cluster map comes from the materialized `_dup_clusters` artifact
     (built once per corpus snapshot — the report consumes q37's
-    product, it does not re-cluster); keep-best = drop every member
-    whose id isn't its component's min-id representative, exactly
-    ``dedup_keep_best(exact=True)``."""
+    product, it does not re-cluster), passed to ``dedup_keep_best``
+    via its ``comps=`` short-circuit: the operator applies its min-id
+    survivor rule without re-running connected components."""
+    from cdc_makanmana_spark.operators.dedup import dedup_keep_best
+
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     comp = _dup_clusters(spark, sf_dir)
-    losers = comp.filter(F.col("id") != F.col("component")).select(
-        F.col("id").alias("doc_id")
-    )
-    kept = d.join(losers, "doc_id", "left_anti").select(
+    kept = dedup_keep_best(d, None, "doc_id", comps=comp).select(
         "doc_id", F.lit(1).alias("__kept")
     )
     return (
@@ -3401,7 +3457,7 @@ def q70_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q71_M = 4   # subspaces (64-dim -> 16 dims each)
 _Q71_K = 8   # codes per subspace (3 bits); vector serves from 4 codes
-_Q71_CODEBOOK_CACHE: dict[str, list] = {}
+_Q71_CODEBOOK_CACHE: dict[tuple[str, str], list] = {}
 
 _Q71_ORACLE = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3453,10 +3509,11 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_makanmana_spark.operators.ann import pq_seed_codebooks, pq_topk
 
     e = _t(spark, sf_dir, "embeddings")
-    books = _Q71_CODEBOOK_CACHE.get(sf_dir)
+    k71 = _cache_key(spark, sf_dir, "embeddings")
+    books = _Q71_CODEBOOK_CACHE.get(k71)
     if books is None:
         books = pq_seed_codebooks(e, m=_Q71_M, k=_Q71_K, dim=64)
-        _Q71_CODEBOOK_CACHE[sf_dir] = books
+        _Q71_CODEBOOK_CACHE[k71] = books
     return pq_topk(e, books, _QUERY_VEC, k_top=10)
 
 
@@ -3623,8 +3680,10 @@ _Q75_TOP_M = 10
 
 
 def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The q74 co-activity graph, top-{m} degree-sparsified (src, dst)
-    — materialized once per corpus snapshot and consumed by the graph
+    """The q74 co-activity graph, top-m degree-sparsified (m =
+    _Q75_TOP_M) — undirected distinct edges ``(id_a, id_b)``, id_a <
+    id_b —
+    materialized once per corpus snapshot and consumed by the graph
     analytics built on top of it (q75 triangles, q77 PageRank, q87
     personalized PageRank). q74 itself always recomputes the edge
     construction (building the graph IS its declared work); the graph
@@ -3644,7 +3703,7 @@ def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return top_m_edges(edges, m=_Q75_TOP_M)
 
-    return _artifact(spark, sf_dir, "coactivity_sparse", build)
+    return _artifact(spark, sf_dir, "coactivity_sparse", ("events",), build)
 
 
 @query(
@@ -3736,11 +3795,12 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    m = _Q48_M_CACHE.get(sf_dir)
+    k48 = _cache_key(spark, sf_dir, "embeddings")
+    m = _Q48_M_CACHE.get(k48)
     if m is None:
         n, n_labels = e.agg(F.count("*"), F.count_distinct("label")).first()
         m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
-        _Q48_M_CACHE[sf_dir] = m
+        _Q48_M_CACHE[k48] = m
     centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
     blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")

@@ -1,0 +1,83 @@
+"""Build-artifact cache behavior (plans/queries._artifact):
+
+- build-once within a process (dict hit),
+- cross-process reuse via the on-disk _COMMITTED marker,
+- invalidation when a source table is regenerated (stat_token change),
+- an unmarked (crashed mid-build) directory is rebuilt, not served.
+"""
+
+from cdc_makanmana_spark.plans import queries as Q
+
+
+def _build_counter(spark, calls):
+    def build():
+        calls.append(1)
+        return spark.range(3).toDF("id")
+
+    return build
+
+
+def test_artifact_builds_once_and_reuses_committed(spark, tmp_path):
+    sf = str(tmp_path)
+    (tmp_path / "documents.parquet").write_bytes(b"generation-1")
+    calls = []
+    build = _build_counter(spark, calls)
+
+    assert Q._artifact(spark, sf, "unit_t", ("documents",), build).count() == 3
+    assert len(calls) == 1
+
+    # same process: dict hit, no rebuild
+    Q._artifact(spark, sf, "unit_t", ("documents",), build)
+    assert len(calls) == 1
+
+    # "new process" (cleared in-memory cache): the committed on-disk
+    # artifact is reused, not rebuilt
+    Q._ARTIFACTS.clear()
+    assert Q._artifact(spark, sf, "unit_t", ("documents",), build).count() == 3
+    assert len(calls) == 1
+
+
+def test_artifact_invalidated_when_source_regenerated(spark, tmp_path):
+    sf = str(tmp_path)
+    src = tmp_path / "documents.parquet"
+    src.write_bytes(b"generation-1")
+    calls = []
+    build = _build_counter(spark, calls)
+
+    Q._artifact(spark, sf, "unit_t2", ("documents",), build)
+    assert len(calls) == 1
+
+    # regenerate the source (different size => different stat token):
+    # the stale artifact must NOT be served, in-process or across
+    # processes
+    src.write_bytes(b"generation-2!")
+    Q._artifact(spark, sf, "unit_t2", ("documents",), build)
+    assert len(calls) == 2
+    Q._ARTIFACTS.clear()
+    Q._artifact(spark, sf, "unit_t2", ("documents",), build)
+    assert len(calls) == 2
+
+
+def test_artifact_unmarked_dir_is_rebuilt(spark, tmp_path):
+    """A crash between the parquet write and mark_committed leaves an
+    unmarked directory — the next request rebuilds instead of serving
+    the torn output."""
+    from cdc_makanmana_spark import fs
+
+    sf = str(tmp_path)
+    (tmp_path / "documents.parquet").write_bytes(b"generation-1")
+    calls = []
+    build = _build_counter(spark, calls)
+
+    Q._artifact(spark, sf, "unit_t3", ("documents",), build)
+    path = next(
+        p for (d, n, _), p in list(Q._ARTIFACTS.items()) + [] if n == "unit_t3"
+    )
+    assert len(calls) == 1
+
+    # simulate the crash window: drop the marker, clear the dict
+    fs.delete(spark, f"{path}/{fs.COMMIT_MARKER}")
+    Q._ARTIFACTS.clear()
+    Q._artifact(spark, sf, "unit_t3", ("documents",), build)
+    assert len(calls) == 2
+    assert fs.is_committed(spark, path)
