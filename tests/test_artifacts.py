@@ -6,6 +6,8 @@
 - an unmarked (crashed mid-build) directory is rebuilt, not served.
 """
 
+import pytest
+
 from cdc_makanmana_spark.plans import queries as Q
 
 
@@ -15,6 +17,26 @@ def _build_counter(spark, calls):
         return spark.range(3).toDF("id")
 
     return build
+
+
+@pytest.fixture(autouse=True)
+def _cleanup_unit_artifacts(spark):
+    """Each test's tmp_path gives a fresh fingerprint, so without
+    cleanup every pytest run would leave new unit_t* dirs in /tmp.
+    Sweep by name prefix on disk (the in-memory dict loses paths when
+    tests .clear() it to simulate a new process)."""
+    yield
+    import os
+    import tempfile
+
+    from cdc_makanmana_spark import fs
+
+    root = os.path.join(tempfile.gettempdir(), "cdc_makanmana_artifacts")
+    for child in fs.list_names(spark, root):
+        if child.startswith("unit_t"):
+            fs.delete(spark, f"{root}/{child}")
+    for key in [k for k in Q._ARTIFACTS if k[1].startswith("unit_t")]:
+        del Q._ARTIFACTS[key]
 
 
 def test_artifact_builds_once_and_reuses_committed(spark, tmp_path):
