@@ -80,18 +80,31 @@ def file_size(spark: SparkSession, path_str: str) -> int:
 
 
 def stat_token(spark: SparkSession, path_str: str) -> str:
-    """``mtime:len`` change-detection token for a file or directory
-    (``absent`` if missing) — regenerating a source table changes its
-    token, which cache keys fold in so a stale derived artifact is
-    never served against refreshed data. A directory's mtime updates
-    whenever entries are added/removed (every Spark rewrite creates
-    new part files), so the token works for both single-file and
-    directory-shaped tables."""
+    """Change-detection token for a file or directory (``absent`` if
+    missing) — regenerating a source table changes its token, which
+    cache keys fold in so a stale derived artifact is never served
+    against refreshed data.
+
+    Files: ``mtime:len``. Directories: an md5 over the child entries'
+    (name, mtime, len) triples — NOT the directory's own status,
+    because object stores (s3a) report 0:0 for "directories" and even
+    local directory mtime only tracks entry add/remove. One listStatus
+    RPC; parquet table dirs hold a bounded number of part files."""
+    import hashlib
+
     fs, path = _fs_path(spark, path_str)
     if not fs.exists(path):
         return "absent"
     st = fs.getFileStatus(path)
-    return f"{st.getModificationTime()}:{st.getLen()}"
+    if not st.isDirectory():
+        return f"{st.getModificationTime()}:{st.getLen()}"
+    h = hashlib.md5()
+    for child in fs.listStatus(path):
+        h.update(
+            f"{child.getPath().getName()}:{child.getModificationTime()}:"
+            f"{child.getLen()};".encode()
+        )
+    return f"dir:{h.hexdigest()[:16]}"
 
 
 def read_text(spark: SparkSession, path_str: str) -> str | None:

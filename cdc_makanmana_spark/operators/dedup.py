@@ -862,7 +862,7 @@ def connected_components(
 
 def dedup_keep_best(
     df: DataFrame,
-    pair_df: DataFrame,
+    pair_df: DataFrame | None,
     id_col: str,
     exact: bool = True,
     comps: DataFrame | None = None,
@@ -883,6 +883,8 @@ def dedup_keep_best(
     ``_dup_clusters``) passes it here instead of re-clustering per
     report. ``pair_df`` is ignored when ``comps`` is given.
     """
+    if comps is None and pair_df is None:
+        raise ValueError("dedup_keep_best needs pair_df or a precomputed comps")
     if comps is not None:
         losers = comps.filter(F.col("id") != F.col("component")).select(
             F.col("id").alias(id_col)

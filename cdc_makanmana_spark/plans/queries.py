@@ -1541,12 +1541,62 @@ def _cache_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple[str, str
     return (sf_dir, token)
 
 
+def _artifact_root() -> str:
+    """Root directory for committed build artifacts. Override with
+    $CDC_ARTIFACT_DIR on multi-user hosts (the default is a fixed,
+    world-readable path under the system temp dir — fine for the
+    single-user bench/test sandbox, wrong for a shared box where
+    another user could own or pre-plant the path)."""
+    import os
+    import tempfile
+
+    return os.environ.get(
+        "CDC_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "cdc_makanmana_artifacts"),
+    )
+
+
+def _artifact_basename(key: tuple[str, str], name: str, params: str) -> str:
+    """On-disk dir name ``{name}_{sfhash}_{digest}`` — the single
+    definition both the generic artifacts and the q50 signature index
+    derive their path from. The digest folds (sf_dir, source stat
+    tokens, build params); ``params`` must capture every constant that
+    changes the artifact's CONTENT (thresholds, band/bit counts,
+    top-m, ...): source fingerprints alone would keep serving a
+    committed artifact built by older code after a parameter bump.
+    The separate sfhash segment scopes stale-generation eviction to
+    one sf_dir — artifacts for other sf_dirs keep living side by
+    side."""
+    import hashlib
+
+    sfhash = hashlib.md5(key[0].encode()).hexdigest()[:6]
+    digest = hashlib.md5("|".join((*key, params)).encode()).hexdigest()[:16]
+    return f"{name}_{sfhash}_{digest}"
+
+
+def _evict_stale_generations(spark: SparkSession, keep_basename: str):
+    """Drop committed artifact dirs sharing ``keep_basename``'s
+    (name, sfhash) prefix but not its digest — superseded source
+    generations / parameter sets of the SAME sf_dir. Bounds on-disk
+    growth at one artifact per (name, sf_dir) (the old per-process
+    mkdtemp grew per PROCESS; fingerprinted paths would otherwise grow
+    per data generation)."""
+    from cdc_makanmana_spark import fs
+
+    root = _artifact_root()
+    prefix = keep_basename.rsplit("_", 1)[0] + "_"
+    for child in fs.list_names(spark, root, dirs_only=True):
+        if child.startswith(prefix) and child != keep_basename:
+            fs.delete(spark, f"{root}/{child}")
+
+
 def _artifact(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     tables: tuple[str, ...],
     build,
+    params: str = "",
 ) -> DataFrame:
     """Build-once/read-many parquet artifact: `build()` runs on the
     first request for this (sf_dir, name, source-fingerprint); every
@@ -1565,23 +1615,21 @@ def _artifact(
     acceptable for a build artifact whose rebuild is idempotent."""
     from cdc_makanmana_spark import fs
 
-    import hashlib
-
-    digest = hashlib.md5(
-        "|".join(_cache_key(spark, sf_dir, *tables)).encode()
-    ).hexdigest()[:16]
-    key = (sf_dir, name, digest)
+    basename = _artifact_basename(_cache_key(spark, sf_dir, *tables), name, params)
+    key = (sf_dir, name, basename)
     path = _ARTIFACTS.get(key)
     if path is None:
         import os
-        import tempfile
 
-        path = os.path.join(
-            tempfile.gettempdir(), "cdc_makanmana_artifacts", f"{name}_{digest}"
-        )
+        path = os.path.join(_artifact_root(), basename)
         if not fs.is_committed(spark, path):
             build().write.mode("overwrite").parquet(path)
             fs.mark_committed(spark, path)
+            _evict_stale_generations(spark, basename)
+        # superseded in-memory entries for the same (sf_dir, name) can
+        # never be hit again (their token changed) — drop them
+        for k in [k for k in _ARTIFACTS if k[0] == sf_dir and k[1] == name]:
+            del _ARTIFACTS[k]
         _ARTIFACTS[key] = path
     return spark.read.parquet(path)
 
@@ -1598,7 +1646,14 @@ def _near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             d, "text", "doc_id", n=3, threshold=0.8, max_shingle_df=_Q24_MAX_DF
         )
 
-    return _artifact(spark, sf_dir, "dedup_pairs", ("documents",), build)
+    return _artifact(
+        spark,
+        sf_dir,
+        "dedup_pairs",
+        ("documents",),
+        build,
+        params=f"n=3,thr=0.8,maxdf={_Q24_MAX_DF}",
+    )
 
 
 def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1615,6 +1670,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dedup_clusters",
         ("documents",),
         lambda: connected_components(_near_dup_pairs(spark, sf_dir)),
+        params=f"n=3,thr=0.8,maxdf={_Q24_MAX_DF}",
     )
 
 
@@ -2256,6 +2312,23 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q48_TARGET_BLOCK = 64
 _Q48_M_CACHE: dict[tuple[str, str], int] = {}
 
+def _q48_cells_per_label(spark: SparkSession, sf_dir: str, e) -> int:
+    """Quantizer cells per label for the composite (label x cell)
+    blocking, sized so an average block holds ~_Q48_TARGET_BLOCK
+    vectors (B grows with N => ~linear pair cost). One tiny agg,
+    cached per source fingerprint; shared by q48 and the kNN-graph
+    builder so the two can never block differently."""
+    import math
+
+    k48 = _cache_key(spark, sf_dir, "embeddings")
+    m = _Q48_M_CACHE.get(k48)
+    if m is None:
+        n, n_labels = e.agg(F.count("*"), F.count_distinct("label")).first()
+        m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
+        _Q48_M_CACHE[k48] = m
+    return m
+
+
 _Q48_CTES = f"""
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (
@@ -2302,8 +2375,6 @@ def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> D
     see the comment above). The only driver-side step is the one-row
     count that sizes the quantizer (cached per table); centers and
     assignment stay distributed (broadcast join + struct-argmin)."""
-    import math
-
     from cdc_makanmana_spark.operators.ann import (
         embedding_near_duplicates_by_block,
         label_cell_assign,
@@ -2311,14 +2382,7 @@ def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> D
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    k48 = _cache_key(spark, sf_dir, "embeddings")
-    m = _Q48_M_CACHE.get(k48)
-    if m is None:
-        n, n_labels = e.agg(
-            F.count("*"), F.count_distinct("label")
-        ).first()
-        m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
-        _Q48_M_CACHE[k48] = m
+    m = _q48_cells_per_label(spark, sf_dir, e)
     centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
     blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")
@@ -2434,22 +2498,21 @@ def q50_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     k50 = _cache_key(spark, sf_dir, "documents")
     path = _Q50_INDEX_CACHE.get(k50)
     if path is None:
-        # deterministic per-source-fingerprint path: later processes
-        # reopen the built index instead of rebuilding (append of an
-        # already-committed batch_id is a no-op by the index's own
-        # commit protocol), and a regenerated corpus gets a new path
-        import hashlib
+        # deterministic per-source-fingerprint path (shared scheme:
+        # _artifact_basename): later processes reopen the built index
+        # instead of rebuilding (append of an already-committed
+        # batch_id is a no-op by the index's own commit protocol), a
+        # regenerated corpus or parameter bump gets a new path, and
+        # the superseded generation is evicted
         import os
-        import tempfile
 
-        digest = hashlib.md5("|".join(k50).encode()).hexdigest()[:16]
-        path = os.path.join(
-            tempfile.gettempdir(), "cdc_makanmana_artifacts", f"q50_sigidx_{digest}"
-        )
+        basename = _artifact_basename(k50, "q50_sigidx", "nh=32,bands=16")
+        path = os.path.join(_artifact_root(), basename)
         idx = SignatureIndex(
             spark, path, text_col="text", id_col="doc_id", num_hashes=32, bands=16
         )
         idx.append(d.filter(F.pmod("doc_id", F.lit(4)) != 3), batch_id=0)
+        _evict_stale_generations(spark, basename)
         _Q50_INDEX_CACHE[k50] = path
     else:
         idx = SignatureIndex(
@@ -3703,7 +3766,14 @@ def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return top_m_edges(edges, m=_Q75_TOP_M)
 
-    return _artifact(spark, sf_dir, "coactivity_sparse", ("events",), build)
+    return _artifact(
+        spark,
+        sf_dir,
+        "coactivity_sparse",
+        ("events",),
+        build,
+        params=f"keep={_Q74_KEEP_FRAC},m={_Q75_TOP_M}",
+    )
 
 
 @query(
@@ -3784,8 +3854,6 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k window with a deterministic (rounded-cosine, id) order both
     engines replay. Scale shape inherits q48's ~linear pair cost; the
     window ranks within-block candidate lists, never a global sort."""
-    import math
-
     from pyspark.sql import Window
 
     from cdc_makanmana_spark.operators.ann import (
@@ -3795,12 +3863,7 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    k48 = _cache_key(spark, sf_dir, "embeddings")
-    m = _Q48_M_CACHE.get(k48)
-    if m is None:
-        n, n_labels = e.agg(F.count("*"), F.count_distinct("label")).first()
-        m = max(1, math.ceil(n / (n_labels * _Q48_TARGET_BLOCK)))
-        _Q48_M_CACHE[k48] = m
+    m = _q48_cells_per_label(spark, sf_dir, e)
     centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
     blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
         "__blk", F.concat_ws(":", "label", "__cell")

@@ -80,6 +80,39 @@ def test_artifact_invalidated_when_source_regenerated(spark, tmp_path):
     assert len(calls) == 2
 
 
+def test_artifact_invalidated_on_param_change_and_old_gen_evicted(spark, tmp_path):
+    """A build-parameter bump must invalidate a committed artifact
+    (source fingerprints alone can't see code/constant changes), and
+    the superseded generation must be evicted from disk — growth is
+    bounded at one artifact per (name, sf_dir)."""
+    import os
+
+    from cdc_makanmana_spark import fs
+
+    sf = str(tmp_path)
+    (tmp_path / "documents.parquet").write_bytes(b"generation-1")
+    calls = []
+    build = _build_counter(spark, calls)
+
+    Q._artifact(spark, sf, "unit_t4", ("documents",), build, params="m=10")
+    assert len(calls) == 1
+    old_path = next(p for (_, n, _), p in Q._ARTIFACTS.items() if n == "unit_t4")
+
+    Q._artifact(spark, sf, "unit_t4", ("documents",), build, params="m=12")
+    assert len(calls) == 2
+    new_path = next(p for (_, n, _), p in Q._ARTIFACTS.items() if n == "unit_t4")
+    assert new_path != old_path
+    assert not fs.exists(spark, old_path), "superseded generation not evicted"
+
+    # a different sf_dir's artifact must NOT be evicted by this one
+    other = tmp_path / "other_sf"
+    os.makedirs(other)
+    (other / "documents.parquet").write_bytes(b"generation-1")
+    Q._artifact(spark, str(other), "unit_t4", ("documents",), build, params="m=12")
+    assert len(calls) == 3
+    assert fs.exists(spark, new_path), "sibling sf_dir artifact wrongly evicted"
+
+
 def test_artifact_unmarked_dir_is_rebuilt(spark, tmp_path):
     """A crash between the parquet write and mark_committed leaves an
     unmarked directory — the next request rebuilds instead of serving
@@ -92,9 +125,7 @@ def test_artifact_unmarked_dir_is_rebuilt(spark, tmp_path):
     build = _build_counter(spark, calls)
 
     Q._artifact(spark, sf, "unit_t3", ("documents",), build)
-    path = next(
-        p for (d, n, _), p in list(Q._ARTIFACTS.items()) + [] if n == "unit_t3"
-    )
+    path = next(p for (_, n, _), p in Q._ARTIFACTS.items() if n == "unit_t3")
     assert len(calls) == 1
 
     # simulate the crash window: drop the marker, clear the dict
