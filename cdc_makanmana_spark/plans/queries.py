@@ -1428,7 +1428,16 @@ def q35_embedding_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     recall within a block; the oracle applies the identical blocking so
     the hash must match. (The fixture's vectors top out at cos ≈ 0.51,
     so the threshold is 0.4 — 'near-neighbor', not near-identical;
-    the operator is the same one a 0.95-threshold dedup would run.)"""
+    the operator is the same one a 0.95-threshold dedup would run.)
+
+    SCALE CONTRAST TIER, kept deliberately: the label dictionary is
+    FIXED, so B is constant and pair cost grows quadratically with
+    corpus size (measured ×87 at 30× data). q48 is the declared scale
+    path — same operator, composite label × quantizer-cell block with
+    B ∝ N (measured ×7.6 on the same 30× probe); q61 is the
+    attribute-free LSH tier. This query exists to certify exact
+    within-block recall against the oracle and to make the blocking
+    trade-off measurable."""
     from cdc_makanmana_spark.operators.ann import embedding_near_duplicates_by_block
 
     e = _t(spark, sf_dir, "embeddings")
