@@ -98,12 +98,13 @@ def stat_token(spark: SparkSession, path_str: str) -> str:
     st = fs.getFileStatus(path)
     if not st.isDirectory():
         return f"{st.getModificationTime()}:{st.getLen()}"
+    entries = sorted(
+        (c.getPath().getName(), c.getModificationTime(), c.getLen())
+        for c in fs.listStatus(path)
+    )  # listStatus order is not guaranteed — sort for a stable token
     h = hashlib.md5()
-    for child in fs.listStatus(path):
-        h.update(
-            f"{child.getPath().getName()}:{child.getModificationTime()}:"
-            f"{child.getLen()};".encode()
-        )
+    for name, mtime, ln in entries:
+        h.update(f"{name}:{mtime}:{ln};".encode())
     return f"dir:{h.hexdigest()[:16]}"
 
 

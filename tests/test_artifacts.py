@@ -113,6 +113,26 @@ def test_artifact_invalidated_on_param_change_and_old_gen_evicted(spark, tmp_pat
     assert fs.exists(spark, new_path), "sibling sf_dir artifact wrongly evicted"
 
 
+def test_stat_token_directory_stable_and_change_sensitive(spark, tmp_path):
+    """Directory tokens must be deterministic across calls (listStatus
+    order is not guaranteed — the token sorts) and change when a child
+    file is replaced (the Spark-rewrite signature object stores can
+    see, where the dir's own stat is useless)."""
+    from cdc_makanmana_spark import fs
+
+    d = tmp_path / "tbl.parquet"
+    d.mkdir()
+    for i in range(5):
+        (d / f"part-{i:05d}.parquet").write_bytes(b"x" * (i + 1))
+
+    t1 = fs.stat_token(spark, str(d))
+    t2 = fs.stat_token(spark, str(d))
+    assert t1 == t2 and t1.startswith("dir:")
+
+    (d / "part-00002.parquet").write_bytes(b"rewritten-much-longer")
+    assert fs.stat_token(spark, str(d)) != t1
+
+
 def test_artifact_unmarked_dir_is_rebuilt(spark, tmp_path):
     """A crash between the parquet write and mark_committed leaves an
     unmarked directory — the next request rebuilds instead of serving
