@@ -57,9 +57,13 @@ def main() -> None:
 
     con = duckdb.connect()
     for t in TABLE_NAMES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        # driver fixtures are single files; gen_sf probe tables are
+        # Spark-written DIRECTORIES — glob the parts in that case so
+        # organic-scale dirs can be oracle-verified too
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
     for name, fn in QUERIES.items():
