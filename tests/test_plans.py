@@ -252,6 +252,19 @@ def test_q58_count_side_broadcasts_fact_never_shuffles(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
+def test_q101_join_is_exchange_free_over_buckets(spark):
+    """The declared co-bucketed join (q101): the orders×lineitem
+    SortMergeJoin must consume the bucketed layout with NO Exchange on
+    either input — the only shuffle in the plan is the final 5-row
+    priority rollup."""
+    import re
+
+    plan = _plan(spark, "q101_cobucketed_revenue")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
 def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
     """Bucketed layout (sources/layout.py): two tables bucketed on the
     join key with equal bucket counts join with NO Exchange on either
