@@ -5396,6 +5396,70 @@ def q101_cobucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q102_FROM = "2024-01-10"
+_Q102_TO = "2024-01-12"
+
+
+def _rangesorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events persisted RANGE-SORTED on ts (the sources/layout.py
+    write_range_sorted discipline, expressed as an `_artifact` build:
+    repartitionByRange gives each output file a disjoint ts range,
+    sortWithinPartitions gives every row group a tight min/max) — the
+    data-skipping layout for the one column event queries actually
+    filter on. A selective ts predicate then reads a sliver of the
+    table: parquet row-group stats prune everything outside the
+    window, where a hash-scattered layout's stats cover everything and
+    prune nothing."""
+
+    def build():
+        return (
+            _t(spark, sf_dir, "events")
+            .select("ts", "event_type", "value")
+            .repartitionByRange(32, "ts")
+            .sortWithinPartitions("ts")
+        )
+
+    return _artifact(
+        spark, sf_dir, "events_rangesorted", ("events",), build, params="v1"
+    )
+
+
+@query(
+    "q102_rangesorted_event_scan",
+    f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '{_Q102_FROM}' AND ts < TIMESTAMP '{_Q102_TO}'
+    GROUP BY event_type
+    """,
+)
+def q102_rangesorted_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective time-window rollup over the RANGE-SORTED events
+    layout (`_rangesorted_events`): the ts predicate reaches the scan
+    as a pushed filter (plan-asserted) and, because the layout
+    clusters ts, parquet row-group min/max stats skip every file and
+    row group outside the two-day window — the scan cost is
+    proportional to the WINDOW, not the table. This declares the
+    previously tests-only data-skipping layout (sources/layout.py
+    write_range_sorted) on the oracle surface; the result is
+    layout-independent, which the oracle certifies against the
+    unsorted fixture."""
+    ev = _rangesorted_events(spark, sf_dir)
+    return (
+        ev.filter(
+            (F.col("ts") >= F.lit(_Q102_FROM).cast("timestamp"))
+            & (F.col("ts") < F.lit(_Q102_TO).cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

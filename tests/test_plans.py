@@ -265,6 +265,15 @@ def test_q101_join_is_exchange_free_over_buckets(spark):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
+def test_q102_ts_predicate_reaches_the_scan(spark):
+    """q102's window predicate must be pushed into the parquet scan of
+    the range-sorted layout (PushedFilters on ts) — pushdown plus the
+    clustered layout is what turns the scan cost window-proportional."""
+    plan = _plan(spark, "q102_rangesorted_event_scan")
+    assert "PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts," in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
 def test_cobucketed_join_plans_without_exchange(spark, tmp_path):
     """Bucketed layout (sources/layout.py): two tables bucketed on the
     join key with equal bucket counts join with NO Exchange on either
