@@ -133,7 +133,11 @@ def main() -> None:
             print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
 
     ran = [n for n in QUERIES if not only or n in only]
-    print(f"\n{len(ran) - len(failures)}/{len(ran)} pass")
+    # name the failures in the summary: per-query FAIL lines can be
+    # visually swallowed by Spark's progress-bar carriage returns when
+    # stderr is merged, and a filtered/tailed log keeps only this line
+    tail = f"; FAILING: {' '.join(failures)}" if failures else ""
+    print(f"\n{len(ran) - len(failures)}/{len(ran)} pass{tail}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
