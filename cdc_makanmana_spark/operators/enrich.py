@@ -38,23 +38,22 @@ def prefix_fallback_join(
     exact postal, else first 3-digit-prefix match, else the Singapore
     center constant).
 
-    Both joins broadcast the dim; the prefix side is pre-aggregated to
-    one row per prefix so the join stays 1:1 (no fan-out).
+    Both joins broadcast the dim, and BOTH tiers are pre-aggregated to
+    one DETERMINISTIC representative row (lexicographic min over
+    (key, *values)) so the lookup stays 1:1 with no fan-out even when
+    the dim carries duplicate keys. min_by(value, key) is NOT enough:
+    with duplicate keys the tie-break is engine/partition-order
+    dependent — a 10× organic-scale oracle sweep caught exactly that
+    (duplicate postals appear once the supplier pool outgrows the
+    postal space, and Spark and DuckDB picked different rows).
     """
-    exact = dim.select(
-        F.col(dim_key).alias("__k"),
-        *[F.col(c).alias(f"__exact_{c}") for c in value_cols],
+    rep = F.min(
+        F.struct(F.col(dim_key), *[F.col(c) for c in value_cols])
     )
-    # One representative row per prefix: the min-key row, computed with
-    # min_by (no window, single partial-aggregatable pass).
+    exact = dim.groupBy(F.col(dim_key).alias("__k")).agg(rep.alias("__xrep"))
     prefix = dim.groupBy(
         F.substring(F.col(dim_key), 1, prefix_len).alias("__p")
-    ).agg(
-        *[
-            F.min_by(F.col(c), F.col(dim_key)).alias(f"__prefix_{c}")
-            for c in value_cols
-        ]
-    )
+    ).agg(rep.alias("__prep"))
 
     out = fact.join(
         F.broadcast(exact), fact[fact_key] == exact["__k"], "left"
@@ -64,11 +63,14 @@ def prefix_fallback_join(
         "left",
     )
     for c in value_cols:
-        chain: list[Column] = [F.col(f"__exact_{c}"), F.col(f"__prefix_{c}")]
+        chain: list[Column] = [
+            F.col("__xrep").getField(c),
+            F.col("__prep").getField(c),
+        ]
         if defaults and c in defaults:
             chain.append(F.lit(defaults[c]))
         out = out.withColumn(c, F.coalesce(*chain))
-    return out.drop("__k", "__p", *[f"__exact_{c}" for c in value_cols], *[f"__prefix_{c}" for c in value_cols])
+    return out.drop("__k", "__p", "__xrep", "__prep")
 
 
 def priority_coalesce_enrich(

@@ -1110,15 +1110,23 @@ def q27_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              1.2::DOUBLE + (s_suppkey % 17) * 0.01::DOUBLE AS lat,
              103.6::DOUBLE + (s_suppkey % 23) * 0.01::DOUBLE AS lon
       FROM supplier),
+    -- both lookup tiers reduce to ONE deterministic representative per
+    -- key/prefix: lexicographic min over (postal, lat, lon), exactly
+    -- the operator's rule (duplicate postals appear at organic scale,
+    -- where arg_min(lat, postal) ties and engines disagree)
+    dime AS (
+      SELECT postal,
+             min(struct_pack(postal := postal, lat := lat, lon := lon)) AS rep
+      FROM dim GROUP BY postal),
     pref AS (
       SELECT substr(postal, 1, 3) AS p,
-             arg_min(lat, postal) AS plat, arg_min(lon, postal) AS plon
+             min(struct_pack(postal := postal, lat := lat, lon := lon)) AS rep
       FROM dim GROUP BY 1)
     SELECT f.c_custkey, f.postal,
-           round(coalesce(d.lat, pref.plat, 1.3521), 6) AS lat,
-           round(coalesce(d.lon, pref.plon, 103.8198), 6) AS lon
+           round(coalesce(d.rep.lat, pref.rep.lat, 1.3521), 6) AS lat,
+           round(coalesce(d.rep.lon, pref.rep.lon, 103.8198), 6) AS lon
     FROM fact f
-    LEFT JOIN dim d ON f.postal = d.postal
+    LEFT JOIN dime d ON f.postal = d.postal
     LEFT JOIN pref ON substr(f.postal, 1, 3) = pref.p
     """,
 )

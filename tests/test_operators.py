@@ -287,6 +287,33 @@ def test_prefix_fallback_join(spark):
     assert got[3].lat == 1.3521        # default constant
 
 
+def test_prefix_fallback_join_duplicate_keys_deterministic(spark):
+    """Duplicate dim keys (a real dim at organic scale outgrows its key
+    space) must neither fan the lookup out nor resolve by engine
+    whim: both tiers take the lexicographic-min (key, *values) row.
+    The 10× oracle sweep caught min_by(value, key) tie-breaking
+    differently in Spark vs DuckDB before this rule."""
+    fact = spark.createDataFrame(
+        [Row(id=1, postal="560123"), Row(id=2, postal="560999")]
+    )
+    dim = spark.createDataFrame(
+        [
+            Row(postal="560123", lat=1.90, lng=103.99),  # dup key, larger values
+            Row(postal="560123", lat=1.36, lng=103.85),  # dup key, lex-min row
+            Row(postal="560001", lat=1.37, lng=103.84),
+            Row(postal="560001", lat=1.05, lng=103.70),  # lex-min for prefix 560
+        ]
+    )
+    out = prefix_fallback_join(
+        fact, dim, "postal", "postal", ["lat", "lng"],
+        defaults={"lat": 1.3521, "lng": 103.8198},
+    ).collect()
+    assert len(out) == 2, "duplicate dim keys must not fan out the lookup"
+    got = {r.id: r for r in out}
+    assert got[1].lat == 1.36          # exact tier: lex-min of the dup rows
+    assert got[2].lat == 1.05          # prefix tier: lex-min over the prefix
+
+
 def test_priority_coalesce_enrich(spark):
     fact = spark.createDataFrame([Row(id="a"), Row(id="b"), Row(id="c")])
     google = spark.createDataFrame(
