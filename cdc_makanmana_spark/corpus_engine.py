@@ -62,8 +62,19 @@ class CorpusPipeline:
 
     def blocklist_scrub(self, terms: list[str]) -> "CorpusPipeline":
         """Redact word-boundary blocklist terms in place (q57's shape —
-        shuffle-free)."""
-        pat = "(?i)\\b(" + "|".join(terms) + ")\\b"
+        shuffle-free). Terms are literal strings, not patterns: each is
+        \\Q..\\E-quoted (Java regex dialect) so metacharacters in a term
+        ('c++', 'a.b') can't change match semantics or blow up pattern
+        compilation at execution time. Boundaries are word-char
+        lookarounds rather than \\b: \\b flips meaning at a non-word
+        edge (a term ending in '+' followed by a space is NOT a \\b
+        boundary), so \\b-bounded 'c++' could never match at all."""
+
+        def quote(t: str) -> str:
+            # embedded \E would close the quote early — split around it
+            return "\\Q" + t.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+        pat = "(?i)(?<!\\w)(" + "|".join(quote(t) for t in terms) + ")(?!\\w)"
         return self._with(
             self.df.withColumn(
                 self.text_col, F.regexp_replace(F.col(self.text_col), pat, "[REDACTED]")

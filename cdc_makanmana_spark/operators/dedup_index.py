@@ -168,7 +168,15 @@ class SignatureIndex:
         names = self._batch_names(sub)
         if not names:
             return None
-        return self.spark.read.parquet(*[f"{self.path}/{sub}/{n}" for n in names])
+        # mergeSchema: the union must carry the SUPERSET of the batch
+        # dirs' schemas — a single-dir sample schema would silently
+        # drop (or NULL-fill) columns added since older batches were
+        # written, and ingest()'s folded-batch recovery keys on the
+        # src_batch provenance column being present and populated.
+        return (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*[f"{self.path}/{sub}/{n}" for n in names])
+        )
 
     def docs(self) -> DataFrame | None:
         """(id, fp, signature, sh) for every indexed doc, or None."""
@@ -284,9 +292,26 @@ class SignatureIndex:
             folded = carried | {n for n in names if n != "base"}
             staging = f"{root}/{_CMP_STAGING}"
             fs.delete(self.spark, staging)
-            self.spark.read.parquet(
+            union = self.spark.read.option("mergeSchema", "true").parquet(
                 *[f"{root}/{n}" for n in names]
-            ).write.mode("overwrite").parquet(staging)
+            )
+            if sub == "docs":
+                # Provenance guard: after the fold, the ONLY record of
+                # which batch a doc came from is src_batch — a NULL
+                # (schema drift, a dir written by older code) would make
+                # ingest()'s folded-batch recovery return zero survivors
+                # and silently drop a retried batch wholesale. Refuse to
+                # fold rather than corrupt the recovery path.
+                if "src_batch" not in union.columns or union.filter(
+                    F.col("src_batch").isNull()
+                ).limit(1).count():
+                    raise ValueError(
+                        f"refusing to compact {root}: docs rows with missing/NULL "
+                        "src_batch provenance (batch dirs written by an "
+                        "incompatible index version?) — rebuild or backfill "
+                        "src_batch before folding"
+                    )
+            union.write.mode("overwrite").parquet(staging)
             fs.write_text(
                 self.spark,
                 f"{staging}/{_MANIFEST}",

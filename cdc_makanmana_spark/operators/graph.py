@@ -58,9 +58,19 @@ def cooccurrence_edges(
         ok = sizes.filter(F.col("__n") <= max_group)
     else:
         frac = 0.95 if keep_frac is None else keep_frac
-        ok = sizes.withColumn(
-            "__cd", F.cume_dist().over(Window.partitionBy().orderBy("__n"))
-        ).filter(F.col("__cd") <= frac)
+        # The min-size tier is ALWAYS kept: cume_dist assigns every
+        # member of a tied size the tier's upper rank, so under heavy
+        # ties (all groups the same size → cume_dist 1.0 everywhere)
+        # a bare `cd <= frac` drops 100% of groups and silently empties
+        # the graph. In the non-degenerate case the smallest tier's
+        # cume_dist is <= frac anyway, so this clause changes nothing.
+        ok = (
+            sizes.withColumn(
+                "__cd", F.cume_dist().over(Window.partitionBy().orderBy("__n"))
+            )
+            .withColumn("__mn", F.min("__n").over(Window.partitionBy()))
+            .filter((F.col("__cd") <= frac) | (F.col("__n") == F.col("__mn")))
+        )
     capped = g.join(ok.select(*group_cols), group_cols)
     a = capped.select(*group_cols, F.col("__id").alias("id_a"))
     b = capped.select(*group_cols, F.col("__id").alias("id_b"))

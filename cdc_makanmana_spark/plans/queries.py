@@ -1560,16 +1560,24 @@ def _cache_key(spark: SparkSession, sf_dir: str, *tables: str) -> tuple[str, str
 
 def _artifact_root() -> str:
     """Root directory for committed build artifacts. Override with
-    $CDC_ARTIFACT_DIR on multi-user hosts (the default is a fixed,
-    world-readable path under the system temp dir — fine for the
-    single-user bench/test sandbox, wrong for a shared box where
-    another user could own or pre-plant the path)."""
+    $CDC_ARTIFACT_DIR. The default is PER-USER (XDG cache dir, falling
+    back to a uid-suffixed temp path when there is no home): a fixed
+    world-writable path under the shared system temp dir would let
+    another user on a multi-user host pre-plant or poison committed
+    artifacts that queries then serve as results — the _COMMITTED
+    marker proves write completion, not write provenance."""
     import os
     import tempfile
 
-    return os.environ.get(
-        "CDC_ARTIFACT_DIR",
-        os.path.join(tempfile.gettempdir(), "cdc_makanmana_artifacts"),
+    override = os.environ.get("CDC_ARTIFACT_DIR")
+    if override:
+        return override
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        cache = os.environ.get("XDG_CACHE_HOME", os.path.join(home, ".cache"))
+        return os.path.join(cache, "cdc_makanmana_artifacts")
+    return os.path.join(
+        tempfile.gettempdir(), f"cdc_makanmana_artifacts_{os.getuid()}"
     )
 
 
@@ -3712,7 +3720,8 @@ def _q74_edge_sql(suffix: str = "", pred: str = "TRUE") -> str:
       SELECT w, event_type, count(*) AS n FROM g{s} GROUP BY w, event_type),
     ok{s} AS (
       SELECT w, event_type FROM sizes{s}
-      QUALIFY cume_dist() OVER (ORDER BY n) <= {_Q74_KEEP_FRAC}),
+      QUALIFY cume_dist() OVER (ORDER BY n) <= {_Q74_KEEP_FRAC}
+           OR n = min(n) OVER ()),
     cg{s} AS (SELECT g{s}.* FROM g{s} JOIN ok{s} USING (w, event_type)),
     edges{s} AS (
       SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS n_groups

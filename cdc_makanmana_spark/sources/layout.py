@@ -102,6 +102,14 @@ def zorder_key(
     from pyspark.sql import functions as F
 
     n = len(quantized)
+    if bits * n > 63:
+        # bit position j*n+i would reach the long's sign bit: high-range
+        # keys go negative and the range sort mis-clusters exactly the
+        # rows it should cluster — silent data-skipping degradation.
+        raise ValueError(
+            f"bits * n_cols = {bits * n} exceeds 63: Morton key overflows "
+            f"the signed long (reduce bits to <= {63 // n} for {n} columns)"
+        )
     key = F.lit(0).cast("long")
     for j in range(bits):
         for i, q in enumerate(quantized):

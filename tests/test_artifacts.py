@@ -26,12 +26,9 @@ def _cleanup_unit_artifacts(spark):
     Sweep by name prefix on disk (the in-memory dict loses paths when
     tests .clear() it to simulate a new process)."""
     yield
-    import os
-    import tempfile
-
     from cdc_makanmana_spark import fs
 
-    root = os.path.join(tempfile.gettempdir(), "cdc_makanmana_artifacts")
+    root = Q._artifact_root()
     for child in fs.list_names(spark, root):
         if child.startswith("unit_t"):
             fs.delete(spark, f"{root}/{child}")

@@ -565,6 +565,25 @@ class TestSignatureIndexCompact:
         assert ix.compact() >= 4
         assert ix._folded_ids("docs") >= {"b0", "b1", "b2"}
 
+    def test_compact_refuses_missing_src_batch_provenance(self, spark, tmp_path):
+        """A docs batch dir written without src_batch (older index
+        version / schema drift) must fail the fold loudly: folded into
+        base with NULL provenance, ingest()'s retry recovery would
+        return zero survivors and silently drop a retried batch."""
+        import pytest as _pytest
+
+        from cdc_makanmana_spark import fs
+
+        ix = self._mk(spark, tmp_path)
+        bdir = str(tmp_path / "ixc" / "docs" / "b0")
+        drifted = spark.read.parquet(bdir).drop("src_batch")
+        drifted.write.mode("overwrite").parquet(bdir + ".tmp")
+        fs.delete(spark, bdir)
+        fs.rename(spark, bdir + ".tmp", bdir)
+        fs.mark_committed(spark, bdir)
+        with _pytest.raises(ValueError, match="src_batch"):
+            ix.compact()
+
     def test_compact_crash_heals_without_double_serve(self, spark, tmp_path):
         import shutil
 
@@ -749,6 +768,26 @@ class TestCorpusPipeline:
         packed = pipe.pack(budget=5).df
         assert {"n_tokens", "shard_id"} <= set(packed.columns)
         assert packed.filter("shard_id >= 0").count() == 2
+
+    def test_blocklist_terms_are_literal_not_patterns(self, spark):
+        """A term containing regex metacharacters ('c++', 'a.b') must
+        match literally — unquoted it would change match semantics or
+        throw a pattern-compile error at execution time."""
+        from cdc_makanmana_spark.corpus_engine import CorpusPipeline
+
+        docs = spark.createDataFrame(
+            [
+                (1, "we write c++ at work"),
+                (2, "the acb token must survive a.b scrubbing"),
+                (3, "plain ccc text stays"),
+            ],
+            "doc_id long, text string",
+        )
+        pipe = CorpusPipeline(docs).blocklist_scrub(["c++", "a.b"])
+        rows = {r.doc_id: r.text for r in pipe.df.collect()}
+        assert "[REDACTED]" in rows[1] and "c++" not in rows[1]
+        assert "acb" in rows[2] and "a.b" not in rows[2]  # dot is literal
+        assert rows[3] == "plain ccc text stays"
 
     def test_snm_sample_and_profile_stages(self, spark):
         """The session-4 stages compose through the facade: dedup_snm

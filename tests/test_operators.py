@@ -1148,6 +1148,18 @@ def test_cooccurrence_quantile_gate_tracks_distribution(spark):
         cooccurrence_edges(df, "uid", ["grp"], max_group=3, keep_frac=0.9)
 
 
+def test_cooccurrence_quantile_gate_survives_total_ties(spark):
+    """Degenerate sizes frame: every group the same size gives every
+    row cume_dist 1.0, and a bare `cd <= frac` would drop 100% of
+    groups (silently empty graph). The min-size tier is always kept."""
+    from cdc_makanmana_spark.operators.graph import cooccurrence_edges
+
+    rows = [(f"g{gi}", gi * 10 + j) for gi in range(6) for j in range(2)]
+    df = spark.createDataFrame(rows, "grp string, uid long")
+    edges = cooccurrence_edges(df, "uid", ["grp"], keep_frac=0.5).collect()
+    assert len(edges) == 6  # all groups tied at size 2 -> all kept
+
+
 def test_pagerank_known_graph_and_convergence(spark):
     """PageRank on a hand-checkable graph: a star's center outranks its
     leaves; a symmetric path's ends tie; ranks sum to ~1; a Python

@@ -799,6 +799,26 @@ def test_schema_evolution_declared_schema_spans_file_generations(spark, tmp_path
     assert "extra" not in plan  # undeclared column never read
 
 
+def test_zorder_key_rejects_sign_bit_overflow(spark, tmp_path):
+    """bits * n_cols > 63 would place high bits at the long's sign
+    bit, flipping high-range keys negative so the range sort
+    mis-clusters exactly the rows it should cluster — must raise, not
+    silently degrade skipping."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.sources.layout import write_zordered, zorder_key
+
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key([F.lit(1)] * 4, bits=16)  # 64 bits
+    with _pytest.raises(ValueError, match="63"):
+        zorder_key([F.lit(1)] * 8, bits=8)   # 64 bits
+    assert zorder_key([F.lit(1)] * 3, bits=21) is not None  # 63 bits ok
+    df = spark.range(10).selectExpr("id as x", "id as y", "id as z", "id as w")
+    with _pytest.raises(ValueError, match="63"):
+        write_zordered(df, str(tmp_path / "zo"), ["x", "y", "z", "w"], bits=16)
+
+
 def test_zorder_layout_clusters_every_listed_dimension(spark, tmp_path):
     """The multi-dimension skipping property, from the parquet
     footers: after write_zordered on (x, y) each file covers a small
