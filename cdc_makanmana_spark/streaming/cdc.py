@@ -70,22 +70,38 @@ def read_upsert_stream(
     return reader.format(fmt).load(path)
 
 
-def latest_state(events: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
-    """Batch materializer: latest event per key (argmax window), drop
-    deletes. The per-micro-batch body of the upsert sink.
+def latest_state(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Batch materializer: latest event per key (argmax window). The
+    per-micro-batch body of the upsert sink.
 
     The argmax order is a TOTAL order, so replays/retries materialize
     the same state: timestamp first, then op precedence on exact-ts
     ties (a delete and an upsert carrying the same ``ts`` resolve to
-    the delete — the conservative tombstone), then a content hash as
-    the final tie-break between distinct same-ts payloads.
+    the delete — the conservative tombstone), then ``tie_cols``
+    descending (pass the source's unique event id when it has one —
+    an ENGINE-PORTABLE order a SQL replay can reproduce exactly),
+    then a content hash as the final tie-break between distinct
+    same-ts payloads.
+
+    ``keep_deletes=False`` drops tombstones from the result (a final
+    serve view); ``keep_deletes=True`` retains them — required
+    whenever the result is intermediate state that later batches merge
+    into (see ``upsert_to_parquet``'s retention note).
     """
     order = [F.desc(ts_col)]
     if "op" in events.columns:
         order.append(F.desc(F.col("op") == F.lit("delete")))
+    for c in tie_cols or []:
+        order.append(F.desc(c))
     order.append(F.desc(F.xxhash64(*[F.col(c) for c in events.columns])))
     latest = argmax_per_group(events, key_cols, order)
-    if "op" in events.columns:
+    if "op" in events.columns and not keep_deletes:
         latest = latest.filter(F.col("op") != F.lit("delete"))
     return latest
 
@@ -160,6 +176,8 @@ def upsert_to_parquet(
     ts_col: str = "ts",
     checkpoint_dir: str | None = None,
     n_buckets: int = 16,
+    tie_cols: list[str] | None = None,
+    retain_tombstones: bool = False,
 ):
     """Materialize an upsert stream into a hash-bucket-partitioned
     parquet table via ``foreachBatch`` (T3: the reference's cache-sink
@@ -177,6 +195,19 @@ def upsert_to_parquet(
     a comfortable rewrite unit. On a Delta/Iceberg lakehouse the body
     collapses to one ``MERGE INTO`` and this file-layout bookkeeping
     disappears — semantics here are identical.
+
+    ``retain_tombstones``: with the default False, a delete that wins
+    its batch-merge removes the key's row AND ITSELF — correct only
+    when events arrive key-ordered across batches (an older upsert
+    landing in a LATER batch would resurrect the deleted key, because
+    nothing in the target remembers the delete). True keeps the
+    winning tombstone as a row (``op='delete'``) so it keeps
+    suppressing older upserts in every later batch — the merged state
+    then depends only on the SET of events, not on how the stream was
+    micro-batched; readers serve ``op <> 'delete'``, and a
+    retention-horizon compaction drops tombstones once the source's
+    max reordering window has provably passed (the Kafka-compaction /
+    Delta-MERGE tombstone discipline).
 
     Returns the started StreamingQuery.
     """
@@ -213,7 +244,13 @@ def upsert_to_parquet(
         # files. The checkpoint also keeps read and overwrite phases
         # disjoint. (A lakehouse MERGE gets this from snapshot
         # isolation.)
-        merged = latest_state(combined, key_cols, ts_col).localCheckpoint(eager=True)
+        merged = latest_state(
+            combined,
+            key_cols,
+            ts_col,
+            tie_cols=tie_cols,
+            keep_deletes=retain_tombstones,
+        ).localCheckpoint(eager=True)
         try:
             with _partition_overwrite(spark):
                 # Dynamic mode replaces exactly the partitions present

@@ -1,0 +1,187 @@
+"""Deterministic availableNow replays of the streaming layer.
+
+The streaming operators (cdc.py upsert MERGE, rollup.py continuous
+aggregates, joins.py stream-stream interval joins) are exercised by
+batch-equivalence tests, but a test the builder wrote is a weaker
+signal than the driver's DuckDB hash-diff. This module runs the ACTUAL
+Structured Streaming machinery — file-source micro-batches,
+``foreachBatch`` MERGE, watermarked stateful operators — over a staged
+copy of a batch fixture with ``trigger(availableNow=True)``, producing
+a DataFrame a plain SQL replay can hash-match (queries q103-q105).
+
+Determinism is a design property, not luck:
+
+- the upsert MERGE retains tombstones (``retain_tombstones=True``) and
+  orders events by a unique id, so the merged state depends only on
+  the SET of events, never on how the file source batched them;
+- rollup partials are additive (count/sum), so partial-merge order
+  can't change the served aggregate;
+- the stateful interval join is replayed in event-time order: staged
+  files get strictly increasing modification times matching their ts
+  ranges (the file source sorts by mtime), so the watermark only ever
+  advances behind data that has already been seen — eviction can never
+  race ahead of unseen older rows.
+
+Staging writes through the local filesystem (``os.utime`` has no
+Hadoop-FS analogue) — this is a replay/verification harness, not the
+production sink path; the operators themselves stay FS-agnostic.
+
+Reference: the reference's refresh loop re-reads its whole snapshot
+per cycle (src/services/dataManager.ts:132-187); these replays are the
+streaming generalization with per-event change capture.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_makanmana_spark.streaming.cdc import read_upsert_stream, upsert_to_parquet
+
+
+def stage_ranged_files(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str,
+    ts_col: str = "ts",
+    n_files: int = 8,
+) -> None:
+    """Stage ``df`` as ``n_files`` parquet files range-partitioned on
+    ``ts_col`` — each file a disjoint, ascending time slice, i.e. the
+    on-disk shape of files landing from an in-order CDC feed. File
+    mtimes are bumped to a strictly increasing sequence in ts order
+    (range partition i maps to part-file i), pinning the file source's
+    (mtime, path) replay order to event-time order."""
+    (
+        df.repartitionByRange(n_files, ts_col)
+        .write.mode("overwrite")
+        .parquet(stage_dir)
+    )
+    parts = sorted(
+        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
+    )
+    base = time.time()
+    for i, p in enumerate(parts):
+        t = base + i
+        os.utime(os.path.join(stage_dir, p), (t, t))
+
+
+def replay_upsert_merge(
+    spark: SparkSession,
+    stage_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tie_cols: list[str] | None = None,
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drive the foreachBatch upsert MERGE (cdc.upsert_to_parquet) over
+    the staged files as a real availableNow stream — several
+    micro-batches, each merging into the bucketed target — and block
+    until the stream completes. The target retains tombstones; serve
+    it with ``op <> 'delete'``."""
+    schema = spark.read.parquet(stage_dir).schema
+    stream = read_upsert_stream(
+        spark,
+        stage_dir,
+        schema,
+        fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    q = upsert_to_parquet(
+        stream,
+        target_dir,
+        key_cols,
+        ts_col=ts_col,
+        checkpoint_dir=checkpoint_dir,
+        tie_cols=tie_cols,
+        retain_tombstones=True,
+    )
+    q.awaitTermination()
+
+
+def replay_rollup(
+    spark: SparkSession,
+    stage_dir: str,
+    rollup_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drive the continuous-aggregate maintainer (rollup.py) over the
+    staged files: each micro-batch writes its additive partial,
+    write-once commit-marked; ``RollupMaintainer(...).serve()`` reads
+    the result."""
+    from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
+
+    schema = spark.read.parquet(stage_dir).schema
+    stream = read_upsert_stream(
+        spark,
+        stage_dir,
+        schema,
+        fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    maintainer = RollupMaintainer(
+        spark,
+        rollup_dir,
+        window=window,
+        keys=keys or [],
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+    q = maintainer.ingest_stream(stream, checkpoint_dir=checkpoint_dir)
+    q.awaitTermination()
+
+
+def replay_interval_join(
+    spark: SparkSession,
+    left_stage: str,
+    right_stage: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drive the watermark-bounded stream-stream interval join
+    (joins.py) over two staged streams and append the matches to
+    ``out_dir``. Both stages MUST have been written by
+    ``stage_ranged_files`` (event-time-ordered replay) — the inner
+    join's state eviction is then provably behind any row yet to
+    arrive, so the result equals the batch join."""
+    from cdc_makanmana_spark.streaming.joins import stream_stream_interval_join
+
+    lschema = spark.read.parquet(left_stage).schema
+    rschema = spark.read.parquet(right_stage).schema
+    left = read_upsert_stream(
+        spark, left_stage, lschema, fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    right = read_upsert_stream(
+        spark, right_stage, rschema, fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    joined = stream_stream_interval_join(
+        left, right, key_cols, left_ts, right_ts, lower_s, upper_s,
+        watermark=watermark,
+    )
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

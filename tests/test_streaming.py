@@ -101,6 +101,43 @@ def test_upsert_stream_materializes_latest_state(spark, tmp_path):
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
 
 
+def test_retained_tombstone_suppresses_older_upsert_across_batches(spark, tmp_path):
+    """Batch-order independence of the MERGE (the property q103's
+    oracle relies on): a delete that wins its batch must keep
+    suppressing OLDER upserts of the same key that land in LATER
+    micro-batches. Without retention the tombstone is consumed by its
+    own batch and the stale upsert silently resurrects the key."""
+    from pyspark.sql import functions as F
+
+    for retain, expect_one in ((False, True), (True, False)):
+        sub = str(tmp_path / f"r{int(retain)}")
+        src, target = f"{sub}/src", f"{sub}/target"
+        # batch 1: key 1 is deleted at t=02:00
+        _land(src, "b1.json", [
+            {"key": 1, "op": "delete", "ts": "2024-01-01T02:00:00", "value": None},
+        ])
+        stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+        q = upsert_to_parquet(
+            stream, target, ["key"], checkpoint_dir=f"{sub}/ck",
+            retain_tombstones=retain,
+        )
+        q.awaitTermination(120)
+        # batch 2 (late file): an OLDER upsert of key 1 from t=01:00
+        _land(src, "b2.json", [
+            {"key": 1, "op": "upsert", "ts": "2024-01-01T01:00:00", "value": 11.0},
+        ])
+        stream = read_upsert_stream(spark, src, EVENT_SCHEMA, max_files_per_trigger=1)
+        q = upsert_to_parquet(
+            stream, target, ["key"], checkpoint_dir=f"{sub}/ck",
+            retain_tombstones=retain,
+        )
+        q.awaitTermination(120)
+        served = (
+            spark.read.parquet(target).filter(F.col("op") != "delete").collect()
+        )
+        assert bool(served) is expect_one  # resurrection iff not retained
+
+
 def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
     """The 100 TB property of the upsert sink: a micro-batch touching
     one key must leave every other bucket's files physically untouched
