@@ -1415,10 +1415,16 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q35_PER_LABEL_CAP = 200
+
+
 @query(
     "q35_embedding_blocked_neardup",
-    """
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id)
+              <= {_Q35_PER_LABEL_CAP})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
@@ -1440,16 +1446,31 @@ def q35_embedding_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
 
     SCALE CONTRAST TIER, kept deliberately: the label dictionary is
     FIXED, so B is constant and pair cost grows quadratically with
-    corpus size (measured ×87 at 30× data). q48 is the declared scale
-    path — same operator, composite label × quantizer-cell block with
-    B ∝ N (measured ×7.6 on the same 30× probe); q61 is the
-    attribute-free LSH tier. This query exists to certify exact
-    within-block recall against the oracle and to make the blocking
-    trade-off measurable."""
+    corpus size — measured ×87 at 30× organic data (203 s of the 528 s
+    full-surface probe) before round 5 capped the measured input. The
+    declared scale paths: q48 (same operator, composite label ×
+    quantizer-cell block, B ∝ N, ×7.6 on the same probe) and q61 (the
+    attribute-free banded LSH tier). This query exists to certify
+    exact within-block recall against the oracle and to make the
+    blocking trade-off measurable — which a deterministic per-label
+    row budget (_Q35_PER_LABEL_CAP = 200, row_number by vec_id,
+    replayed identically by the oracle) preserves while keeping the
+    contrast tier from dominating every scale probe: above the cap its
+    cost is flat, and the ×87 above stands as the uncapped record.
+    Below the cap (sf0.01/sf0.1 fixtures: 50/200 rows per label) the
+    gate passes everything, so fixture results are unchanged."""
+    from pyspark.sql import Window
+
     from cdc_makanmana_spark.operators.ann import embedding_near_duplicates_by_block
 
     e = _t(spark, sf_dir, "embeddings")
-    return embedding_near_duplicates_by_block(e, "label", threshold=0.4)
+    w = Window.partitionBy("label").orderBy("vec_id")
+    capped = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _Q35_PER_LABEL_CAP)
+        .drop("__rn")
+    )
+    return embedding_near_duplicates_by_block(capped, "label", threshold=0.4)
 
 
 @query(
