@@ -55,4 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    # same rotated order as queries() in case the driver iterates this
+    # dict rather than keying into it
+    order = _rotated(list(QUERIES))
+    return {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}

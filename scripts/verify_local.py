@@ -51,8 +51,14 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("verify-local")
 
     con = duckdb.connect()
@@ -66,6 +72,22 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    # driver-CORRECTNESS-shaped record per query (plus sec/rows_only
+    # extras) so a full sweep can be committed as CORRECTNESS_local_r{N}
+    records: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "err": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+        }
+        base.update(kw)
+        records[name] = base
+
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -77,6 +99,7 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            record(name, err=f"spark: {e}"[:500], sec=round(time.time() - t0, 2))
             continue
         finally:
             # drop the finished query's localCheckpoint blocks so the
@@ -96,9 +119,21 @@ def main() -> None:
         if container:
             print(f"FAIL {name}: driver-unhashable container columns {container}")
             failures.append(name)
+            record(
+                name,
+                err=f"container columns {container}",
+                spark_rows=len(s_rows),
+                sec=round(time.time() - t0, 2),
+            )
             continue
         if name not in ORACLE_SQL:
             print(f"ok   {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            record(
+                name,
+                spark_rows=len(s_rows),
+                rows_only=True,
+                sec=round(time.time() - t0, 2),
+            )
             continue
         try:
             res = con.execute(ORACLE_SQL[name])
@@ -107,6 +142,12 @@ def main() -> None:
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            record(
+                name,
+                err=f"duckdb: {e}"[:500],
+                spark_rows=len(s_rows),
+                sec=round(time.time() - t0, 2),
+            )
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -126,11 +167,29 @@ def main() -> None:
                     problems.append(f"  spark-only: {x}")
                 for x in list(set_d - set_s)[:3]:
                     problems.append(f"  duck-only:  {x}")
+        rows_match = len(s_rows) == len(d_rows)
+        schema_match = sorted(s_cols) == sorted(d_cols)
+        record(
+            name,
+            spark_rows=len(s_rows),
+            oracle_rows=len(d_rows),
+            rows_match=rows_match,
+            schema_match=schema_match,
+            hash_match=not problems if (rows_match and schema_match) else False,
+            sec=round(time.time() - t0, 2),
+        )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
         else:
             print(f"ok   {name}: {len(s_rows)} rows match ({time.time()-t0:.1f}s)")
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out} ({len(records)} records)")
 
     ran = [n for n in QUERIES if not only or n in only]
     # name the failures in the summary: per-query FAIL lines can be
