@@ -1632,7 +1632,11 @@ def _evict_stale_generations(spark: SparkSession, keep_basename: str):
     root = _artifact_root()
     prefix = keep_basename.rsplit("_", 1)[0] + "_"
     for child in fs.list_names(spark, root, dirs_only=True):
-        if child.startswith(prefix) and child != keep_basename:
+        # spare the kept generation AND any live builder's pid-unique
+        # scratch of that same generation (`<basename>.build-<pid>`,
+        # _streamed_artifact) — evicting it would tear a concurrent
+        # build; scratch dirs of SUPERSEDED generations still go
+        if child.startswith(prefix) and not child.startswith(keep_basename):
             fs.delete(spark, f"{root}/{child}")
 
 
@@ -3819,7 +3823,11 @@ def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "coactivity_sparse",
         ("events",),
         build,
-        params=f"keep={_Q74_KEEP_FRAC},m={_Q75_TOP_M}",
+        # minkeep=1 versions the keep_frac semantics change (graph.py:
+        # the min-size tier is now ALWAYS kept) — a committed artifact
+        # built by pre-change code must not be served against the
+        # updated _Q74_EDGE_SQL oracle
+        params=f"keep={_Q74_KEEP_FRAC},m={_Q75_TOP_M},minkeep=1",
     )
 
 
@@ -5512,14 +5520,58 @@ def q102_rangesorted_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # maintained table is consumed in production.
 # ---------------------------------------------------------------------------
 
-_Q103_PARAMS = "keys=user_id,tie=event_id,files=8,mft=2,tomb=1,v1"
+_Q103_PARAMS = "keys=user_id,tie=event_id,files=8,mft=2,tomb=1,v2"
 
 
-def _stream_replay_root(spark: SparkSession, sf_dir: str, name: str, params: str):
+def _streamed_artifact(
+    spark: SparkSession, sf_dir: str, name: str, params: str, build, serve: str
+) -> str:
+    """Shared build-commit protocol for the streaming replays
+    (q103-q105), mirroring `_artifact` but for multi-step builders
+    (stage files → run the streaming query → promote the result).
+
+    ``build(work_dir)`` stages its inputs, checkpoints, and output
+    under a PROCESS-UNIQUE scratch dir, writing the servable result to
+    ``work_dir/<serve>``; the helper then promotes only that subdir to
+    the committed path with a single `fs.rename` and deletes the
+    scratch (so stage copies and checkpoints are never retained inside
+    the committed artifact). Building in a pid-unique dir means a
+    concurrent builder of the same fingerprint can no longer delete
+    this process's in-flight stage/checkpoint (the torn-commit race a
+    shared dir had); the remaining delete→rename→mark window is
+    milliseconds and write-once idempotent — the same residual
+    `_artifact` documents. If the rename loses that race to an
+    already-committed winner, the winner is served.
+
+    Returns the committed path; callers wrap their own read (q104
+    serves merged partials via RollupMaintainer, not a plain scan)."""
     import os
 
+    from cdc_makanmana_spark import fs
+
     basename = _artifact_basename(_cache_key(spark, sf_dir, "events"), name, params)
-    return os.path.join(_artifact_root(), basename), basename
+    path = os.path.join(_artifact_root(), basename)
+    if not fs.is_committed(spark, path):
+        work = f"{path}.build-{os.getpid()}"
+        fs.delete(spark, work)
+        try:
+            build(work)
+            out = os.path.join(work, serve)
+            if not fs.is_committed(spark, path):
+                fs.delete(spark, path)
+                if not fs.rename(spark, out, path):
+                    # lost the promote race — serve the winner if one
+                    # committed; anything else is a real failure
+                    if not fs.is_committed(spark, path):
+                        raise RuntimeError(
+                            f"promote of {name} artifact to {path} failed"
+                        )
+                else:
+                    fs.mark_committed(spark, path)
+        finally:
+            fs.delete(spark, work)
+        _evict_stale_generations(spark, basename)
+    return path
 
 
 def _events_with_op(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5535,28 +5587,26 @@ def _events_with_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_merged_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_makanmana_spark import fs
     from cdc_makanmana_spark.streaming.replay import (
         replay_upsert_merge,
         stage_ranged_files,
     )
 
-    path, basename = _stream_replay_root(spark, sf_dir, "stream_merge", _Q103_PARAMS)
-    if not fs.is_committed(spark, path):
-        # half-built leftovers would pre-seed the merge target
-        fs.delete(spark, path)
-        stage_ranged_files(spark, _events_with_op(spark, sf_dir), f"{path}/stage")
+    def build(work: str) -> None:
+        stage_ranged_files(spark, _events_with_op(spark, sf_dir), f"{work}/stage")
         replay_upsert_merge(
             spark,
-            f"{path}/stage",
-            f"{path}/merged",
-            f"{path}/ckpt",
+            f"{work}/stage",
+            f"{work}/merged",
+            f"{work}/ckpt",
             ["user_id"],
             tie_cols=["event_id"],
         )
-        fs.mark_committed(spark, path)
-        _evict_stale_generations(spark, basename)
-    return spark.read.parquet(f"{path}/merged")
+
+    path = _streamed_artifact(
+        spark, sf_dir, "stream_merge", _Q103_PARAMS, build, serve="merged"
+    )
+    return spark.read.parquet(path)
 
 
 @query(
@@ -5593,38 +5643,42 @@ def q103_stream_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q104_PARAMS = "win=1h,keys=event_type,files=8,mft=2,v1"
+_Q104_PARAMS = "win=1h,keys=event_type,files=8,mft=2,v2"
 
 
 def _stream_rollup_maintainer(spark: SparkSession, sf_dir: str):
-    from cdc_makanmana_spark import fs
     from cdc_makanmana_spark.streaming.replay import (
         replay_rollup,
         stage_ranged_files,
     )
     from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
 
-    path, basename = _stream_replay_root(spark, sf_dir, "stream_rollup", _Q104_PARAMS)
-    if not fs.is_committed(spark, path):
-        fs.delete(spark, path)
+    def build(work: str) -> None:
+        # ingest value as an exact decimal: count/sum partials then
+        # merge EXACTLY whatever the micro-batch topology, so the
+        # served rollup is bit-identical to the oracle's single-pass
+        # SUM (a double sum's rounding could differ by accumulation
+        # order — the parity rule against hashing float SUMs)
         stage_ranged_files(
             spark,
-            _t(spark, sf_dir, "events").select("ts", "event_type", "value"),
-            f"{path}/stage",
+            _t(spark, sf_dir, "events").select(
+                "ts", "event_type", F.col("value").cast("decimal(18,6)").alias("value")
+            ),
+            f"{work}/stage",
         )
         replay_rollup(
             spark,
-            f"{path}/stage",
-            f"{path}/rollup",
-            f"{path}/ckpt",
+            f"{work}/stage",
+            f"{work}/rollup",
+            f"{work}/ckpt",
             window="1 hour",
             keys=["event_type"],
         )
-        fs.mark_committed(spark, path)
-        _evict_stale_generations(spark, basename)
-    return RollupMaintainer(
-        spark, f"{path}/rollup", window="1 hour", keys=["event_type"]
+
+    path = _streamed_artifact(
+        spark, sf_dir, "stream_rollup", _Q104_PARAMS, build, serve="rollup"
     )
+    return RollupMaintainer(spark, path, window="1 hour", keys=["event_type"])
 
 
 @query(
@@ -5632,8 +5686,10 @@ def _stream_rollup_maintainer(spark: SparkSession, sf_dir: str):
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value,
-           round(sum(value) / count(*), 4) AS avg_value
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+             AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -5646,24 +5702,26 @@ def q104_stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials merge associatively, so the served rollup equals the
     batch aggregate no matter how the file source batched the events —
     which is exactly what the oracle's plain GROUP BY certifies. The
-    streaming twin of q17, now exercising the actual maintenance
-    machinery instead of the shared expression."""
+    value column is ingested as DECIMAL(18,6) so the partial sums and
+    their merge are EXACT (a double sum hashes differently when its
+    accumulation order moves across a rounding boundary — the parity
+    rule against hashing float SUMs); both sides round the identical
+    exact sum cast to double. The streaming twin of q17, now
+    exercising the actual maintenance machinery instead of the shared
+    expression."""
     return _stream_rollup_maintainer(spark, sf_dir).serve()
 
 
-_Q105_PARAMS = "key=user_id,band=0..1800s,wm=2h,files=8,mft=2,v1"
+_Q105_PARAMS = "key=user_id,band=0..1800s,wm=2h,files=8,mft=2,v2"
 
 
 def _stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cdc_makanmana_spark import fs
     from cdc_makanmana_spark.streaming.replay import (
         replay_interval_join,
         stage_ranged_files,
     )
 
-    path, basename = _stream_replay_root(spark, sf_dir, "stream_join", _Q105_PARAMS)
-    if not fs.is_committed(spark, path):
-        fs.delete(spark, path)
+    def build(work: str) -> None:
         ev = _t(spark, sf_dir, "events")
         views = ev.filter(F.col("event_type") == "view").select(
             "user_id",
@@ -5676,14 +5734,14 @@ def _stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("buy_ts"),
             F.col("value").alias("buy_value"),
         )
-        stage_ranged_files(spark, views, f"{path}/stage_l", ts_col="view_ts")
-        stage_ranged_files(spark, buys, f"{path}/stage_r", ts_col="buy_ts")
+        stage_ranged_files(spark, views, f"{work}/stage_l", ts_col="view_ts")
+        stage_ranged_files(spark, buys, f"{work}/stage_r", ts_col="buy_ts")
         replay_interval_join(
             spark,
-            f"{path}/stage_l",
-            f"{path}/stage_r",
-            f"{path}/out",
-            f"{path}/ckpt",
+            f"{work}/stage_l",
+            f"{work}/stage_r",
+            f"{work}/out",
+            f"{work}/ckpt",
             ["user_id"],
             "view_ts",
             "buy_ts",
@@ -5691,9 +5749,16 @@ def _stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             upper_s=1800,
             watermark="2 hours",
         )
-        fs.mark_committed(spark, path)
-        _evict_stale_generations(spark, basename)
-    return spark.read.parquet(f"{path}/out")
+        # the streaming file sink's _spark_metadata log stores ABSOLUTE
+        # file paths — the promote rename would orphan them, so compact
+        # the sink output into a plain (relocatable) parquet dir; the
+        # read here still resolves through the intact log
+        spark.read.parquet(f"{work}/out").write.parquet(f"{work}/serve")
+
+    path = _streamed_artifact(
+        spark, sf_dir, "stream_join", _Q105_PARAMS, build, serve="serve"
+    )
+    return spark.read.parquet(path)
 
 
 @query(

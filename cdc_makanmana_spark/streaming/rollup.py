@@ -167,14 +167,19 @@ class RollupMaintainer:
         if not dirs:
             return None
         merged = self.spark.read.parquet(*dirs).groupBy("window_start", *self.keys)
+        # derive through cast-to-double (a no-op for double inputs):
+        # when the ingested value column is a DECIMAL, the partial sums
+        # and their merge are EXACT regardless of micro-batch topology,
+        # and both engines round the same double — a double sum's
+        # accumulation order could flip a rounding boundary between the
+        # partials-then-merge order and an oracle's single pass
+        sum_d = F.col("sum_value").cast("double")
         out_cols = [
             "window_start",
             *self.keys,
             "n_events",
-            F.round("sum_value", round_dp).alias("total_value"),
-            F.round(F.col("sum_value") / F.col("n_events"), round_dp).alias(
-                "avg_value"
-            ),
+            F.round(sum_d, round_dp).alias("total_value"),
+            F.round(sum_d / F.col("n_events"), round_dp).alias("avg_value"),
         ]
         if self.distinct_col is not None:
             agg = merged.agg(

@@ -55,9 +55,13 @@ def main() -> None:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: verify_local.py [sf_dir] [query ...] [--json OUT]")
         json_out = argv[i + 1]
         del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        sys.exit(f"sf_dir {sf_dir!r} is not a directory")
     only = set(argv[1:])
     spark = get_spark("verify-local")
 

@@ -146,16 +146,24 @@ def test_concurrent_builders_converge_to_one_committed_generation(spark, tmp_pat
     (tmp_path / "documents.parquet").write_bytes(b"generation-1")
 
     sentinel = str(tmp_path / "in_build")
+    main_done = str(tmp_path / "main_committed")
     script = tmp_path / "builder.py"
     script.write_text(
-        "import pathlib, sys, time\n"
+        "import os, pathlib, sys, time\n"
         f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
         "from cdc_makanmana_spark.session import get_spark\n"
         "from cdc_makanmana_spark.plans import queries as Q\n"
         "spark = get_spark('unit-concurrent-builder')\n"
         "def build():\n"
         f"    pathlib.Path({sentinel!r}).touch()  # signal: race window open\n"
-        "    time.sleep(6)  # hold it open past the main process's build\n"
+        "    # hold the window open until the MAIN process has committed\n"
+        "    # (sentinel handshake, not a timed sleep — a loaded box must\n"
+        "    # not let the two writes overlap nondeterministically)\n"
+        "    deadline = time.time() + 120\n"
+        f"    while not os.path.exists({main_done!r}):\n"
+        "        if time.time() > deadline:\n"
+        "            raise RuntimeError('main process never committed')\n"
+        "        time.sleep(0.2)\n"
         "    return spark.range(3).toDF('id')\n"
         f"df = Q._artifact(spark, {sf!r}, 'unit_trace', ('documents',), build)\n"
         "print('ROWS', df.count(), flush=True)\n"
@@ -180,6 +188,7 @@ def test_concurrent_builders_converge_to_one_committed_generation(spark, tmp_pat
         calls = []
         df = Q._artifact(spark, sf, "unit_trace", ("documents",), _build_counter(spark, calls))
         assert df.count() == 3 and len(calls) == 1
+        open(main_done, "w").close()  # release the subprocess's build
         out, _ = proc.communicate(timeout=180)
         assert proc.returncode == 0 and "ROWS 3" in out  # loser also served
     finally:
