@@ -2038,10 +2038,15 @@ def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 - distinct/total, a pure codegen expression over the token
     array) and the top-bigram dominance (most frequent bigram count /
     total bigrams — boilerplate and spam score high). The bigram mode
-    runs explode → per-(doc, bigram) count → per-doc max: two
-    map-side-combinable aggregations on (doc_id, 8-byte-hashable)
-    keys, linear at any corpus size. A training pipeline filters on
-    thresholds over these columns BEFORE the expensive dedup ladder."""
+    is computed ROW-LOCALLY: build the bigram array, array_sort it,
+    and take the longest equal run with one aggregate() fold — a
+    per-document O(n log n) whole-stage-codegen expression. The whole
+    query is therefore a single map-only pass: ZERO shuffles at any
+    corpus size (the previous shape exploded bigrams through two
+    hash aggregations and a re-join — three shuffles of fact-scale
+    rows whose per-doc cardinality a single row can hold). A training
+    pipeline filters on thresholds over these columns BEFORE the
+    expensive dedup ladder."""
     from cdc_makanmana_spark.operators.dedup import _norm_text, _spread
 
     d = (
@@ -2056,35 +2061,41 @@ def q45_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(words)).alias("n_distinct"),
         words.alias("__w"),
     )
-    bigrams = base.filter(F.col("n_words") >= 2).select(
+    # guard the n_words<2 case explicitly: sequence(1, 0) would step
+    # DOWNWARD ([1,0]) and slice(w, 0, 2) throws on the 0 index
+    bigrams = F.when(
+        F.col("n_words") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_words") - 1),
+            lambda i: F.array_join(F.slice(F.col("__w"), i, 2), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # longest equal run in the sorted bigram array == max bigram count;
+    # words are non-empty post-normalization, so "" is a safe sentinel
+    top_c = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return base.select(
         "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_words") - 1),
-                lambda i: F.array_join(F.slice(F.col("__w"), i, 2), " "),
-            )
-        ).alias("b"),
-    )
-    top = (
-        bigrams.groupBy("doc_id", "b")
-        .count()
-        .groupBy("doc_id")
-        .agg(F.max("count").alias("top_c"))
-    )
-    return (
-        base.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round(
-                1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6
-            ).alias("rep_word_frac"),
-            F.round(
-                F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
-                / F.greatest(F.col("n_words") - 1, F.lit(1)),
-                6,
-            ).alias("top_bigram_frac"),
-        )
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_words"), 6).alias(
+            "rep_word_frac"
+        ),
+        F.round(
+            top_c.cast("double") / F.greatest(F.col("n_words") - 1, F.lit(1)), 6
+        ).alias("top_bigram_frac"),
     )
 
 

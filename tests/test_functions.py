@@ -304,6 +304,9 @@ def test_repetition_metrics_known_values(spark, tmp_path):
         (1, "spam spam spam spam"),           # 4 words, 1 distinct, top bigram 'spam spam' x3
         (2, "alpha beta gamma delta"),        # all distinct, every bigram unique
         (3, "single"),                        # no bigrams
+        (4, ""),                              # empty text -> 1 empty token, no bigrams
+        (5, "w  w   w"),                      # multi-space collapse: 'w w' x2 of 2
+        (6, None),                            # dropped by the null filter
     ]
     (
         spark.createDataFrame(docs, "doc_id long, text string")
@@ -314,6 +317,12 @@ def test_repetition_metrics_known_values(spark, tmp_path):
     assert out[1].rep_word_frac == 0.75 and out[1].top_bigram_frac == 1.0
     assert out[2].rep_word_frac == 0.0 and out[2].top_bigram_frac == round(1 / 3, 6)
     assert out[3].rep_word_frac == 0.0 and out[3].top_bigram_frac == 0.0
+    assert out[4].rep_word_frac == 0.0 and out[4].top_bigram_frac == 0.0
+    assert out[5].rep_word_frac == round(1 - 1 / 3, 6) and out[5].top_bigram_frac == 1.0
+    assert 6 not in out
+    # the row-local rewrite's contract: a single map-only pass
+    plan = q45_repetition_metrics(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_token_count_bpe_matches_python_reference(spark):
