@@ -63,10 +63,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "q01_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                    AS sum_qty,
-           round(sum(l_extendedprice), 2)                               AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS sum_base_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 2)
+             AS sum_disc_price,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE), 2)
+             AS sum_charge,
            round(avg(l_quantity), 4)                                    AS avg_qty,
            round(avg(l_extendedprice), 4)                               AS avg_price,
            round(avg(l_discount), 6)                                    AS avg_disc,
@@ -78,17 +85,32 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary. Single hash-agg with map-side
-    partials; the shipdate filter pushes into the parquet scan."""
+    partials; the shipdate filter pushes into the parquet scan.
+
+    Money SUMs accumulate in tight DECIMALs (12,2 price × 4,2 rate —
+    products stay exact and well inside precision 38), so the hashed
+    2-dp rounding is stable at any cardinality: at the 100× organic
+    sweep the same-shaped q03 diverged by one cent from double
+    accumulation-order drift on ~1e12 totals (ulp ≈ 2.4e-4). The AVGs
+    stay double — their absolute error is ulp(sum)/n, orders of
+    magnitude under their rounding."""
     li = _t(spark, sf_dir, "lineitem")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+                F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.round(F.sum(price_d).cast("double"), 2).alias("sum_base_price"),
+            F.round(F.sum(price_d * (1 - disc_d)).cast("double"), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_d * (1 - disc_d) * (1 + tax_d)).cast("double"), 2
             ).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -136,7 +158,9 @@ def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_region_nation_revenue",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 2) AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -151,7 +175,15 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (25/5 rows at any scale) → pinned broadcast; customer scales with
     the dataset, so its join is left to AQE (broadcast while small,
     shuffle join at 100 TB — a pinned hint there is the driver-OOM
-    class tests/test_plans.py bans for resolve_halal)."""
+    class tests/test_plans.py bans for resolve_halal).
+
+    Revenue accumulates in DECIMAL: the term and its SUM are exact on
+    both engines, so the 2-dp rounding hashes identically at any
+    cardinality. Found at the 100× organic sweep: the double SUM of
+    ~2.4M 2-dp terms per nation (~1.2e11 totals) differed in the last
+    cent between Spark's and DuckDB's accumulation orders — the parity
+    rule against hashing float SUMs, which this query violated from
+    round 1 and got away with below ~30× scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -164,7 +196,13 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_lineitems"),
         )
     )
@@ -214,7 +252,8 @@ def q05_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_rollup_region_nation",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           count(*) AS n_customers, round(sum(c.c_acctbal), 2) AS total_acctbal
+           count(*) AS n_customers,
+           round(CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_acctbal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
                     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP (r.r_name, n.n_name)
@@ -229,7 +268,14 @@ def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"), "c_acctbal")
         .rollup("region_name", "nation_name")
-        .agg(F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            # decimal accumulation: the ROLLUP grand total sums every
+            # customer - double 2-dp rounding drifts at scale
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_acctbal"),
+        )
     )
 
 
@@ -237,7 +283,7 @@ def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q07_cube_status_priority",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -245,7 +291,12 @@ def q06_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q07_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_price")
+        F.count("*").alias("n_orders"),
+        # decimal accumulation: the CUBE's grand-total cell sums EVERY
+        # order, where a double sum's 2-dp rounding drifts at scale
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double"), 2
+        ).alias("total_price"),
     )
 
 
@@ -1478,7 +1529,7 @@ def q35_embedding_blocked_neardup(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     SELECT n_name, o_orderpriority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total_price
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -1507,7 +1558,7 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_price
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_price
         FROM __q36
         GROUP BY GROUPING SETS ((n_name), (o_orderpriority), (n_name, o_orderpriority))
         """
@@ -2763,7 +2814,7 @@ def q53_hashed_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, k - (k % 10) AS k_bucket,
            count(*) AS n_events,
            count(DISTINCT user_id) AS n_users,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2) AS total_value
     FROM e GROUP BY event_type, k - (k % 10)
     """,
 )
@@ -2787,7 +2838,9 @@ def q54_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.count_distinct("user_id").alias("n_users"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
     )
 
@@ -4149,12 +4202,12 @@ def q79_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (
       SELECT c_nationkey AS nationkey,
              count(*)::DOUBLE AS n_customers,
-             round(sum(c_acctbal), 2) AS customer_acctbal
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS customer_acctbal
       FROM customer GROUP BY c_nationkey),
     s AS (
       SELECT s_nationkey AS nationkey,
              count(*)::DOUBLE AS n_suppliers,
-             round(sum(s_acctbal), 2) AS supplier_acctbal
+             round(CAST(sum(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE), 2) AS supplier_acctbal
       FROM supplier GROUP BY s_nationkey),
     wide AS (
       SELECT n.n_name AS nation,
@@ -4187,7 +4240,9 @@ def q80_nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("customer_acctbal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("customer_acctbal"),
         )
     )
     supp = (
@@ -4195,7 +4250,9 @@ def q80_nation_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).cast("double").alias("n_suppliers"),
-            F.round(F.sum("s_acctbal"), 2).alias("supplier_acctbal"),
+            F.round(
+                F.sum(F.col("s_acctbal").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("supplier_acctbal"),
         )
     )
     wide = (
@@ -4695,7 +4752,8 @@ _Q90_QS = ", ".join(str(i / _Q90_BINS) for i in range(1, _Q90_BINS))
 @query(
     "q90_equidepth_histogram",
     f"""
-    WITH b AS (SELECT quantile_cont(value, [{_Q90_QS}]) AS bs FROM events),
+    WITH b AS (SELECT list_transform(quantile_cont(value, [{_Q90_QS}]),
+                                     x -> round(x, 6)) AS bs FROM events),
     h AS (
       SELECT value,
              len(list_filter((SELECT bs FROM b), x -> value > x))::BIGINT AS bucket
@@ -4716,16 +4774,20 @@ def q90_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-of-boundaries-below per row — NOT the textbook
     ntile()-over-everything, whose single-partition global-sort window
     is exactly what local[32] warns about and a 1000-executor cluster
-    dies on. Both engines interpolate percentiles identically (same
-    sort, same linear blend), so strict boundary comparison
-    hash-matches without rounding tricks."""
+    dies on. Boundaries are rounded to 6 dp on BOTH engines before
+    binning: the interpolation FORMULAS differ (Spark lo+(hi-lo)*t is
+    exact when hi==lo inside a duplicate run; DuckDB's lo*(1-t)+hi*t
+    blend is 1 ulp low there — measured at 100× organic:
+    224.09999999999997 vs 224.1), and an off-by-one-ulp boundary
+    reassigns every row of that duplicate run to the wrong bucket."""
     ev = _t(spark, sf_dir, "events").select("value")
     ev.createOrReplaceTempView("q90_ev")
     return spark.sql(
         f"""
         WITH w AS (
           SELECT value,
-                 (SELECT percentile(value, array({_Q90_QS})) FROM q90_ev) AS bs
+                 (SELECT transform(percentile(value, array({_Q90_QS})),
+                                   x -> round(x, 6)) FROM q90_ev) AS bs
           FROM q90_ev),
         h AS (
           SELECT value,
@@ -5486,7 +5548,8 @@ def _rangesorted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type,
            count(*) AS n_events,
-           round(sum(value), 2) AS total_value
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 2)
+             AS total_value
     FROM events
     WHERE ts >= TIMESTAMP '{_Q102_FROM}' AND ts < TIMESTAMP '{_Q102_TO}'
     GROUP BY event_type
@@ -5512,7 +5575,9 @@ def q102_rangesorted_event_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 2
+            ).alias("total_value"),
         )
     )
 
