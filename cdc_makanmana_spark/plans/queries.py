@@ -1448,21 +1448,53 @@ def q33_distance_format_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact order statistics + distinct counts per group: percentile
-    (linear interpolation, matching quantile_cont), COUNT(DISTINCT)
-    (Catalyst plans expand + two-phase agg), sample stddev. The
-    approx_* variants (approx_count_distinct, percentile_approx) are
-    the 100 TB path but are estimator-specific, so the oracle checks
-    the exact forms."""
+    """Exact order statistics + distinct counts per group, decomposed
+    into three parallel aggregations joined on the 3-row group frame:
+
+    - percentiles via ``exact_group_percentiles`` (operators/
+      percentile.py): GK approx-bracket + exact-within-band, bit-equal
+      to Spark's ``percentile`` (verified) but with bounded per-task
+      state — the builtin merges a value→count map per group at the
+      group's single reducer, and l_extendedprice barely compresses
+      (26.6M distinct (flag, price) pairs at 100× organic), which made
+      this one aggregate 44-48 s of the query's 67-93 s there. The
+      decomposed form measures ~17 s at the same scale, and the band
+      (~4·n/accuracy rows) is what a 1000-executor cluster sorts
+      instead of 20M-row per-group maps.
+    - COUNT(DISTINCT) as distinct-pairs → count (its own scan avoids
+      the Expand that doubled the fused aggregate's shuffle input);
+    - sample stddev, a plain algebraic aggregate.
+
+    The approx_* variants (approx_count_distinct, percentile_approx)
+    remain the pure-sketch 100 TB path (q59); this query pins the
+    EXACT forms against the oracle."""
+    from cdc_makanmana_spark.operators.percentile import exact_group_percentiles
+
     li = _t(spark, sf_dir, "lineitem")
-    # Both percentiles from ONE percentile aggregate (single sort pass)
-    # instead of two independent order-statistic aggregations.
-    pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))")
-    return li.groupBy("l_returnflag").agg(
-        F.round(pcts[0], 4).alias("median_price"),
-        F.round(pcts[1], 4).alias("p90_price"),
-        F.countDistinct("l_suppkey").alias("n_suppliers"),
-        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+    pct = (
+        exact_group_percentiles(
+            li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+        )
+        .groupBy("l_returnflag")
+        .pivot("p", [0.5, 0.9])
+        .agg(F.first("value"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("`0.5`"), 4).alias("median_price"),
+            F.round(F.col("`0.9`"), 4).alias("p90_price"),
+        )
+    )
+    sup = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    sd = li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty")
+    )
+    return pct.join(sup, "l_returnflag").join(sd, "l_returnflag").select(
+        "l_returnflag", "median_price", "p90_price", "n_suppliers", "sd_qty"
     )
 
 

@@ -1394,3 +1394,61 @@ def test_release_materialized_drops_checkpoint_blocks(spark):
     assert len(spark.sparkContext._jsc.sc().getRDDStorageInfo()) == 0
     # the session keeps working for fresh plans
     assert spark.range(10).count() == 10
+
+
+def test_exact_group_percentiles_bit_equal_to_builtin(spark):
+    """The approx-bracket + exact-within-band operator must return
+    BIT-identical values to Spark's exact ``percentile`` aggregate
+    (same position arithmetic, same weighted-blend interpolation) —
+    including edge percentages 0/1, duplicate runs, NULLs, and groups
+    on both sides of the accuracy cutover (n < accuracy serves the
+    whole group as the band; n >= accuracy exercises the GK bracket)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.operators.percentile import exact_group_percentiles
+
+    def ref(df, ps):
+        pe = F.expr(f"percentile(v, array({', '.join(map(repr, ps))}))")
+        return {
+            (r.k, float(p)): r.out[i]
+            for r in df.groupBy("k").agg(pe.alias("out")).collect()
+            for i, p in enumerate(ps)
+        }
+
+    def mine(df, ps, acc):
+        return {
+            (r.k, r.p): r.value
+            for r in exact_group_percentiles(df, ["k"], "v", ps, accuracy=acc).collect()
+        }
+
+    random.seed(11)
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 1.0), ("c", 9.0),
+         ("d", None), ("d", 3.0), ("d", 4.0)],
+        "k string, v double",
+    )
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    assert ref(tiny, ps) == mine(tiny, ps, 10_000)
+
+    # duplicate-heavy groups straddling the cutover at accuracy=500
+    big = spark.createDataFrame(
+        [("g%d" % (i % 3), float(random.randint(0, 400)) / 7.0) for i in range(30_000)]
+        + [("tiny", float(i)) for i in range(40)],
+        "k string, v double",
+    ).repartition(8)
+    ps = [0.1, 0.5, 0.9, 0.99]
+    assert ref(big, ps) == mine(big, ps, 500)
+
+
+def test_exact_group_percentiles_rejects_bad_percentages(spark):
+    import pytest
+
+    from cdc_makanmana_spark.operators.percentile import exact_group_percentiles
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, v double")
+    with pytest.raises(ValueError):
+        exact_group_percentiles(df, ["k"], "v", [])
+    with pytest.raises(ValueError):
+        exact_group_percentiles(df, ["k"], "v", [1.5])
