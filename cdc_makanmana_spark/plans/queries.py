@@ -4145,29 +4145,53 @@ def q78_rolling_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``epoch(ts)::BIGINT`` ROUNDS half the keys up (measured: 49.9k of
     100k sf0.1 keys differ under the naive cast), so the oracle pins
     ``date_trunc('second')`` before the cast — the one semantic trap
-    of numeric RANGE frames over timestamps. One shuffle on user_id;
-    the frame is evaluated by Spark's sliding WindowExec with no
-    self-join — at 100 TB this is the only linear-cost way to express
-    'events in my trailing week', the binned self-join alternative
-    (q30's shape) multiplies rows by windows-per-event."""
+    of numeric RANGE frames over timestamps. One shuffle on user_id,
+    ONE sort, no self-join.
+
+    Frame shape: the trailing sum/count are computed as the DIFFERENCE
+    of two prefix frames — (unboundedPreceding, 0) minus
+    (unboundedPreceding, -WIN-1) — instead of the direct bounded RANGE
+    frame. Spark evaluates unbounded-preceding frames INCREMENTALLY
+    (add-only buffer, O(n) per partition) but REBUILDS a bounded
+    sliding frame's buffer from scratch every time rows leave it
+    (aggregates have no retract), which is O(n × frame-rows); with the
+    fixture's fixed time axis the 7-day frame grows with N and the
+    direct form measured 47.5 s at 100× organic vs ~4-6 s for this
+    one. ``value`` rides as DECIMAL(12,2) so the prefix difference is
+    EXACT (a double prefix subtraction would reintroduce the
+    accumulation-order hash hazard the float-SUM parity rule bans;
+    integer secs make the -WIN-1 complement boundary exact too)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.col("ts").cast("long").alias("sec"), "value"
+        "user_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.col("value").cast("decimal(12,2)").alias("value"),
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("sec")
-        .rangeBetween(-_Q78_WIN_S, 0)
+    w_now = (
+        Window.partitionBy("user_id").orderBy("sec").rangeBetween(
+            Window.unboundedPreceding, 0
+        )
     )
+    w_before = (
+        Window.partitionBy("user_id").orderBy("sec").rangeBetween(
+            Window.unboundedPreceding, -_Q78_WIN_S - 1
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
     f = ev.select(
         "user_id",
-        F.count(F.lit(1)).over(w).alias("n7"),
-        F.sum("value").over(w).alias("v7"),
+        (F.count(F.lit(1)).over(w_now) - F.count(F.lit(1)).over(w_before)).alias(
+            "n7"
+        ),
+        (
+            F.sum("value").over(w_now)
+            - F.coalesce(F.sum("value").over(w_before), zero)
+        ).alias("v7"),
     )
     return f.groupBy("user_id").agg(
         F.max("n7").alias("peak_7d_events"),
-        F.round(F.max("v7"), 6).alias("peak_7d_value"),
+        F.round(F.max("v7").cast("double"), 6).alias("peak_7d_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
