@@ -12,34 +12,35 @@ This operator computes the SAME result (linear interpolation at rank
 ``q*(n-1)``, Spark/DuckDB ``quantile_cont`` semantics) with bounded
 per-task state:
 
-1. one pass: exact group counts ``n``;
-2. one pass: a Greenwald-Khanna ``approx_percentile`` sketch per group
+1. one map-side-combinable pass: exact non-null count AND a
+   Greenwald-Khanna ``approx_percentile`` sketch per group; the sketch
    brackets each target rank from both sides. GK's rank error is
-   DETERMINISTIC (≤ n/accuracy), so with a 2/accuracy percentage
-   margin the bracket provably contains the target ranks — this is a
+   DETERMINISTIC (≤ n/accuracy), so with the percentage margins below
+   the bracket provably contains the target ranks — a
    correctness-preserving bracket, not a heuristic;
-3. one pass: rows inside any bracket are tagged per target (a row can
+2. one pass: rows inside any bracket are tagged per target (a row can
    serve several targets when brackets overlap), counted-below to
    anchor local offsets, and the two neighboring order statistics are
-   picked by a window over the TINY band (~4·n/accuracy rows per
-   target per group, ≈8k at n=20M with the default accuracy);
-4. interpolate ``lo + (hi - lo) * frac`` — bit-identical to Spark's
-   Percentile evaluator (and exact when hi == lo, matching the q90
-   duplicate-run lesson).
+   picked by a window over the TINY band (~6·n/accuracy rows per
+   target per group at the default accuracy);
+3. interpolate with Spark Percentile's WEIGHTED BLEND —
+   ``(higher-position)*lo + (position-lower)*hi`` with the early
+   return at integral positions — bit-identical to the builtin (NOT
+   ``lo + (hi-lo)*frac``, whose last-ulp rounding differs; the same
+   formula-divergence class q90 hit between Spark and DuckDB inside
+   duplicate runs).
 
-The wide input is never sorted, never map-merged: every full-table
-pass is a map-side-combinable aggregate, and the only sort touches the
-band. At 100 TB the band stays ~4·n/accuracy rows — raise ``accuracy``
-to shrink it.
+The wide input is never sorted, never map-merged: both full-table
+passes are map-side-combinable aggregates, and the only sort touches
+the band. At 100 TB the band stays ~6·n/accuracy rows — raise
+``accuracy`` to shrink it.
 
-Reference shape: src/utils/distanceUtils.ts:1-12 computes client-side
-stats over the full merchant array; this is the engine's distributed
-generalization for order statistics.
+Reference shape: the reference computes client-side order statistics
+over the full in-memory merchant array (src/utils/merchantUtils.ts);
+this is the engine's distributed generalization.
 """
 
 from __future__ import annotations
-
-import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -50,14 +51,27 @@ def exact_group_percentiles(
     value_col: str,
     percentages: list[float],
     accuracy: int = 10_000,
+    broadcast_groups: bool = False,
 ) -> DataFrame:
     """(key_cols..., p, value) — the exact interpolated percentile of
     ``value_col`` per group for every p in ``percentages``, matching
     ``percentile(value, array(...))`` / DuckDB ``quantile_cont``.
 
-    NULL values are ignored (aggregate semantics). Groups smaller than
-    ~accuracy/2 rows skip the bracket and sort directly — the band IS
-    the group there.
+    ``broadcast_groups`` pins a broadcast of the per-group meta/below
+    frames onto the wide-side joins: pass True when the GROUP-KEY
+    cardinality is known small (q34: 3 flags — the static planner
+    otherwise stages SortMergeJoins whose probe-side shuffles cost more
+    than AQE's late conversion recovers, measured +8 s at 100×); leave
+    False for unknown cardinality — a pinned broadcast that scales
+    with group count is the driver-OOM trap.
+
+    NULL values are ignored within a group; a group whose values are
+    ALL NULL is still emitted, with NULL for every percentage (the
+    builtin aggregate's contract — an operator that silently dropped
+    such groups would shrink downstream joins). Groups smaller than
+    ``accuracy`` rows skip the bracket and sort directly — the band IS
+    the group there (and the bracket guarantee below needs
+    n ≥ accuracy).
     """
     if not percentages:
         raise ValueError("percentages must be non-empty")
@@ -65,29 +79,28 @@ def exact_group_percentiles(
         if not 0.0 <= p <= 1.0:
             raise ValueError(f"percentage {p} outside [0, 1]")
     eps = 1.0 / accuracy
+    k = len(percentages)
 
-    rows = df.select(*key_cols, F.col(value_col).alias("__v")).filter(
-        F.col("__v").isNotNull()
-    )
-    counts = rows.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    rows = df.select(*key_cols, F.col(value_col).alias("__v"))
 
-    # GK bracket per group: the sketch at percentage (p - 3ε) returns a
+    # ONE pass for both the exact non-null count and the GK bracket
+    # (count(__v) and approx_percentile both ignore NULLs, and a group
+    # of only NULLs still yields its meta row — count 0, NULL sketch).
+    # Bracket guarantee: the sketch at percentage (p - 3ε) returns a
     # value holding SOME sorted index j with j ≤ (p-3ε+ε)n = pn - 2εn;
     # pn - 2εn ≤ floor(p(n-1)) whenever 2εn ≥ p + 1 — i.e. for groups
     # with n ≥ accuracy the bracket PROVABLY contains both neighboring
-    # order statistics (symmetric argument for p + 3ε above). Groups
-    # under the cutover take (-inf, +inf) — the band is the whole
-    # group, whose sort is trivial at that size.
+    # order statistics (symmetric argument for p + 3ε above).
     lo_pcts = [max(0.0, p - 3.0 * eps) for p in percentages]
     hi_pcts = [min(1.0, p + 3.0 * eps) for p in percentages]
-    bounds = rows.groupBy(*key_cols).agg(
+    meta = rows.groupBy(*key_cols).agg(
+        F.count("__v").alias("__n"),
         F.expr(
             f"approx_percentile(__v, array({', '.join(repr(x) for x in lo_pcts + hi_pcts)}), {accuracy})"
-        ).alias("__bnd")
+        ).alias("__bnd"),
     )
-    k = len(percentages)
     small = F.col("__n") < accuracy
-    meta = counts.join(bounds, key_cols).select(
+    meta = meta.select(
         *key_cols,
         "__n",
         *[
@@ -106,7 +119,8 @@ def exact_group_percentiles(
 
     # Per-target rank arithmetic (mirrors Spark Percentile: position =
     # p*(n-1) in double, floor/ceil neighbors).
-    tagged = rows.join(F.broadcast(meta), key_cols)
+    hint = F.broadcast if broadcast_groups else (lambda side: side)
+    tagged = rows.filter(F.col("__v").isNotNull()).join(hint(meta), key_cols)
     per_target = []
     for i, p in enumerate(percentages):
         rank = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
@@ -140,16 +154,13 @@ def exact_group_percentiles(
     # body lands in a plan node that no longer carries __v —
     # INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND), so keep the predicate a
     # plain row-level filter instead
-    band = (
-        tagged.select(*key_cols, "__v", F.explode(targets).alias("__t"))
-        .filter(
-            (F.col("__v") >= F.col("__t.blo")) & (F.col("__v") <= F.col("__t.bhi"))
-        )
+    band = tagged.select(*key_cols, "__v", F.explode(targets).alias("__t")).filter(
+        (F.col("__v") >= F.col("__t.blo")) & (F.col("__v") <= F.col("__t.bhi"))
     )
 
     w = Window.partitionBy(*key_cols, F.col("__t.ti")).orderBy("__v")
     ranked = band.withColumn("__r", F.row_number().over(w) - 1).join(
-        F.broadcast(below), key_cols
+        hint(below), key_cols
     )
     # local offsets of the two neighboring order statistics
     off = F.col("__r") + _below_of(k)
@@ -159,23 +170,38 @@ def exact_group_percentiles(
         ranked.filter(lo_hit | hi_hit)
         .groupBy(*key_cols, F.col("__t.ti").alias("__ti"))
         .agg(
-            F.first(F.col("__t.p")).alias("p"),
             F.first(F.col("__t.position")).alias("__pos"),
             F.min(F.when(lo_hit, F.col("__v"))).alias("__lo"),
             F.min(F.when(hi_hit, F.col("__v"))).alias("__hi"),
         )
     )
     # bit-identical to Spark Percentile.getPercentile: early return at
-    # integral positions, else the WEIGHTED BLEND (higher-position)*lo
-    # + (position-lower)*hi — NOT lo + (hi-lo)*frac, whose rounding
-    # differs in the last ulp and breaks hash parity
+    # integral positions, else the weighted blend.
     lower = F.floor(F.col("__pos")).cast("double")
     higher = F.ceil(F.col("__pos")).cast("double")
     value = F.when(higher == lower, F.col("__lo")).otherwise(
         (higher - F.col("__pos")) * F.col("__lo")
         + (F.col("__pos") - lower) * F.col("__hi")
     )
-    return picked.select(*key_cols, "p", value.alias("value"))
+
+    # (group × percentage) universe from the meta frame, so all-NULL
+    # groups surface with NULL values instead of vanishing.
+    universe = meta.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("__ti"), F.lit(float(p)).alias("p"))
+                    for i, p in enumerate(percentages)
+                ]
+            )
+        ).alias("__u"),
+    ).select(*key_cols, F.col("__u.__ti").alias("__ti"), F.col("__u.p").alias("p"))
+    return universe.join(
+        picked.select(*key_cols, "__ti", value.alias("value")),
+        [*key_cols, "__ti"],
+        "left",
+    ).select(*key_cols, "p", "value")
 
 
 def _below_of(k: int) -> Column:

@@ -1473,7 +1473,11 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     pct = (
         exact_group_percentiles(
-            li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9]
+            li,
+            ["l_returnflag"],
+            "l_extendedprice",
+            [0.5, 0.9],
+            broadcast_groups=True,  # 3 groups — bounded dim by contract
         )
         .groupBy("l_returnflag")
         .pivot("p", [0.5, 0.9])
@@ -1486,6 +1490,9 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = (
         li.select("l_returnflag", "l_suppkey")
+        # COUNT(DISTINCT x) ignores NULLs — the distinct-pairs form
+        # must filter them or it counts one phantom supplier per group
+        .filter(F.col("l_suppkey").isNotNull())
         .distinct()
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))

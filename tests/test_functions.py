@@ -320,9 +320,13 @@ def test_repetition_metrics_known_values(spark, tmp_path):
     assert out[4].rep_word_frac == 0.0 and out[4].top_bigram_frac == 0.0
     assert out[5].rep_word_frac == round(1 - 1 / 3, 6) and out[5].top_bigram_frac == 1.0
     assert 6 not in out
-    # the row-local rewrite's contract: a single map-only pass
+    # the row-local rewrite's contract: no aggregation/join shuffle and
+    # no join operators. (_spread MAY inject one round-robin Exchange
+    # when the input has fewer files than cores — input splitting, not
+    # a data shuffle — so assert on hashpartitioning specifically.)
     plan = q45_repetition_metrics(spark, str(tmp_path))._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "Join" not in plan
 
 
 def test_token_count_bpe_matches_python_reference(spark):

@@ -1412,7 +1412,7 @@ def test_exact_group_percentiles_bit_equal_to_builtin(spark):
     def ref(df, ps):
         pe = F.expr(f"percentile(v, array({', '.join(map(repr, ps))}))")
         return {
-            (r.k, float(p)): r.out[i]
+            (r.k, float(p)): (r.out[i] if r.out is not None else None)
             for r in df.groupBy("k").agg(pe.alias("out")).collect()
             for i, p in enumerate(ps)
         }
@@ -1426,11 +1426,15 @@ def test_exact_group_percentiles_bit_equal_to_builtin(spark):
     random.seed(11)
     tiny = spark.createDataFrame(
         [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 1.0), ("c", 9.0),
-         ("d", None), ("d", 3.0), ("d", 4.0)],
+         ("d", None), ("d", 3.0), ("d", 4.0), ("allnull", None), ("allnull", None)],
         "k string, v double",
     )
     ps = [0.0, 0.25, 0.5, 0.9, 1.0]
-    assert ref(tiny, ps) == mine(tiny, ps, 10_000)
+    # the all-NULL group must SURFACE with NULL values (builtin
+    # contract), not vanish and shrink downstream joins
+    got = mine(tiny, ps, 10_000)
+    assert all(got[("allnull", p)] is None for p in ps)
+    assert ref(tiny, ps) == got
 
     # duplicate-heavy groups straddling the cutover at accuracy=500
     big = spark.createDataFrame(
