@@ -188,6 +188,7 @@ def exact_group_percentiles(
     # groups surface with NULL values instead of vanishing.
     universe = meta.select(
         *key_cols,
+        "__n",
         F.explode(
             F.array(
                 *[
@@ -196,12 +197,32 @@ def exact_group_percentiles(
                 ]
             )
         ).alias("__u"),
-    ).select(*key_cols, F.col("__u.__ti").alias("__ti"), F.col("__u.p").alias("p"))
-    return universe.join(
+    ).select(
+        *key_cols, "__n", F.col("__u.__ti").alias("__ti"), F.col("__u.p").alias("p")
+    )
+    # Bracket-miss guard: a (group, p) with non-null rows (__n > 0)
+    # MUST have picked both order statistics — a NULL here means the
+    # GK bracket failed its guarantee (e.g. a merged sketch whose rank
+    # error exceeded 1/accuracy), and silently returning NULL would be
+    # indistinguishable from an all-NULL group downstream. Raise in the
+    # executor instead of emitting plausible-looking NULLs.
+    joined = universe.join(
         picked.select(*key_cols, "__ti", value.alias("value")),
         [*key_cols, "__ti"],
         "left",
-    ).select(*key_cols, "p", "value")
+    )
+    checked = F.when(
+        F.col("value").isNull() & (F.col("__n") > 0),
+        F.raise_error(
+            F.concat(
+                F.lit("exact_group_percentiles: GK bracket missed for p="),
+                F.col("p").cast("string"),
+                F.lit(" in a group with __n="),
+                F.col("__n").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("value"))
+    return joined.select(*key_cols, "p", checked.alias("value"))
 
 
 def _below_of(k: int) -> Column:

@@ -1500,8 +1500,22 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty")
     )
-    return pct.join(sup, "l_returnflag").join(sd, "l_returnflag").select(
-        "l_returnflag", "median_price", "p90_price", "n_suppliers", "sd_qty"
+    # LEFT joins from pct (which keeps every group, incl. all-NULL
+    # percentile groups): an inner join would silently drop a group
+    # whose every l_suppkey is NULL from `sup`, where the builtin
+    # COUNT(DISTINCT) emits it with n_suppliers = 0 (r5 advisor find).
+    # `sd` can't drop groups (same scan, no filter) but left keeps the
+    # survival contract explicit.
+    return (
+        pct.join(sup, "l_returnflag", "left")
+        .join(sd, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            "median_price",
+            "p90_price",
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+            "sd_qty",
+        )
     )
 
 
@@ -3750,7 +3764,8 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o),
     pv AS (SELECT user_id, version, ts AS valid_from, event_type
            FROM v WHERE chg)
-    SELECT user_id, version, valid_from, event_type,
+    SELECT user_id, CAST(version AS BIGINT) AS version, valid_from,
+           event_type,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
              AS valid_to
     FROM pv
@@ -4838,10 +4853,12 @@ def q90_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile()-over-everything, whose single-partition global-sort window
     is exactly what local[32] warns about and a 1000-executor cluster
     dies on. Boundaries are rounded to 6 dp on BOTH engines before
-    binning: the interpolation FORMULAS differ (Spark lo+(hi-lo)*t is
-    exact when hi==lo inside a duplicate run; DuckDB's lo*(1-t)+hi*t
-    blend is 1 ulp low there — measured at 100× organic:
-    224.09999999999997 vs 224.1), and an off-by-one-ulp boundary
+    binning: Spark's Percentile.getPercentile interpolates with the
+    WEIGHTED BLEND (higher-pos)*lo + (pos-lower)*hi, which returns lo
+    exactly when hi==lo inside a duplicate run; an interpolation in
+    the lo+(hi-lo)*t style can land 1 ulp off the duplicated value
+    there — the divergence measured at 100× organic
+    (224.09999999999997 vs 224.1) — and an off-by-one-ulp boundary
     reassigns every row of that duplicate run to the wrong bucket."""
     ev = _t(spark, sf_dir, "events").select("value")
     ev.createOrReplaceTempView("q90_ev")
@@ -5038,7 +5055,7 @@ def q92_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ux)
     SELECT event_type,
            count(*) AS n_users,
-           sum(x) AS n_events,
+           CAST(sum(x) AS BIGINT) AS n_events,
            round(2.0 * sum(i * x) / (count(*) * sum(x))
                  - (count(*) + 1.0) / count(*), 6) AS gini
     FROM r GROUP BY event_type
@@ -5260,7 +5277,7 @@ def q96_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg AS (SELECT user_id, value, nxt - sec AS dt FROM o WHERE nxt IS NOT NULL)
     SELECT user_id,
            count(*) AS n_intervals,
-           sum(dt) AS total_sec,
+           CAST(sum(dt) AS BIGINT) AS total_sec,
            round(sum(value * dt) / sum(dt), 6) AS twap
     FROM seg GROUP BY user_id
     """,

@@ -34,11 +34,40 @@ streaming generalization with per-event change capture.
 from __future__ import annotations
 
 import os
+import re
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 
 from cdc_makanmana_spark.streaming.cdc import read_upsert_stream, upsert_to_parquet
+
+
+def _part_index(fname: str) -> int:
+    """Writer-assigned partition index parsed from a Spark part-file
+    name (``part-00003-<uuid>...parquet`` → 3); raises on anything
+    else so a naming-scheme change cannot silently reorder a replay."""
+    m = re.match(r"part-(\d+)-", fname)
+    if m is None:
+        raise ValueError(
+            f"unrecognized part-file name {fname!r}; cannot pin replay order"
+        )
+    return int(m.group(1))
+
+
+def ordered_part_files(stage_dir: str) -> list[str]:
+    """Part-file names under ``stage_dir`` in WRITER-PARTITION order
+    (numeric, not lexicographic), with duplicates rejected — the
+    replay-determinism precondition stage_ranged_files relies on."""
+    parts = sorted(
+        (f for f in os.listdir(stage_dir) if f.endswith(".parquet")),
+        key=_part_index,
+    )
+    indices = [_part_index(f) for f in parts]
+    if len(set(indices)) != len(indices):
+        raise ValueError(
+            f"duplicate partition indices {indices} in {stage_dir!r}"
+        )
+    return parts
 
 
 def stage_ranged_files(
@@ -59,9 +88,14 @@ def stage_ranged_files(
         .write.mode("overwrite")
         .parquet(stage_dir)
     )
-    parts = sorted(
-        f for f in os.listdir(stage_dir) if f.endswith(".parquet")
-    )
+    # Sort by the PARSED partition index, not lexicographically: the
+    # replay-order guarantee rides on "range partition i == part-file
+    # i", and while Spark's zero-padded part-%05d naming makes the two
+    # orders coincide today, a naming-scheme change (or >99999 files)
+    # must fail loudly here rather than silently scramble the
+    # event-time replay order q105's determinism proof depends on
+    # (r5 advisor find).
+    parts = ordered_part_files(stage_dir)
     base = time.time()
     for i, p in enumerate(parts):
         t = base + i

@@ -1456,3 +1456,34 @@ def test_exact_group_percentiles_rejects_bad_percentages(spark):
         exact_group_percentiles(df, ["k"], "v", [])
     with pytest.raises(ValueError):
         exact_group_percentiles(df, ["k"], "v", [1.5])
+
+
+def test_q34_keeps_groups_whose_suppkeys_are_all_null(spark, tmp_path):
+    """q34's decomposition joins three parallel aggregates back onto
+    the group frame; the supplier-count leg filters NULL l_suppkey, so
+    a group whose EVERY l_suppkey is NULL has no row there. The builtin
+    COUNT(DISTINCT) contract emits that group with n_suppliers = 0 —
+    the joins must be LEFT from the percentile frame (which keeps all
+    groups) or the group silently vanishes (r5 advisor find)."""
+    from cdc_makanmana_spark.plans.queries import QUERIES
+
+    rows = [
+        ("A", 10.0, 1, 5.0),
+        ("A", 20.0, 2, 6.0),
+        ("N", 30.0, None, 7.0),  # all-NULL suppkey group
+        ("N", 40.0, None, 8.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, "
+        "l_suppkey int, l_quantity double",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.l_returnflag: r
+        for r in QUERIES["q34_group_stats"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {"A", "N"}
+    assert out["N"].n_suppliers == 0
+    assert out["A"].n_suppliers == 2
+    assert out["N"].median_price == 35.0

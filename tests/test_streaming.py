@@ -795,3 +795,25 @@ def test_chunking_runs_unchanged_on_a_stream(spark, tmp_path):
         for r in chunk_documents(batch, "text", "doc_id", 4, 3).collect()
     }
     assert got == want and len(got) >= 4
+
+
+def test_ordered_part_files_numeric_order_and_loud_failures(tmp_path):
+    """Replay order must come from the PARSED writer-partition index:
+    lexicographic order happens to match for zero-padded names but a
+    naming change must raise, not scramble q105's event-time replay
+    (r5 advisor find)."""
+    import pytest
+
+    from cdc_makanmana_spark.streaming.replay import ordered_part_files
+
+    d = tmp_path / "stage"
+    d.mkdir()
+    # deliberately non-padded names: lexicographic would give 1,10,2
+    for i in (1, 2, 10):
+        (d / f"part-{i}-uuid.parquet").touch()
+    (d / "_SUCCESS").touch()  # non-parquet ignored
+    assert [int(f.split("-")[1]) for f in ordered_part_files(str(d))] == [1, 2, 10]
+
+    (d / "data-0001.parquet").touch()  # foreign naming scheme
+    with pytest.raises(ValueError, match="unrecognized part-file"):
+        ordered_part_files(str(d))
