@@ -24,29 +24,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Driver-window rotation (round 5). The driver's correctness harness
-# checks the FIRST 50 entries of queries() in declaration order; rounds
-# 1-4 certified q01-q50, leaving q51-q102 with local-only verification.
-# This round leads with the never-driver-certified queries (newest
-# first, then the round-4 judge's explicitly-flagged layout queries
-# q101/q102, then q51.. in numeric order) so they earn hard
-# CORRECTNESS rows; the certified q01-q50 rotate to the back. Rotate
-# again next round so the residual tail (q96-q100 at the current count)
-# and the q01-q50 block get re-certified within two rounds.
-_ROTATION_FRONT = ["q101_cobucketed_revenue", "q102_rangesorted_event_scan"]
-_CERTIFIED_MAX = 50  # highest query number with a driver CORRECTNESS row (r1-r4)
+# Driver-window rotation (round 6). The driver's correctness harness
+# checks the FIRST 50 entries of queries() in declaration order.
+# Certification history: r1-r4 covered q01-q50; r5's rotated window
+# covered q103-q105, q101-q102 and q51-q95 (CORRECTNESS_r05.json),
+# leaving q96-q100 never driver-certified. This round leads with the
+# new streaming queries (q106/q107), the never-certified q96-q100,
+# and the queries FIXED this round (q72/q93 — the HUGEINT oracle-type
+# mismatches r5 flagged — plus q34, whose Spark plan changed); the
+# rest follow stalest-certification-first (the r4-certified q01-q50
+# block before the r5-certified block) so every query's driver row is
+# refreshed within two rounds of any change.
+_ROTATION_FRONT = [
+    "q106_stream_stateful_asof",
+    "q107_stream_dedup",
+    "q96_edge_churn",
+    "q97_time_weighted_value",
+    "q98_snm_multipass",
+    "q99_persistent_heavy_hitters",
+    "q100_referential_audit",
+    "q72_scd2_event_intervals",
+    "q93_activity_gini",
+    "q34_group_stats",
+]
+# round each query number last earned a driver CORRECTNESS row
+_R5_CERTIFIED = set(range(51, 96)) | {101, 102, 103, 104, 105}
 
 
 def _rotated(names: list[str]) -> list[str]:
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
-    front = [n for n in names if num(n) > 102]  # new this round, newest-first slot
-    front += [n for n in _ROTATION_FRONT if n in names]
+    front = [n for n in _ROTATION_FRONT if n in names]
     rest = [n for n in names if n not in front]
-    uncertified = sorted((n for n in rest if num(n) > _CERTIFIED_MAX), key=num)
-    certified = sorted((n for n in rest if num(n) <= _CERTIFIED_MAX), key=num)
-    return front + uncertified + certified
+    rest.sort(key=lambda n: (num(n) in _R5_CERTIFIED, num(n)))
+    return front + rest
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -5944,6 +5944,145 @@ def q105_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q106_PARAMS = "key=user_id,upd=purchase,prb=view,files=8,mft=2,v1"
+
+
+def _stream_asof_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cdc_makanmana_spark.streaming.replay import (
+        replay_stateful_asof,
+        stage_ranged_files,
+    )
+
+    def build(work: str) -> None:
+        ev = _t(spark, sf_dir, "events")
+        # one update per (key, ts) — max-event_id wins — so the
+        # within-batch merge and the oracle's ASOF resolve exact-ts
+        # ties identically at any scale (the fixture has none; organic
+        # generations can)
+        w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+        upd = (
+            ev.filter(F.col("event_type") == "purchase")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("user_id").cast("string").alias("key"),
+                "ts",
+                F.lit("update").alias("kind"),
+                "value",
+            )
+        )
+        prb = ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").cast("string").alias("key"),
+            "ts",
+            F.lit("probe").alias("kind"),
+            F.lit(None).cast("double").alias("value"),
+        )
+        stage_ranged_files(spark, upd.unionByName(prb), f"{work}/stage")
+        replay_stateful_asof(spark, f"{work}/stage", f"{work}/out", f"{work}/ckpt")
+        # compact the streaming sink (absolute-path _spark_metadata —
+        # same relocation rule as q105)
+        spark.read.parquet(f"{work}/out").write.parquet(f"{work}/serve")
+
+    path = _streamed_artifact(
+        spark, sf_dir, "stream_asof", _Q106_PARAMS, build, serve="serve"
+    )
+    return spark.read.parquet(path)
+
+
+@query(
+    "q106_stream_stateful_asof",
+    """
+    WITH upd AS (
+      SELECT user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                 ORDER BY event_id DESC) = 1),
+    prb AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+    SELECT p.user_id, p.ts AS probe_ts, u.ts AS obs_ts, u.value AS obs_value
+    FROM prb p ASOF JOIN upd u
+      ON p.user_id = u.user_id AND p.ts >= u.ts
+    """,
+)
+def q106_stream_stateful_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom-stateful operator on the
+    oracle surface (streaming/stateful.py asof_enrich_stream — until
+    this round the §2.9 extension door was tests-only): one TAGGED
+    stream interleaves purchases (kind='update': the observed state)
+    and views (kind='probe'); each probe is answered with the latest
+    update at-or-before its event time from ONE state row per key,
+    replayed as real availableNow micro-batches and appended to a
+    parquet sink. Determinism: stage_ranged_files replays in event-time
+    order, so an update can never arrive in a later batch than a probe
+    it should answer; within a batch the operator materializes the
+    whole group and pd.merge_asof resolves inclusively — exactly
+    DuckDB's ASOF JOIN (p.ts >= u.ts), which the oracle certifies.
+    Probes before any update are unmatched on both sides (inner ASOF /
+    obs_ts filter). The streaming twin of q44's batch as-of join; the
+    reference's continuous analogue is the memoized verdict map
+    (src/services/externalData.ts:191-196,476-479)."""
+    out = _stream_asof_answers(spark, sf_dir)
+    return out.filter(F.col("obs_ts").isNotNull()).select(
+        F.col("key").cast("bigint").alias("user_id"),
+        "probe_ts",
+        "obs_ts",
+        "obs_value",
+    )
+
+
+_Q107_PARAMS = "keys=user_id+event_type,wm=365d,files=8,mft=2,v1"
+
+
+def _stream_deduped_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cdc_makanmana_spark.streaming.replay import (
+        replay_stream_dedup,
+        stage_ranged_files,
+    )
+
+    def build(work: str) -> None:
+        ev = _t(spark, sf_dir, "events").select(
+            "user_id", "event_type", "ts", "event_id"
+        )
+        stage_ranged_files(spark, ev, f"{work}/stage")
+        replay_stream_dedup(
+            spark,
+            f"{work}/stage",
+            f"{work}/out",
+            f"{work}/ckpt",
+            ["user_id", "event_type"],
+            watermark_delay="365 days",
+        )
+        spark.read.parquet(f"{work}/out").write.parquet(f"{work}/serve")
+
+    path = _streamed_artifact(
+        spark, sf_dir, "stream_dedup", _Q107_PARAMS, build, serve="serve"
+    )
+    return spark.read.parquet(path)
+
+
+@query(
+    "q107_stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def q107_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup — the dedup ladder's INGESTION tier
+    (dropDuplicatesWithinWatermark), replayed for real: the first
+    arrival of each (user_id, event_type) is appended to the sink,
+    later duplicates are suppressed by the watermarked dedup state
+    store. The watermark delay (365 d) exceeds the fixture's event-time
+    span at every generation, so no key's state is evicted mid-replay
+    and the emitted set equals a global DISTINCT — which the oracle
+    certifies. Only the KEY columns are served, so which physical
+    duplicate arrived first never shows in the hash. At 100 TB the
+    delay is tuned to the source's true duplicate horizon and state is
+    O(keys within the horizon) in RocksDB — the same bounded-state
+    trade every watermarked operator makes; unbounded exact history
+    belongs to the batch tiers (q15/q50's SignatureIndex)."""
+    out = _stream_deduped_keys(spark, sf_dir)
+    return out.select("user_id", "event_type")
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

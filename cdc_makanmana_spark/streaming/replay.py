@@ -219,3 +219,83 @@ def replay_interval_join(
         .start()
     )
     q.awaitTermination()
+
+
+def replay_stateful_asof(
+    spark: SparkSession,
+    stage_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "key",
+    ts_col: str = "ts",
+    kind_col: str = "kind",
+    value_col: str = "value",
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drive the applyInPandasWithState as-of enrichment
+    (stateful.asof_enrich_stream) over a staged TAGGED stream
+    (kind='update' carries state, kind='probe' asks for it) and append
+    each probe's answer to ``out_dir``. Staged via
+    ``stage_ranged_files`` so updates replay in event-time order —
+    a probe can never arrive in a micro-batch BEFORE an earlier
+    update's batch, which makes every answer equal the batch as-of
+    join's (the per-key state row carries the latest observation
+    across batches; pd.merge_asof resolves within-batch)."""
+    from cdc_makanmana_spark.streaming.stateful import asof_enrich_stream
+
+    schema = spark.read.parquet(stage_dir).schema
+    stream = read_upsert_stream(
+        spark, stage_dir, schema, fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    enriched = asof_enrich_stream(
+        stream, key_col=key_col, ts_col=ts_col,
+        kind_col=kind_col, value_col=value_col,
+    )
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def replay_stream_dedup(
+    spark: SparkSession,
+    stage_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "90 days",
+    max_files_per_trigger: int = 2,
+) -> None:
+    """Drive streaming exact-dedup (dropDuplicatesWithinWatermark)
+    over a staged stream: the first arrival of each key is appended to
+    ``out_dir``; later duplicates inside the watermark are suppressed
+    by the dedup state store. ``watermark_delay`` must exceed the
+    staged data's event-time span for the replay to equal a global
+    DISTINCT (state is evicted ``delay`` behind the watermark — a key
+    whose state expired would re-emit). Downstream consumers project
+    the KEY columns only, so which physical duplicate arrived first
+    never shows in the result."""
+    schema = spark.read.parquet(stage_dir).schema
+    stream = read_upsert_stream(
+        spark, stage_dir, schema, fmt="parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    deduped = stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
