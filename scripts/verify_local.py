@@ -32,7 +32,12 @@ def norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(round(v, 9))
+        # FULL precision: the driver's canonicalizer hashes raw values,
+        # and a 9-dp round here masked exactly the ulp-class divergences
+        # it flags. The whole declared surface is bit-equal between
+        # engines (round-6 strict sweep, 100/100), so this costs nothing
+        # and keeps the local gate at least as strict as the driver's.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, (list, tuple)):

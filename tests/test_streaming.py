@@ -817,3 +817,88 @@ def test_ordered_part_files_numeric_order_and_loud_failures(tmp_path):
     (d / "data-0001.parquet").touch()  # foreign naming scheme
     with pytest.raises(ValueError, match="unrecognized part-file"):
         ordered_part_files(str(d))
+
+
+def test_replay_stateful_asof_is_batching_independent(spark, tmp_path):
+    """q106's determinism argument, pinned as a property: the stateful
+    as-of replay must produce the identical answer multiset whether the
+    staged files arrive 1 or 8 per micro-batch, and must equal the
+    plain batch as-of expectation (latest update at-or-before each
+    probe, inclusive ties)."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.streaming.replay import (
+        replay_stateful_asof,
+        stage_ranged_files,
+    )
+
+    rows = []
+    # two keys, updates at :00/:10/:20, probes interleaved incl. an
+    # exact-ts tie and a probe before any update
+    for k in ("a", "b"):
+        rows += [
+            (k, "2024-01-01T00:00:05", "probe", None),      # before any update
+            (k, "2024-01-01T00:01:00", "update", 1.0),
+            (k, "2024-01-01T00:01:00", "probe", None),      # inclusive tie
+            (k, "2024-01-01T00:05:00", "probe", None),
+            (k, "2024-01-01T00:10:00", "update", 2.5),
+            (k, "2024-01-01T00:30:00", "probe", None),
+        ]
+    tagged = spark.createDataFrame(
+        rows, "key string, ts_s string, kind string, value double"
+    ).select("key", F.col("ts_s").cast("timestamp").alias("ts"), "kind", "value")
+
+    def run(mft: int) -> set:
+        d = tmp_path / f"mft{mft}"
+        stage_ranged_files(spark, tagged, str(d / "stage"), n_files=6)
+        replay_stateful_asof(
+            spark, str(d / "stage"), str(d / "out"), str(d / "ckpt"),
+            max_files_per_trigger=mft,
+        )
+        return {
+            (r.key, str(r.probe_ts), str(r.obs_ts), r.obs_value)
+            for r in spark.read.parquet(str(d / "out"))
+            .filter(F.col("obs_ts").isNotNull())
+            .collect()
+        }
+
+    one, many = run(1), run(8)
+    assert one == many
+    expected_per_key = {
+        ("2024-01-01 00:01:00", "2024-01-01 00:01:00", 1.0),
+        ("2024-01-01 00:05:00", "2024-01-01 00:01:00", 1.0),
+        ("2024-01-01 00:30:00", "2024-01-01 00:10:00", 2.5),
+    }
+    assert one == {
+        (k, p, o, v) for k in ("a", "b") for (p, o, v) in expected_per_key
+    }
+
+
+def test_replay_stream_dedup_emits_each_key_once(spark, tmp_path):
+    """q107's contract: with a watermark delay beyond the data span,
+    the streaming dedup emits exactly one row per key regardless of
+    micro-batch topology — a global DISTINCT."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.streaming.replay import (
+        replay_stream_dedup,
+        stage_ranged_files,
+    )
+
+    rows = [
+        (i, ["x", "y", "x", "x", "y", "z"][i % 6],
+         f"2024-01-01T{i % 24:02d}:00:00")
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, ts_s string").select(
+        "event_id", "k", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    for mft in (1, 8):
+        d = tmp_path / f"mft{mft}"
+        stage_ranged_files(spark, df, str(d / "stage"), n_files=6)
+        replay_stream_dedup(
+            spark, str(d / "stage"), str(d / "out"), str(d / "ckpt"),
+            ["k"], watermark_delay="365 days", max_files_per_trigger=mft,
+        )
+        got = sorted(r.k for r in spark.read.parquet(str(d / "out")).select("k").collect())
+        assert got == ["x", "y", "z"]
