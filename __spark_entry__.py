@@ -49,13 +49,19 @@ _ROTATION_FRONT = [
 ]
 # round each query number last earned a driver CORRECTNESS row
 _R5_CERTIFIED = set(range(51, 96)) | {101, 102, 103, 104, 105}
+# highest query number existing when this rotation was written: anything
+# above it is NEW and auto-fronts even if _ROTATION_FRONT wasn't edited —
+# a brand-new query must never ship outside the driver's 50-entry window
+# (the mechanical tier the r6 review asked to keep)
+_KNOWN_MAX = 107
 
 
 def _rotated(names: list[str]) -> list[str]:
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
-    front = [n for n in _ROTATION_FRONT if n in names]
+    front = sorted((n for n in names if num(n) > _KNOWN_MAX), key=num)
+    front += [n for n in _ROTATION_FRONT if n in names and n not in front]
     rest = [n for n in names if n not in front]
     rest.sort(key=lambda n: (num(n) in _R5_CERTIFIED, num(n)))
     return front + rest

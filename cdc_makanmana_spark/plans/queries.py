@@ -1504,18 +1504,32 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # percentile groups): an inner join would silently drop a group
     # whose every l_suppkey is NULL from `sup`, where the builtin
     # COUNT(DISTINCT) emits it with n_suppliers = 0 (r5 advisor find).
+    # NULL-SAFE equality on the group key: SQL GROUP BY treats NULL as
+    # a real group, so a NULL l_returnflag group must re-join its own
+    # sup/sd rows rather than fabricate n_suppliers=0 / sd_qty=NULL
+    # (r6 review find; not producible by the fixture, enforced anyway).
     # `sd` can't drop groups (same scan, no filter) but left keeps the
     # survival contract explicit.
-    return (
-        pct.join(sup, "l_returnflag", "left")
-        .join(sd, "l_returnflag", "left")
-        .select(
-            "l_returnflag",
-            "median_price",
-            "p90_price",
-            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
-            "sd_qty",
+    joined = (
+        pct.join(
+            sup,
+            pct["l_returnflag"].eqNullSafe(sup["l_returnflag"]),
+            "left",
         )
+        .drop(sup["l_returnflag"])
+        .join(
+            sd,
+            pct["l_returnflag"].eqNullSafe(sd["l_returnflag"]),
+            "left",
+        )
+        .drop(sd["l_returnflag"])
+    )
+    return joined.select(
+        pct["l_returnflag"],
+        "median_price",
+        "p90_price",
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        "sd_qty",
     )
 
 
@@ -5944,7 +5958,7 @@ def q105_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q106_PARAMS = "key=user_id,upd=purchase,prb=view,files=8,mft=2,v1"
+_Q106_PARAMS = "key=user_id,upd=purchase,prb=view,files=8,mft=2,v2"
 
 
 def _stream_asof_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5963,7 +5977,14 @@ def _stream_asof_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # generations can)
         w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
         upd = (
-            ev.filter(F.col("event_type") == "purchase")
+            # NULL-value updates are excluded on BOTH engines: the
+            # pandas state path would carry them as NaN while the
+            # oracle's ASOF JOIN returns NULL — the NaN/NULL hash
+            # divergence class (r6 review find; the fixture has no
+            # NULL values, pinned anyway)
+            ev.filter(
+                (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+            )
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(
@@ -5996,7 +6017,7 @@ def _stream_asof_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH upd AS (
       SELECT user_id, ts, value FROM events
-      WHERE event_type = 'purchase'
+      WHERE event_type = 'purchase' AND value IS NOT NULL
       QUALIFY row_number() OVER (PARTITION BY user_id, ts
                                  ORDER BY event_id DESC) = 1),
     prb AS (SELECT user_id, ts FROM events WHERE event_type = 'view')

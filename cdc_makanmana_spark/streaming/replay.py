@@ -281,8 +281,29 @@ def replay_stream_dedup(
     DISTINCT (state is evicted ``delay`` behind the watermark — a key
     whose state expired would re-emit). Downstream consumers project
     the KEY columns only, so which physical duplicate arrived first
-    never shows in the result."""
-    schema = spark.read.parquet(stage_dir).schema
+    never shows in the result.
+
+    The span precondition is ENFORCED, not assumed: a generator change
+    widening the event-time span past the delay would evict early keys
+    mid-replay and silently re-emit late duplicates (r6 review find) —
+    fail loudly here instead."""
+    from pyspark.sql import functions as F
+
+    staged = spark.read.parquet(stage_dir)
+    m = re.fullmatch(r"(\d+)\s+days?", watermark_delay.strip())
+    if m is None:
+        raise ValueError(
+            f"watermark_delay {watermark_delay!r} must be '<n> days' so the "
+            "span precondition can be checked"
+        )
+    lo, hi = staged.select(F.min(ts_col), F.max(ts_col)).first()
+    if lo is not None and (hi - lo).days >= int(m.group(1)):
+        raise ValueError(
+            f"staged event-time span {hi - lo} reaches the watermark delay "
+            f"({watermark_delay}): dedup state would evict mid-replay and "
+            "re-emit duplicates; raise the delay above the span"
+        )
+    schema = staged.schema
     stream = read_upsert_stream(
         spark, stage_dir, schema, fmt="parquet",
         max_files_per_trigger=max_files_per_trigger,

@@ -1487,3 +1487,31 @@ def test_q34_keeps_groups_whose_suppkeys_are_all_null(spark, tmp_path):
     assert out["N"].n_suppliers == 0
     assert out["A"].n_suppliers == 2
     assert out["N"].median_price == 35.0
+
+
+def test_q34_null_returnflag_group_joins_null_safe(spark, tmp_path):
+    """SQL GROUP BY treats NULL as a real group; q34's decomposed legs
+    re-join on the group key, so the NULL-flag group must re-join its
+    OWN sup/sd rows (null-safe equality), not fabricate n_suppliers=0
+    and sd_qty=NULL (r6 review find)."""
+    from cdc_makanmana_spark.plans.queries import QUERIES
+
+    rows = [
+        (None, 10.0, 1, 5.0),
+        (None, 20.0, 2, 7.0),
+        ("A", 30.0, 3, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, "
+        "l_suppkey int, l_quantity double",
+    )
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {
+        r.l_returnflag: r
+        for r in QUERIES["q34_group_stats"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {None, "A"}
+    assert out[None].n_suppliers == 2
+    assert out[None].sd_qty is not None  # stddev of (5, 7) ≈ 1.414214
+    assert out[None].median_price == 15.0

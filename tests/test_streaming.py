@@ -902,3 +902,33 @@ def test_replay_stream_dedup_emits_each_key_once(spark, tmp_path):
         )
         got = sorted(r.k for r in spark.read.parquet(str(d / "out")).select("k").collect())
         assert got == ["x", "y", "z"]
+
+
+def test_replay_stream_dedup_rejects_span_exceeding_watermark(spark, tmp_path):
+    """q107's span precondition is enforced: staging data whose
+    event-time span reaches the watermark delay must raise before the
+    stream starts, not silently re-emit evicted duplicates."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.streaming.replay import (
+        replay_stream_dedup,
+        stage_ranged_files,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "2024-01-01T00:00:00"), (2, "x", "2024-01-05T00:00:00")],
+        "event_id long, k string, ts_s string",
+    ).select("event_id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    d = tmp_path / "short"
+    stage_ranged_files(spark, df, str(d / "stage"), n_files=2)
+    with pytest.raises(ValueError, match="span"):
+        replay_stream_dedup(
+            spark, str(d / "stage"), str(d / "out"), str(d / "ckpt"),
+            ["k"], watermark_delay="2 days",
+        )
+    with pytest.raises(ValueError, match="must be"):
+        replay_stream_dedup(
+            spark, str(d / "stage"), str(d / "out"), str(d / "ckpt"),
+            ["k"], watermark_delay="1 hour",
+        )
