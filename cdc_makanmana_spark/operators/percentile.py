@@ -45,6 +45,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _join_null_safe(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner", hint=None
+) -> DataFrame:
+    """Join on ``keys`` with NULL-SAFE equality: SQL GROUP BY treats a
+    NULL key as a real group, so every internal re-join of a per-group
+    frame must match that group too — a plain equi-join silently
+    orphans it (caught by the bracket-miss guard; r6 review). Right-side
+    keys are renamed first because all frames share the base-scan
+    lineage (qualifying by source frame self-compares one attribute
+    id). ``hint`` (e.g. ``F.broadcast``) wraps the renamed right side."""
+    renamed = right
+    for k in keys:
+        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
+    if hint is not None:
+        renamed = hint(renamed)
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
+        cond = c if cond is None else (cond & c)
+    return left.join(renamed, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
 def exact_group_percentiles(
     df: DataFrame,
     key_cols: list[str],
@@ -120,7 +142,9 @@ def exact_group_percentiles(
     # Per-target rank arithmetic (mirrors Spark Percentile: position =
     # p*(n-1) in double, floor/ceil neighbors).
     hint = F.broadcast if broadcast_groups else (lambda side: side)
-    tagged = rows.filter(F.col("__v").isNotNull()).join(hint(meta), key_cols)
+    tagged = _join_null_safe(
+        rows.filter(F.col("__v").isNotNull()), meta, key_cols, hint=hint
+    )
     per_target = []
     for i, p in enumerate(percentages):
         rank = F.lit(float(p)) * (F.col("__n") - 1).cast("double")
@@ -159,8 +183,11 @@ def exact_group_percentiles(
     )
 
     w = Window.partitionBy(*key_cols, F.col("__t.ti")).orderBy("__v")
-    ranked = band.withColumn("__r", F.row_number().over(w) - 1).join(
-        hint(below), key_cols
+    ranked = _join_null_safe(
+        band.withColumn("__r", F.row_number().over(w) - 1),
+        below,
+        key_cols,
+        hint=hint,
     )
     # local offsets of the two neighboring order statistics
     off = F.col("__r") + _below_of(k)
@@ -206,10 +233,15 @@ def exact_group_percentiles(
     # error exceeded 1/accuracy), and silently returning NULL would be
     # indistinguishable from an all-NULL group downstream. Raise in the
     # executor instead of emitting plausible-looking NULLs.
-    joined = universe.join(
+    # picked is (groups × percentages) rows — bounded by the same
+    # contract that justifies broadcast_groups, so the hint rides along
+    # (without it the static planner stages a SortMergeJoin here)
+    joined = _join_null_safe(
+        universe,
         picked.select(*key_cols, "__ti", value.alias("value")),
         [*key_cols, "__ti"],
         "left",
+        hint=hint,
     )
     checked = F.when(
         F.col("value").isNull() & (F.col("__n") > 0),

@@ -1510,22 +1510,21 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r6 review find; not producible by the fixture, enforced anyway).
     # `sd` can't drop groups (same scan, no filter) but left keeps the
     # survival contract explicit.
+    # (key renamed on the right sides: pct/sup/sd share the base-scan
+    # lineage, so qualifying by source frame self-compares one
+    # attribute id — MISSING_ATTRIBUTES)
+    sup = sup.withColumnRenamed("l_returnflag", "__k_sup")
+    sd = sd.withColumnRenamed("l_returnflag", "__k_sd")
     joined = (
         pct.join(
-            sup,
-            pct["l_returnflag"].eqNullSafe(sup["l_returnflag"]),
-            "left",
+            sup, F.col("l_returnflag").eqNullSafe(F.col("__k_sup")), "left"
         )
-        .drop(sup["l_returnflag"])
-        .join(
-            sd,
-            pct["l_returnflag"].eqNullSafe(sd["l_returnflag"]),
-            "left",
-        )
-        .drop(sd["l_returnflag"])
+        .drop("__k_sup")
+        .join(sd, F.col("l_returnflag").eqNullSafe(F.col("__k_sd")), "left")
+        .drop("__k_sd")
     )
     return joined.select(
-        pct["l_returnflag"],
+        "l_returnflag",
         "median_price",
         "p90_price",
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),

@@ -1426,7 +1426,11 @@ def test_exact_group_percentiles_bit_equal_to_builtin(spark):
     random.seed(11)
     tiny = spark.createDataFrame(
         [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 1.0), ("c", 9.0),
-         ("d", None), ("d", 3.0), ("d", 4.0), ("allnull", None), ("allnull", None)],
+         ("d", None), ("d", 3.0), ("d", 4.0), ("allnull", None), ("allnull", None),
+         # NULL group KEY: GROUP BY treats it as a real group; every
+         # internal re-join must be null-safe or the group's value goes
+         # silently NULL (r6 review find)
+         (None, 6.0), (None, 8.0)],
         "k string, v double",
     )
     ps = [0.0, 0.25, 0.5, 0.9, 1.0]
