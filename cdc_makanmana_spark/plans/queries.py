@@ -3760,10 +3760,10 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, books, _QUERY_VEC, k_top=10)
 
 
-@query(
-    "q72_scd2_event_intervals",
-    """
-    WITH o AS (
+# the SCD-2 derivation CTE chain (events → pv: one row per version
+# with valid_from), shared by q72 (the interval build itself) and q108
+# (the point-in-time join consuming it) so the two oracles cannot drift
+_SCD2_PV_SQL = """o AS (
       SELECT user_id, ts, event_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
                                    ORDER BY ts, event_id) AS prev
@@ -3776,7 +3776,13 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS UNBOUNDED PRECEDING) AS version
       FROM o),
     pv AS (SELECT user_id, version, ts AS valid_from, event_type
-           FROM v WHERE chg)
+           FROM v WHERE chg)"""
+
+
+@query(
+    "q72_scd2_event_intervals",
+    f"""
+    WITH {_SCD2_PV_SQL}
     SELECT user_id, CAST(version AS BIGINT) AS version, valid_from,
            event_type,
            lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
@@ -6101,6 +6107,91 @@ def q107_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     belongs to the batch tiers (q15/q50's SignatureIndex)."""
     out = _stream_deduped_keys(spark, sf_dir)
     return out.select("user_id", "event_type")
+
+
+@query(
+    "q108_scd2_pit_join",
+    f"""
+    WITH {_SCD2_PV_SQL},
+    d AS (
+      SELECT user_id, valid_from, CAST(version AS BIGINT) AS version,
+             event_type
+      FROM pv
+      QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
+                                 ORDER BY version DESC) = 1),
+    f AS (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, f.ts,
+           d.valid_from AS dim_valid_from,
+           d.version AS dim_version,
+           d.event_type AS dim_state
+    FROM f ASOF JOIN d
+      ON f.user_id = d.user_id AND f.ts >= d.valid_from
+    """,
+)
+def q108_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join of a fact stream against the SCD-2
+    dimension — the query every warehouse runs against q72's product
+    ("what was the entity's state WHEN the fact happened", with no
+    leakage from later versions — the same discipline an ML feature
+    store needs at training time): each purchase is joined to the
+    version valid at its event time. Because SCD-2 intervals are
+    non-overlapping, the PIT join IS a backward as-of join on
+    valid_from, so the Spark side composes two declared operators —
+    scd2_from_events → asof_join (union + window, ZERO join
+    operators) — one shuffle each, linear at any scale; no interval
+    explosion, no range join. Exact-ts determinism: two versions can
+    share valid_from when same-timestamp events change the value twice
+    (zero-length intervals); both engines keep only the max-version
+    row per (user, valid_from) — the version actually valid from that
+    instant on — making the tie-break identical at any generation."""
+    from pyspark.sql import Window
+
+    from cdc_makanmana_spark.operators.asof import asof_join
+    from cdc_makanmana_spark.operators.scd import scd2_from_events
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    dim = scd2_from_events(
+        ev, ["user_id"], ts_col="ts", value_cols=["event_type"], seq_col="event_id"
+    )
+    w = Window.partitionBy("user_id", "valid_from").orderBy(F.desc("version"))
+    dim = (
+        dim.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "valid_from",
+            "version",
+            F.col("event_type").alias("state"),
+        )
+    )
+    facts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    out = asof_join(
+        facts,
+        dim,
+        ["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["version", "state"],
+        prefix="dim_",
+    )
+    # inner ASOF on the oracle side: a fact always has a version at or
+    # before its own ts (it is itself an event in the history), so the
+    # filter is a no-op guard that keeps the join types aligned
+    return out.filter(F.col("dim_version").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "dim_valid_from",
+        "dim_version",
+        F.col("dim_state"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
