@@ -44,27 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-
-def _join_null_safe(
-    left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner", hint=None
-) -> DataFrame:
-    """Join on ``keys`` with NULL-SAFE equality: SQL GROUP BY treats a
-    NULL key as a real group, so every internal re-join of a per-group
-    frame must match that group too — a plain equi-join silently
-    orphans it (caught by the bracket-miss guard; r6 review). Right-side
-    keys are renamed first because all frames share the base-scan
-    lineage (qualifying by source frame self-compares one attribute
-    id). ``hint`` (e.g. ``F.broadcast``) wraps the renamed right side."""
-    renamed = right
-    for k in keys:
-        renamed = renamed.withColumnRenamed(k, f"__r_{k}")
-    if hint is not None:
-        renamed = hint(renamed)
-    cond = None
-    for k in keys:
-        c = F.col(k).eqNullSafe(F.col(f"__r_{k}"))
-        cond = c if cond is None else (cond & c)
-    return left.join(renamed, cond, how).drop(*[f"__r_{k}" for k in keys])
+from cdc_makanmana_spark.operators.joins import join_null_safe as _join_null_safe
 
 
 def exact_group_percentiles(

@@ -1510,18 +1510,13 @@ def q34_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (r6 review find; not producible by the fixture, enforced anyway).
     # `sd` can't drop groups (same scan, no filter) but left keeps the
     # survival contract explicit.
-    # (key renamed on the right sides: pct/sup/sd share the base-scan
-    # lineage, so qualifying by source frame self-compares one
-    # attribute id — MISSING_ATTRIBUTES)
-    sup = sup.withColumnRenamed("l_returnflag", "__k_sup")
-    sd = sd.withColumnRenamed("l_returnflag", "__k_sd")
-    joined = (
-        pct.join(
-            sup, F.col("l_returnflag").eqNullSafe(F.col("__k_sup")), "left"
-        )
-        .drop("__k_sup")
-        .join(sd, F.col("l_returnflag").eqNullSafe(F.col("__k_sd")), "left")
-        .drop("__k_sd")
+    from cdc_makanmana_spark.operators.joins import join_null_safe
+
+    joined = join_null_safe(
+        join_null_safe(pct, sup, ["l_returnflag"], "left"),
+        sd,
+        ["l_returnflag"],
+        "left",
     )
     return joined.select(
         "l_returnflag",
@@ -3763,15 +3758,25 @@ def q71_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the SCD-2 derivation CTE chain (events → pv: one row per version
 # with valid_from), shared by q72 (the interval build itself) and q108
 # (the point-in-time join consuming it) so the two oracles cannot drift
+# change detection mirrors scd2_from_events EXACTLY: first row by
+# row_number (not "prev IS NULL", which cannot distinguish the window
+# start from a genuine NULL predecessor value) and null-safe value
+# comparison (IS DISTINCT FROM == NOT eqNullSafe) — a NULL event_type
+# run must collapse and a x→NULL transition must open a version on
+# both engines (r6 review find; the fixture has no NULL event_type,
+# aligned anyway)
 _SCD2_PV_SQL = """o AS (
       SELECT user_id, ts, event_id, event_type,
              lag(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+                                   ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
       FROM events),
     v AS (
       SELECT user_id, ts, event_type,
-             (prev IS NULL OR event_type <> prev) AS chg,
-             sum(CASE WHEN prev IS NULL OR event_type <> prev THEN 1 ELSE 0 END)
+             (rn = 1 OR event_type IS DISTINCT FROM prev) AS chg,
+             sum(CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev
+                      THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING) AS version
       FROM o),
@@ -6120,7 +6125,7 @@ def q107_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       QUALIFY row_number() OVER (PARTITION BY user_id, valid_from
                                  ORDER BY version DESC) = 1),
     f AS (SELECT event_id, user_id, ts FROM events
-          WHERE event_type = 'purchase')
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL)
     SELECT f.event_id, f.user_id, f.ts,
            d.valid_from AS dim_valid_from,
            d.version AS dim_version,
@@ -6169,7 +6174,11 @@ def q108_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     facts = (
         _t(spark, sf_dir, "events")
-        .filter(F.col("event_type") == "purchase")
+        # NULL-user facts are excluded on BOTH engines: the window-based
+        # as-of groups a NULL key while the oracle's ASOF equality never
+        # matches it (r6 review find; no NULL user_id in the fixture,
+        # the semantics are pinned anyway)
+        .filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
         .select("event_id", "user_id", "ts")
     )
     out = asof_join(

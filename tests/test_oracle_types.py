@@ -59,3 +59,63 @@ def test_no_oracle_emits_pandas_lossy_types(con):
         "oracle queries emit pandas-lossy DuckDB types (CAST the "
         f"column in the oracle SQL): {offenders}"
     )
+
+
+def test_scd2_oracle_matches_engine_on_null_values_and_keys(spark, tmp_path):
+    """The r6 review's latent classes, pinned on a crafted fixture the
+    generator never produces: NULL event_type runs must collapse and
+    x→NULL transitions must open a version IDENTICALLY in
+    scd2_from_events and the shared _SCD2_PV_SQL oracle chain (q72 and
+    q108 both ride it), and q108 must exclude NULL-user facts on both
+    engines."""
+    from pyspark.sql import functions as F
+
+    from cdc_makanmana_spark.plans.queries import ORACLE_SQL, QUERIES
+
+    rows = [
+        # user 1: x → NULL → NULL → x  (NULL run collapses; both
+        # transitions open versions)
+        (1, "2024-01-01T00:00:00", 101, "x"),
+        (1, "2024-01-01T01:00:00", 102, None),
+        (1, "2024-01-01T02:00:00", 103, None),
+        (1, "2024-01-01T03:00:00", 104, "x"),
+        # user 2: first value NULL (must still open version 1)
+        (2, "2024-01-01T00:30:00", 201, None),
+        (2, "2024-01-01T01:30:00", 202, "purchase"),
+        # NULL user: a real window group in Spark; q108 facts exclude it
+        (None, "2024-01-01T00:45:00", 301, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_id long, event_type string"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_id",
+        "event_type",
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    df.write.parquet(str(tmp_path / "events.parquet"))
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+
+    for name in ("q72_scd2_event_intervals", "q108_scd2_pit_join"):
+        sdf = QUERIES[name](spark, str(tmp_path))
+        s_rows = sorted(
+            tuple(str(v) for v in r) for r in sdf.collect()
+        )
+        res = con.execute(ORACLE_SQL[name])
+        # align column order to Spark's (both sides project explicitly)
+        assert [d[0] for d in res.description] == sdf.columns
+        d_rows = sorted(tuple(str(v) for v in r) for r in res.fetchall())
+        assert s_rows == d_rows, f"{name} diverges on NULL semantics"
+
+    # the NULL-run collapse itself: user 1 has exactly 3 versions
+    q72 = QUERIES["q72_scd2_event_intervals"](spark, str(tmp_path))
+    assert q72.filter(F.col("user_id") == 1).count() == 3
