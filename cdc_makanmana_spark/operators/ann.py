@@ -520,6 +520,94 @@ def embedding_near_duplicates(
     )
 
 
+def embedding_cross_hits(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    dim: int | None = None,
+    bands: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """TWO-SET banded-LSH near-neighbor hits: every (corpus, bench)
+    pair whose exact cosine clears ``threshold``, candidates generated
+    by shared (band, signature) buckets — the cross-set form of
+    :func:`embedding_near_duplicates`, built for SEMANTIC benchmark
+    decontamination (q49's n-gram tier catches verbatim leakage; this
+    catches paraphrased/near-duplicate leakage the shingles miss).
+    Returns (corpus_id, bench_id, cosine_sim).
+
+    Scale shape: both sides shuffle on the 8-byte (band, signature)
+    key; pair cost is Σ_buckets |corpus_bucket| × |bench_bucket|.
+    ``max_bucket`` is the HOT-KEY CAP of the single-set ladder applied
+    PER SIDE: at 2^bits buckets a corpus of N rows averages N/2^bits
+    rows per bucket, so without the cap the cross expansion degrades
+    toward |corpus|×|bench|/2^bits per band (measured: 200k × 20k at
+    bits=8 ≈ 56M candidate pairs — the q61 lesson). Buckets above the
+    cap drop before pairing; a dropped HOT bucket is near-uniform
+    signature mass (boilerplate/template vectors), whose
+    contamination treatment is cluster-level dedup (q48 + keep-best),
+    not per-pair flags — the same contract the single-set ladder
+    documents. Candidate pairs dedup BEFORE the exact-cosine rerank.
+    """
+    if bands < 1:
+        raise ValueError(f"bands must be >= 1, got {bands}")
+    dim = resolve_dim(corpus, vec_col, dim)
+    band_sigs = []
+    for bi in range(bands):
+        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
+        band_sigs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                lsh_signature(F.col(vec_col), planes).alias("sig"),
+            )
+        )
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    def sigs_of(df: DataFrame) -> DataFrame:
+        return _materialize(
+            df.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                F.explode(F.array(*band_sigs)).alias("__bs"),
+            )
+        )
+
+    def capped(sigs: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return sigs
+        counts = sigs.groupBy("__bs").agg(F.count(F.lit(1)).alias("__bn"))
+        return sigs.join(
+            counts.filter(F.col("__bn") <= max_bucket), "__bs"
+        ).drop("__bn")
+
+    sc = capped(sigs_of(corpus))
+    sb = capped(sigs_of(bench))
+    candidates = (
+        sc.select(
+            F.col("__id").alias("corpus_id"), F.col("__vec").alias("vec_c"), "__bs"
+        )
+        .join(
+            sb.select(
+                F.col("__id").alias("bench_id"), F.col("__vec").alias("vec_b"), "__bs"
+            ),
+            "__bs",
+        )
+        .select("corpus_id", "bench_id", "vec_c", "vec_b")
+        .dropDuplicates(["corpus_id", "bench_id"])
+    )
+    return (
+        candidates.withColumn(
+            "cosine_sim", F.round(cosine_similarity(F.col("vec_c"), F.col("vec_b")), 6)
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("corpus_id", "bench_id", "cosine_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ): the ANN COMPRESSION tier. IVF narrows the
 # search to a few cells; PQ shrinks what a comparison costs — each

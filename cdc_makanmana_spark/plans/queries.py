@@ -6203,6 +6203,123 @@ def q108_scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q109_BITS = 8
+_Q109_BANDS = 4
+_Q109_SEED = 7
+_Q109_THRESHOLD = 0.25  # fixture cosines top out at ~0.51 (see q35/q61)
+_Q109_BENCH_MOD = 10  # vec_id % 10 == 0 plays the benchmark set
+# hot-bucket cap per side (the q61 contract): at bits=8 a 200k-vector
+# organic corpus averages ~780 rows/bucket/band and the cross
+# expansion degrades toward |corpus|x|bench|/256 (~56M candidates,
+# measured) — capped buckets keep the pair cost linear in true hits;
+# sized above every sf0.01/sf0.1 bucket so fixture results are exact
+_Q109_MAX_BUCKET = 64
+
+
+def _q109_oracle() -> str:
+    """Replay the two-set banded-LSH decontamination with the SAME
+    literal planes as the operator (the q61 transcription approach,
+    extended to cross-set candidate generation + per-corpus-doc
+    aggregation)."""
+    from cdc_makanmana_spark.operators.ann import _hyperplanes
+
+    def band_union(src: str) -> str:
+        selects = []
+        for bi in range(_Q109_BANDS):
+            planes = _hyperplanes(64, _Q109_BITS, _Q109_SEED + 1_000_003 * bi)
+            terms = " + ".join(
+                f"(CASE WHEN list_dot_product(emb, {p!r}::DOUBLE[]) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(planes)
+            )
+            selects.append(f"SELECT vec_id, emb, {bi} AS band, {terms} AS sig FROM {src}")
+        return " UNION ALL ".join(selects)
+
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    bench AS (SELECT * FROM e WHERE vec_id % {_Q109_BENCH_MOD} = 0),
+    corp AS (SELECT * FROM e WHERE vec_id % {_Q109_BENCH_MOD} <> 0),
+    sc0 AS ({band_union('corp')}),
+    sb0 AS ({band_union('bench')}),
+    sc AS (SELECT * FROM sc0
+           QUALIFY count(*) OVER (PARTITION BY band, sig)
+                   <= {_Q109_MAX_BUCKET}),
+    sb AS (SELECT * FROM sb0
+           QUALIFY count(*) OVER (PARTITION BY band, sig)
+                   <= {_Q109_MAX_BUCKET}),
+    cand AS (
+      SELECT DISTINCT c.vec_id AS corpus_id, b.vec_id AS bench_id
+      FROM sc c JOIN sb b ON c.band = b.band AND c.sig = b.sig),
+    scored AS (
+      SELECT cand.corpus_id, cand.bench_id,
+             round(list_dot_product(ec.emb, eb.emb)
+               / (sqrt(list_dot_product(ec.emb, ec.emb))
+                  * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cos
+      FROM cand
+      JOIN e ec ON ec.vec_id = cand.corpus_id
+      JOIN e eb ON eb.vec_id = cand.bench_id),
+    hits AS (SELECT * FROM scored WHERE cos >= {_Q109_THRESHOLD}),
+    ranked AS (
+      SELECT corpus_id, bench_id, cos,
+             row_number() OVER (PARTITION BY corpus_id
+                                ORDER BY cos DESC, bench_id ASC) AS rn,
+             count(*) OVER (PARTITION BY corpus_id) AS n_hits
+      FROM hits)
+    SELECT corpus_id AS vec_id, CAST(n_hits AS BIGINT) AS n_bench_hits,
+           bench_id AS top_bench_id, cos AS top_cos
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("q109_embedding_decontamination", _q109_oracle())
+def q109_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding tier of q49
+    (whose shingle semi-joins catch verbatim leakage; paraphrased or
+    near-duplicate leakage needs the vector space): corpus documents
+    whose embedding is banded-LSH-near any benchmark embedding are
+    flagged with (hit count, closest benchmark doc, cosine), the
+    report a curator holds before dropping them from the training set.
+    Cross-set pair cost is Σ |corpus_bucket| × |bench_bucket| with the
+    benchmark side orders of magnitude smaller — ~O(corpus hits),
+    never corpus² — and the oracle replays the identical planes, band
+    buckets, rerank and per-doc argmax (cos DESC, bench_id ASC
+    tie-break), so the hash certifies the whole decontamination path.
+    The deterministic vec_id % {mod} split plays the benchmark
+    corpus.""".replace("{mod}", str(_Q109_BENCH_MOD))
+    from cdc_makanmana_spark.operators.ann import embedding_cross_hits
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "embeddings")
+    bench = e.filter(F.col("vec_id") % _Q109_BENCH_MOD == 0)
+    corpus = e.filter(F.col("vec_id") % _Q109_BENCH_MOD != 0)
+    hits = embedding_cross_hits(
+        corpus,
+        bench,
+        threshold=_Q109_THRESHOLD,
+        bits=_Q109_BITS,
+        bands=_Q109_BANDS,
+        dim=64,
+        seed=_Q109_SEED,
+        max_bucket=_Q109_MAX_BUCKET,
+    )
+    w = Window.partitionBy("corpus_id").orderBy(
+        F.desc("cosine_sim"), F.asc("bench_id")
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "n_bench_hits", F.count(F.lit(1)).over(Window.partitionBy("corpus_id"))
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("corpus_id").alias("vec_id"),
+            "n_bench_hits",
+            F.col("bench_id").alias("top_bench_id"),
+            F.col("cosine_sim").alias("top_cos"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)
