@@ -1519,3 +1519,65 @@ def test_q34_null_returnflag_group_joins_null_safe(spark, tmp_path):
     assert out[None].n_suppliers == 2
     assert out[None].sd_qty is not None  # stddev of (5, 7) ≈ 1.414214
     assert out[None].median_price == 15.0
+
+
+def test_embedding_cross_hits_recall_and_cap(spark):
+    """q109's cross-set operator: planted benchmark near-twins in the
+    corpus must be flagged with banded recall >= 0.95 (identical
+    construction to the single-set banded test), cross hits never pair
+    corpus with corpus, and the per-side hot-bucket cap drops a
+    boilerplate mega-bucket instead of enumerating it."""
+    import random
+
+    from cdc_makanmana_spark.operators.ann import embedding_cross_hits
+
+    rng = random.Random(47)
+    dim = 16
+    bench_rows, corpus_rows, planted = [], [], []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        bench_rows.append((i, v))
+        twin = [x + rng.uniform(-0.16, 0.16) for x in v]
+        corpus_rows.append((1000 + i, twin))
+        planted.append((1000 + i, i))
+    # corpus distractors far from any bench vector are simply never hits
+    for i in range(40):
+        corpus_rows.append((2000 + i, [rng.uniform(-1, 1) for _ in range(dim)]))
+    bench = spark.createDataFrame(bench_rows, "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(corpus_rows, "vec_id long, embedding array<double>")
+
+    hits = {
+        (r.corpus_id, r.bench_id): r.cosine_sim
+        for r in embedding_cross_hits(
+            corpus, bench, threshold=0.95, bits=8, dim=dim, bands=8, seed=7
+        ).collect()
+    }
+    # truth = twins whose cosine really clears the threshold (brute force)
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    bvec = dict(bench_rows)
+    cvec = dict(corpus_rows)
+    truth = {
+        (c, b) for c, b in planted if round(cos(cvec[c], bvec[b]), 6) >= 0.95
+    }
+    assert len(truth) >= 15
+    assert len(truth & set(hits)) / len(truth) >= 0.95
+    assert all(c >= 1000 and b < 1000 for c, b in hits)  # strictly cross-set
+
+    # cap: a mega-bucket of identical bench vectors is dropped entirely
+    boiler = [[1.0] * dim] * 100
+    bench_hot = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(boiler)], "vec_id long, embedding array<double>"
+    )
+    corpus_one = spark.createDataFrame(
+        [(9000, [1.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    capped = embedding_cross_hits(
+        corpus_one, bench_hot, threshold=0.5, bits=8, dim=dim, bands=4,
+        seed=7, max_bucket=64,
+    ).collect()
+    assert capped == []  # identical-vector bucket (100 > cap) dropped
