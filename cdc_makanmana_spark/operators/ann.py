@@ -418,6 +418,49 @@ def resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     )
 
 
+def _band_signatures(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bits: int,
+    bands: int,
+    seed: int,
+    dim: int,
+) -> DataFrame:
+    """(__id, __vec, __bs=(band, sig)) rows — one per (row, band) with
+    the band's ``bits``-plane sign signature. The seed derivation
+    (``seed + 1_000_003 * band``) is load-bearing: both DuckDB oracle
+    transcriptions (q61, q109) replay it literally, so it lives in
+    exactly one place. Vectors ride along deliberately (see the
+    shuffle-volume note in :func:`embedding_near_duplicates`)."""
+    band_sigs = []
+    for bi in range(bands):
+        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
+        band_sigs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                lsh_signature(F.col(vec_col), planes).alias("sig"),
+            )
+        )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.explode(F.array(*band_sigs)).alias("__bs"),
+    )
+
+
+def _cap_buckets(sigs: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop every (band, signature) bucket larger than ``max_bucket``
+    BEFORE pairing — the hot-key cap shared by the single-set and
+    cross-set LSH ladders (None disables)."""
+    if max_bucket is None:
+        return sigs
+    counts = sigs.groupBy("__bs").agg(F.count(F.lit(1)).alias("__bn"))
+    return sigs.join(counts.filter(F.col("__bn") <= max_bucket), "__bs").drop(
+        "__bn"
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
@@ -467,15 +510,6 @@ def embedding_near_duplicates(
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     dim = resolve_dim(df, vec_col, dim)
-    band_sigs = []
-    for bi in range(bands):
-        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
-        band_sigs.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                lsh_signature(F.col(vec_col), planes).alias("sig"),
-            )
-        )
     from cdc_makanmana_spark.operators.dedup import _materialize
 
     # (id, vec, band-signature) rows, MATERIALIZED once: the signature
@@ -490,19 +524,10 @@ def embedding_near_duplicates(
     # id-only pairs + two join-backs — shuffles the PAIR table twice,
     # and pairs outnumber rows whenever duplicates are dense (measured
     # 2.3x slower at sf1 on the organic fixture).
-    sigs = _materialize(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.col(vec_col).alias("__vec"),
-            F.explode(F.array(*band_sigs)).alias("__bs"),
-        )
+    sigs = _cap_buckets(
+        _materialize(_band_signatures(df, vec_col, id_col, bits, bands, seed, dim)),
+        max_bucket,
     )
-    if max_bucket is not None:
-        counts = sigs.groupBy("__bs").agg(F.count(F.lit(1)).alias("__bn"))
-        sigs = (
-            sigs.join(counts.filter(F.col("__bn") <= max_bucket), "__bs")
-            .drop("__bn")
-        )
     a = sigs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("vec_a"), "__bs")
     b = sigs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("vec_b"), "__bs")
     candidates = (
@@ -556,36 +581,19 @@ def embedding_cross_hits(
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     dim = resolve_dim(corpus, vec_col, dim)
-    band_sigs = []
-    for bi in range(bands):
-        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
-        band_sigs.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                lsh_signature(F.col(vec_col), planes).alias("sig"),
-            )
-        )
     from cdc_makanmana_spark.operators.dedup import _materialize
 
-    def sigs_of(df: DataFrame) -> DataFrame:
-        return _materialize(
-            df.select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__vec"),
-                F.explode(F.array(*band_sigs)).alias("__bs"),
-            )
-        )
-
-    def capped(sigs: DataFrame) -> DataFrame:
+    def prep(df: DataFrame) -> DataFrame:
+        sigs = _band_signatures(df, vec_col, id_col, bits, bands, seed, dim)
         if max_bucket is None:
+            # single downstream consumer — a localCheckpoint here would
+            # be pure storage overhead (the single-set operator's
+            # materialize is justified by its THREE consumers)
             return sigs
-        counts = sigs.groupBy("__bs").agg(F.count(F.lit(1)).alias("__bn"))
-        return sigs.join(
-            counts.filter(F.col("__bn") <= max_bucket), "__bs"
-        ).drop("__bn")
+        return _cap_buckets(_materialize(sigs), max_bucket)
 
-    sc = capped(sigs_of(corpus))
-    sb = capped(sigs_of(bench))
+    sc = prep(corpus)
+    sb = prep(bench)
     candidates = (
         sc.select(
             F.col("__id").alias("corpus_id"), F.col("__vec").alias("vec_c"), "__bs"

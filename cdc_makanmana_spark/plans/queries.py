@@ -6232,7 +6232,7 @@ def _q109_oracle() -> str:
                 f"THEN {1 << i} ELSE 0 END)"
                 for i, p in enumerate(planes)
             )
-            selects.append(f"SELECT vec_id, emb, {bi} AS band, {terms} AS sig FROM {src}")
+            selects.append(f"SELECT vec_id, {bi} AS band, {terms} AS sig FROM {src}")
         return " UNION ALL ".join(selects)
 
     return f"""
@@ -6284,8 +6284,8 @@ def q109_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     never corpus² — and the oracle replays the identical planes, band
     buckets, rerank and per-doc argmax (cos DESC, bench_id ASC
     tie-break), so the hash certifies the whole decontamination path.
-    The deterministic vec_id % {mod} split plays the benchmark
-    corpus.""".replace("{mod}", str(_Q109_BENCH_MOD))
+    The deterministic vec_id % 10 split plays the benchmark
+    corpus (_Q109_BENCH_MOD)."""
     from cdc_makanmana_spark.operators.ann import embedding_cross_hits
     from pyspark.sql import Window
 
