@@ -24,46 +24,50 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Driver-window rotation (round 6). The driver's correctness harness
+# Driver-window rotation (round 7). The driver's correctness harness
 # checks the FIRST 50 entries of queries() in declaration order.
 # Certification history: r1-r4 covered q01-q50; r5's rotated window
-# covered q103-q105, q101-q102 and q51-q95 (CORRECTNESS_r05.json),
-# leaving q96-q100 never driver-certified. This round leads with the
-# new streaming queries (q106/q107), the never-certified q96-q100,
-# and the queries FIXED this round (q72/q93 — the HUGEINT oracle-type
-# mismatches r5 flagged — plus q34, whose Spark plan changed); the
-# rest follow stalest-certification-first (the r4-certified q01-q50
-# block before the r5-certified block) so every query's driver row is
-# refreshed within two rounds of any change.
+# covered q51-q95 and q101-q105; r6's covered q01-q39 (re-certified),
+# q72, q93, q96-q100 and q106-q109 (CORRECTNESS_r06.json — 50/50
+# green). This round leads with the CHANGED queries — q59 (now
+# hash-certifiable: exact values + in-bound flags, its first-ever
+# oracle row) and q106 (NULL-key pin changed the Spark plan) — plus
+# q110 (new, auto-fronts via the number rule); the rest follow
+# stalest-certification-first: the r4-certified q40-q50 block (oldest
+# certificates on the surface), then the r5 block, then the
+# just-certified r6 block.
 _ROTATION_FRONT = [
+    "q59_approx_group_sketches",
     "q106_stream_stateful_asof",
-    "q107_stream_dedup",
-    "q96_edge_churn",
-    "q97_time_weighted_value",
-    "q98_snm_multipass",
-    "q99_persistent_heavy_hitters",
-    "q100_referential_audit",
-    "q72_scd2_event_intervals",
-    "q93_activity_gini",
-    "q34_group_stats",
 ]
 # round each query number last earned a driver CORRECTNESS row
-_R5_CERTIFIED = set(range(51, 96)) | {101, 102, 103, 104, 105}
+_R6_CERTIFIED = (
+    set(range(1, 40)) | {72, 93} | set(range(96, 101)) | {106, 107, 108, 109}
+)
+_R5_CERTIFIED = (set(range(51, 96)) | set(range(101, 106))) - _R6_CERTIFIED
 # highest query number existing when this rotation was written: anything
 # above it is NEW and auto-fronts even if _ROTATION_FRONT wasn't edited —
 # a brand-new query must never ship outside the driver's 50-entry window
 # (the mechanical tier the r6 review asked to keep)
-_KNOWN_MAX = 107
+_KNOWN_MAX = 110
 
 
 def _rotated(names: list[str]) -> list[str]:
     def num(n: str) -> int:
         return int(n.split("_", 1)[0][1:])
 
+    def staleness(n: str) -> int:  # lower sorts first = stalest
+        if num(n) in _R6_CERTIFIED:
+            return 2
+        if num(n) in _R5_CERTIFIED:
+            return 1
+        return 0  # r4 certificates (q40-q50) — oldest on the surface
+
     front = sorted((n for n in names if num(n) > _KNOWN_MAX), key=num)
+    front += ["q110_multimodal_neardup"] if "q110_multimodal_neardup" in names else []
     front += [n for n in _ROTATION_FRONT if n in names and n not in front]
     rest = [n for n in names if n not in front]
-    rest.sort(key=lambda n: (num(n) in _R5_CERTIFIED, num(n)))
+    rest.sort(key=lambda n: (staleness(n), num(n)))
     return front + rest
 
 

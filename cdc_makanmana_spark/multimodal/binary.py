@@ -124,12 +124,21 @@ _EXT_MEDIA = {"ppm": ("image", "ppm"), "wav": ("audio", "pcm16")}
 
 
 def read_media_dir(
-    spark, path: str, glob: str = "*", recursive: bool = False
+    spark,
+    path: str,
+    glob: str = "*",
+    recursive: bool = False,
+    id_from: str = "path_hash",
 ) -> DataFrame:
     """Media-file source: ``binaryFile`` scan → the engine's
     MEDIA_SCHEMA, so the decode/resize/feature stages run unchanged on
-    directories of files. ``media_id`` is the xxhash64 of the file
-    path (rerun/partitioning-stable); kind+codec come from the
+    directories of files. ``media_id`` comes from ``id_from``:
+    ``"path_hash"`` (default) is the xxhash64 of the file path
+    (rerun/partitioning-stable); ``"stem_digits"`` parses the first
+    digit run of the basename (``img_00017.ppm`` → 17) — for corpora
+    whose file-naming convention carries a stable external id that
+    must survive relocation and match ids in side tables (q110's
+    reference-fingerprint parquet). Kind+codec come from the
     extension; image dimensions are parsed from the PPM header inside
     the same Arrow-batched ``mapInPandas`` pass — payload bytes never
     visit the driver, and Spark's binaryFile source streams each file
@@ -138,13 +147,25 @@ def read_media_dir(
     zeroed dims — honest passthrough, not a guess."""
     from cdc_makanmana_spark.multimodal import kernels
 
+    if id_from == "path_hash":
+        id_expr = F.xxhash64("path")
+    elif id_from == "stem_digits":
+        # NULL (not 0) when the basename carries no digits — a silent
+        # id collision on 0 would merge unrelated files downstream
+        digits = F.regexp_extract(
+            F.element_at(F.split("path", "/"), -1), r"(\d+)", 1
+        )
+        id_expr = F.when(digits != "", digits.cast("long"))
+    else:
+        raise ValueError(f"id_from must be path_hash|stem_digits, got {id_from!r}")
+
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .option("recursiveFileLookup", "true" if recursive else "false")
         .load(path)
         .select(
-            F.xxhash64("path").alias("media_id"),
+            id_expr.alias("media_id"),
             # extension of the BASENAME — splitting the whole URI on '.'
             # would leak path fragments into meta.codec for dot-less
             # filenames or dotted directory names

@@ -6450,6 +6450,89 @@ def q109_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# q110: the multimodal tier on the oracle surface. Committed media
+# fixtures (scripts/gen_media_fixtures.py — seeded PPM images + PCM16
+# WAVs with planted exact/near duplicates) ride the engine's REAL
+# path: binaryFile scan → mapInPandas decode/fingerprint kernels →
+# hamming_pairs blocking. The oracle replays the PAIRING over an
+# independently-generated fingerprint parquet the generator computed
+# from the source arrays with its own code — any drift in the Spark
+# plumbing (header parse, resample index math, FFT banding, bit
+# packing, blocking recall) breaks the hash.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+_REPO_ROOT = _os.path.dirname(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+)
+_MEDIA_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "fixtures", "media")
+_MEDIA_FP_PARQUET = _os.path.join(_REPO_ROOT, "fixtures", "media_fingerprints.parquet")
+_Q110_IMG_DIST = 6  # aHash near-dup threshold (planted max 5, floor 20)
+_Q110_AUD_DIST = 3  # spectral-fp threshold (planted max 1, floor 13)
+
+
+@query(
+    "q110_multimodal_neardup",
+    f"""
+    WITH fp AS (
+      SELECT media_id, kind, fp
+      FROM read_parquet('{_MEDIA_FP_PARQUET}')),
+    pairs AS (
+      SELECT a.kind,
+             a.media_id AS id_a, b.media_id AS id_b,
+             CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+      FROM fp a JOIN fp b
+        ON a.kind = b.kind AND a.media_id < b.media_id)
+    SELECT kind, id_a, id_b, hamming FROM pairs
+    WHERE (kind = 'image' AND hamming <= {_Q110_IMG_DIST})
+       OR (kind = 'audio' AND hamming <= {_Q110_AUD_DIST})
+    """,
+)
+def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-duplicate detection, hash-certified end-to-end:
+    perceptual near-dup pairs over a committed directory of REAL media
+    files — images via 8x8 aHash (decode PPM → nearest-neighbor
+    resample → luminance-vs-mean bits), audio via 64-band log-spaced
+    spectral-energy fingerprints (PCM16 decode → rFFT power → band
+    sign bits) — both riding ``operators.dedup.hamming_pairs``'s
+    value-grouped + 3-chunk-combination blocking (complete recall by
+    pigeonhole, never |media|²). Payload bytes stay executor-side in
+    Arrow batches; only 64-bit signatures shuffle, so the 100 TB shape
+    is the SimHash tier's (8-byte keys, bounded postings). The oracle
+    replays the pairing over reference fingerprints generated by
+    separate code from the source arrays (pixels/samples the engine
+    never saw decoded), so the hash certifies decode, featurize, bit
+    packing AND the blocking's recall in one diff. Fixture-backed:
+    ``sf_dir`` is unused — media fixtures don't scale with SF (the
+    scale story is the signature ladder's, q25/q61). Reference
+    linkage: generalizes the enrichment-pipeline shape of
+    dataManager.ts:132-187 to binary payload enrichment."""
+    from cdc_makanmana_spark.multimodal.binary import (
+        audio_near_duplicates,
+        image_near_duplicates,
+        read_media_dir,
+    )
+
+    media = read_media_dir(spark, _MEDIA_FIXTURE_DIR, id_from="stem_digits")
+    img = image_near_duplicates(media, max_distance=_Q110_IMG_DIST)
+    aud = audio_near_duplicates(media, max_distance=_Q110_AUD_DIST)
+    return img.select(
+        F.lit("image").alias("kind"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    ).unionByName(
+        aud.select(
+            F.lit("audio").alias("kind"),
+            "id_a",
+            "id_b",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """Driver smoke-check query (entry): the pricing summary."""
     return q01_pricing_summary(spark, sf_dir)

@@ -169,6 +169,36 @@ def dedup_within_watermark(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
+WRITER_LOCK_SUFFIX = "._WRITER_LOCK"
+
+
+def writer_lock_path(target_path: str) -> str:
+    """The lock is a SIBLING sidecar (``{target}._WRITER_LOCK``), not a
+    file inside the target: Spark's partitioned overwrite clears
+    top-level non-partition files in the output dir on its first
+    commit (measured — an in-dir lock silently vanished after batch
+    0), and the sibling also stays out of the parquet reader's
+    listing entirely."""
+    return f"{target_path.rstrip('/')}{WRITER_LOCK_SUFFIX}"
+
+
+class ForeignWriterError(RuntimeError):
+    """The upsert target is owned by a DIFFERENT streaming checkpoint.
+
+    Structured Streaming's checkpoint serializes batches WITHIN one
+    query, but nothing in the file layout stops a second stream (a
+    copy-pasted job, a re-deploy with a fresh checkpoint dir) from
+    racing the first's read-merge-overwrite cycles on the same
+    ``target_path`` — the interleaving silently loses upserts or
+    resurrects deleted keys. The ``_WRITER_LOCK`` sidecar pins the
+    target to the checkpoint that owns it and turns that silent
+    clobber into this error. Recovery: stop the other writer, then
+    either resume with ITS checkpoint dir or take ownership explicitly
+    (``takeover=True`` — also the documented path after an intentional
+    checkpoint reset, which replays the whole source through the
+    idempotent merge)."""
+
+
 def upsert_to_parquet(
     events_stream: DataFrame,
     target_path: str,
@@ -178,6 +208,7 @@ def upsert_to_parquet(
     n_buckets: int = 16,
     tie_cols: list[str] | None = None,
     retain_tombstones: bool = False,
+    takeover: bool = False,
 ):
     """Materialize an upsert stream into a hash-bucket-partitioned
     parquet table via ``foreachBatch`` (T3: the reference's cache-sink
@@ -195,6 +226,19 @@ def upsert_to_parquet(
     a comfortable rewrite unit. On a Delta/Iceberg lakehouse the body
     collapses to one ``MERGE INTO`` and this file-layout bookkeeping
     disappears — semantics here are identical.
+
+    SINGLE-WRITER CONTRACT: one streaming query (identified by its
+    checkpoint dir) owns a target at a time, recorded in the
+    ``{target}._WRITER_LOCK`` sibling sidecar (see
+    :func:`writer_lock_path`); starting against a target whose lock
+    names a different checkpoint raises :class:`ForeignWriterError`
+    before any data is touched (see its docstring for the race and
+    the recovery paths). Same checkpoint → normal restart/resume.
+    ``takeover=True`` rewrites the lock for explicit ownership
+    transfer. At 100 TB with genuinely concurrent writers you want a
+    lakehouse table format's snapshot isolation (Delta/Iceberg) —
+    this lock is the honest single-writer guard for the raw-parquet
+    layout, not an OCC protocol.
 
     ``retain_tombstones``: with the default False, a delete that wins
     its batch-merge removes the key's row AND ITSELF — correct only
@@ -276,6 +320,16 @@ def upsert_to_parquet(
             fs.delete(spark, f"{target_path}/__bucket={b}", recursive=True)
 
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
+    lock_path = writer_lock_path(target_path)
+    owner = fs.read_text(spark, lock_path)
+    if owner is not None and owner != checkpoint and not takeover:
+        raise ForeignWriterError(
+            f"upsert target {target_path!r} is owned by checkpoint "
+            f"{owner!r}; this stream's checkpoint is {checkpoint!r}. "
+            "Stop the other writer and resume with its checkpoint, or "
+            "pass takeover=True to transfer ownership explicitly."
+        )
+    fs.write_text(spark, lock_path, checkpoint)
     return (
         events_stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)

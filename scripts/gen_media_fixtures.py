@@ -1,0 +1,253 @@
+"""Deterministic media fixture generator for q110 (multimodal near-dup
+on the oracle surface).
+
+Writes, from ONE seeded pass:
+- ``fixtures/media/img_<id>.ppm``  — real P6 images (seeded gradients +
+  noise), including planted exact copies and noise-perturbed near-dups;
+- ``fixtures/media/aud_<id>.wav``  — real PCM16 WAV clips (seeded sine
+  mixes), with the same planting scheme;
+- ``fixtures/media_fingerprints.parquet`` — (media_id, kind, fp): the
+  64-bit perceptual fingerprint of every file, computed HERE from the
+  source arrays by this script's own implementations — deliberately
+  separate code from ``cdc_makanmana_spark.multimodal`` — so the q110
+  oracle replays the near-dup pairing over fingerprints the engine
+  never produced. If the engine's binaryFile → mapInPandas → kernel
+  path drifts (header parsing, resampling, FFT banding, bit packing),
+  the Spark fingerprints stop matching these and the driver hash diff
+  fails.
+
+Fingerprint specs (shared contract, independent code):
+- image aHash: nearest-neighbor resample to 8x8 (index map
+  ``i*src//8``), per-cell luminance = RGB mean, bit i set iff cell i >
+  grid mean; 64 bits, two's-complement into signed int64.
+- audio fingerprint: power spectrum of the PCM16-quantized samples,
+  64 log-spaced bands on [50 Hz, 0.9*Nyquist], bit i set iff band
+  energy > across-band mean (gain-invariant).
+
+Run: ``python scripts/gen_media_fixtures.py`` (idempotent — fixed
+seed, rewrites the same bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import wave
+
+import numpy as np
+
+SEED = 2026
+OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+MEDIA_DIR = os.path.join(OUT_DIR, "fixtures", "media")
+FP_PARQUET = os.path.join(OUT_DIR, "fixtures", "media_fingerprints.parquet")
+
+N_BASE = 40  # base items per modality
+N_EXACT = 10  # planted exact copies (hamming 0)
+N_NEAR = 14  # planted noise-perturbed near-dups (small hamming)
+
+
+def _rng(tag: str) -> np.random.Generator:
+    h = hashlib.sha256(f"{SEED}:{tag}".encode()).digest()
+    return np.random.default_rng(int.from_bytes(h[:8], "big"))
+
+
+# ---- independent fingerprint implementations (NOT the engine's) -----------
+
+
+def ahash64(arr: np.ndarray) -> int:
+    """8x8 average-hash of an (h, w, 3) uint8 array; signed int64."""
+    h, w, _ = arr.shape
+    ys = np.clip(np.arange(8) * h // 8, 0, h - 1)
+    xs = np.clip(np.arange(8) * w // 8, 0, w - 1)
+    lum = arr[ys][:, xs].astype(np.float64).mean(axis=2)
+    bits = (lum > lum.mean()).flatten()
+    v = 0
+    for i in range(64):
+        if bits[i]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def audio_fp64(samples: np.ndarray, rate: int) -> int:
+    """64-band log-spaced spectral-energy sign fingerprint; signed
+    int64. ``samples`` must already be PCM16-quantized floats."""
+    n = len(samples)
+    spec = np.abs(np.fft.rfft(samples)) ** 2
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    lo, hi = 50.0, max(rate / 2.0 * 0.9, 100.0)
+    edges = np.geomspace(lo, hi, 65)
+    energy = np.empty(64)
+    for b in range(64):
+        mask = (freqs >= edges[b]) & (freqs < edges[b + 1])
+        energy[b] = spec[mask].sum() if mask.any() else 0.0
+    thresh = energy.mean()
+    v = 0
+    for i in range(64):
+        if energy[i] > thresh:
+            v |= 1 << i
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def pcm16_roundtrip(samples: np.ndarray) -> np.ndarray:
+    """Quantize float samples exactly as a PCM16 WAV write+read does."""
+    q = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    return q.astype(np.float64) / 32767.0
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+# ---- content generation -----------------------------------------------------
+
+
+def make_image(i: int) -> np.ndarray:
+    rng = _rng(f"img:{i}")
+    w = 32 + int(rng.integers(0, 3)) * 16
+    h = 32 + int(rng.integers(0, 3)) * 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    angle = rng.uniform(0, 2 * np.pi)
+    ramp = (np.cos(angle) * xx / max(w - 1, 1) + np.sin(angle) * yy / max(h - 1, 1))
+    ramp = (ramp - ramp.min()) / max(ramp.ptp(), 1e-9)
+    base = np.stack(
+        [
+            (ramp * 255),
+            ((1 - ramp) * 255),
+            rng.integers(0, 256, (h, w)).astype(np.float64),
+        ],
+        axis=2,
+    )
+    # a few random rectangles so the luminance grid is content-bearing
+    for _ in range(int(rng.integers(2, 6))):
+        y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
+        y1, x1 = y0 + int(rng.integers(4, h // 2)), x0 + int(rng.integers(4, w // 2))
+        base[y0:y1, x0:x1] = rng.uniform(0, 255, 3)
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def perturb_image(arr: np.ndarray, i: int) -> np.ndarray:
+    rng = _rng(f"imgp:{i}")
+    noise = rng.integers(-10, 11, arr.shape)
+    return np.clip(arr.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+
+
+def make_audio(i: int, rate: int = 8000) -> np.ndarray:
+    """Spectrally RICH clip: ~16 tones spread across the band range so
+    roughly half the fingerprint's 64 log bands carry above-mean energy
+    — a sparse 2-3-tone mix activates so few bands that unrelated clips
+    collide within small Hamming distance (the audio_near_duplicates
+    docstring's caveat, measured: 239 unrelated pairs within 3 bits)."""
+    rng = _rng(f"aud:{i}")
+    t = np.arange(rate // 2) / rate  # 0.5 s
+    s = np.zeros_like(t)
+    for _ in range(16):
+        freq = float(np.exp(rng.uniform(np.log(60), np.log(3500))))
+        s += float(rng.uniform(0.1, 0.3)) * np.sin(
+            2 * np.pi * freq * t + float(rng.uniform(0, 2 * np.pi))
+        )
+    return 0.8 * s / max(np.abs(s).max(), 1e-9)
+
+
+def perturb_audio(samples: np.ndarray, i: int) -> np.ndarray:
+    """Additive noise + mild gain change: strong enough to flip a few
+    borderline band bits (so the near tier exercises the cross-value
+    blocking, not just the identical-signature tier), far below the
+    content-difference floor."""
+    rng = _rng(f"audp:{i}")
+    gain = float(rng.uniform(0.9, 1.1))
+    return np.clip(
+        gain * samples + 0.05 * rng.standard_normal(len(samples)), -1, 1
+    )
+
+
+def main() -> None:
+    os.makedirs(MEDIA_DIR, exist_ok=True)
+    rows: list[tuple[int, str, int]] = []
+
+    # images: ids 1..N; exact copies N+1.., near-dups after that
+    images: dict[int, np.ndarray] = {}
+    next_id = 1
+    for i in range(N_BASE):
+        images[next_id] = make_image(i)
+        next_id += 1
+    for i in range(N_EXACT):
+        images[next_id] = images[1 + i]  # copy of base i
+        next_id += 1
+    for i in range(N_NEAR):
+        images[next_id] = perturb_image(images[1 + N_EXACT + i], i)
+        next_id += 1
+    for mid, arr in images.items():
+        with open(os.path.join(MEDIA_DIR, f"img_{mid:05d}.ppm"), "wb") as f:
+            f.write(encode_ppm(arr))
+        rows.append((mid, "image", ahash64(arr)))
+
+    # audio: ids 101.. (disjoint from image ids)
+    audio: dict[int, np.ndarray] = {}
+    next_id = 101
+    for i in range(N_BASE):
+        audio[next_id] = make_audio(i)
+        next_id += 1
+    for i in range(N_EXACT):
+        audio[next_id] = audio[101 + i]
+        next_id += 1
+    for i in range(N_NEAR):
+        audio[next_id] = perturb_audio(audio[101 + N_EXACT + i], i)
+        next_id += 1
+    rate = 8000
+    for mid, s in audio.items():
+        with open(os.path.join(MEDIA_DIR, f"aud_{mid:05d}.wav"), "wb") as f:
+            f.write(encode_wav(s, rate))
+        rows.append((mid, "audio", audio_fp64(pcm16_roundtrip(s), rate)))
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "media_id": pa.array([r[0] for r in rows], pa.int64()),
+            "kind": pa.array([r[1] for r in rows], pa.string()),
+            "fp": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(table, FP_PARQUET)
+
+    # report planted-vs-unplanted separation (generation-time sanity)
+    def planted_pairs(base0: int) -> set[tuple[int, int]]:
+        p = {(base0 + i, base0 + N_BASE + i) for i in range(N_EXACT)}
+        p |= {
+            (base0 + N_EXACT + i, base0 + N_BASE + N_EXACT + i)
+            for i in range(N_NEAR)
+        }
+        return p
+
+    for kind, base0 in (("image", 1), ("audio", 101)):
+        fps = {r[0]: r[2] for r in rows if r[1] == kind}
+        ids = sorted(fps)
+        planted = planted_pairs(base0)
+        pd_, ud = [], []
+        for ai, a in enumerate(ids):
+            for b in ids[ai + 1 :]:
+                d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                (pd_ if (a, b) in planted else ud).append(d)
+        pd_.sort()
+        ud.sort()
+        print(f"{kind}: planted max={pd_[-1]} (all={pd_}); "
+              f"unplanted min={ud[0]} p1={ud[len(ud)//100]} median={ud[len(ud)//2]}")
+    print(f"wrote {len(images)} images + {len(audio)} wavs to {MEDIA_DIR}")
+    print(f"wrote {len(rows)} fingerprints to {FP_PARQUET}")
+
+
+if __name__ == "__main__":
+    main()

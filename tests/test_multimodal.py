@@ -318,3 +318,89 @@ def test_video_near_duplicates_by_frame_hashes(spark):
     # the trim shares its sampled frames with the full clip iff the
     # slicing grid aligns; at half length + half frames it does
     assert pairs.get((1, 3), 0) >= 2
+
+
+def test_media_fixture_fingerprints_match_engine(spark):
+    """q110's certification spine: the committed reference-fingerprint
+    parquet (written by scripts/gen_media_fixtures.py from the SOURCE
+    arrays with its own implementations) must match what the engine's
+    binaryFile → mapInPandas kernel path computes from the committed
+    FILES, for every fixture — any drift in header parsing, resample
+    index math, FFT banding, or bit packing shows up here (and in the
+    driver's q110 hash)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdc_makanmana_spark.multimodal.binary import (
+        audio_fingerprint,
+        image_ahash,
+        read_media_dir,
+    )
+    from cdc_makanmana_spark.plans.queries import (
+        _MEDIA_FIXTURE_DIR,
+        _MEDIA_FP_PARQUET,
+    )
+
+    assert os.path.isdir(_MEDIA_FIXTURE_DIR), "run scripts/gen_media_fixtures.py"
+    ref = pq.read_table(_MEDIA_FP_PARQUET).to_pydict()
+    ref_img = {
+        m: f for m, k, f in zip(ref["media_id"], ref["kind"], ref["fp"]) if k == "image"
+    }
+    ref_aud = {
+        m: f for m, k, f in zip(ref["media_id"], ref["kind"], ref["fp"]) if k == "audio"
+    }
+    media = read_media_dir(spark, _MEDIA_FIXTURE_DIR, id_from="stem_digits")
+    got_img = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    got_aud = {r.media_id: r.afp for r in audio_fingerprint(media).collect()}
+    assert got_img == ref_img and len(got_img) == 64
+    assert got_aud == ref_aud and len(got_aud) == 64
+
+
+def test_q110_planted_pairs_complete(spark):
+    """q110 returns EXACTLY the planted duplicate pairs: 10 exact + 14
+    perturbed per modality, nothing else (unplanted floors are 20/13
+    bits vs thresholds 6/3 — see the generator's separation report)."""
+    from cdc_makanmana_spark.plans.queries import QUERIES
+
+    out = {
+        (r.kind, r.id_a, r.id_b): r.hamming
+        for r in QUERIES["q110_multimodal_neardup"](spark, "/root/testdata/sf0.001").collect()
+    }
+    planted = set()
+    for kind, base0 in (("image", 1), ("audio", 101)):
+        for i in range(10):
+            planted.add((kind, base0 + i, base0 + 40 + i))
+        for i in range(14):
+            planted.add((kind, base0 + 10 + i, base0 + 50 + i))
+    assert set(out) == planted
+    # exact copies pair at hamming 0 through the identical-signature tier
+    assert all(out[("image", 1 + i, 41 + i)] == 0 for i in range(10))
+    assert all(out[("audio", 101 + i, 141 + i)] == 0 for i in range(10))
+
+
+def test_read_media_dir_stem_digit_ids(spark, tmp_path):
+    """stem_digits id mode: ids parse from the first digit run of the
+    basename; digit-less names get NULL (never a silent 0 collision)."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+    from cdc_makanmana_spark.multimodal.binary import read_media_dir
+
+    d = tmp_path / "m"
+    d.mkdir()
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    (d / "img_00017.ppm").write_bytes(kernels.encode_ppm(arr))
+    (d / "clip42x.wav").write_bytes(
+        kernels.encode_wav_pcm16(np.zeros(100), 8000)
+    )
+    (d / "nodigits.ppm").write_bytes(kernels.encode_ppm(arr))
+    ids = {
+        r["meta"]["codec"]: r["media_id"]
+        for r in read_media_dir(spark, str(d), id_from="stem_digits").collect()
+    }
+    assert ids["pcm16"] == 42
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="id_from"):
+        read_media_dir(spark, str(d), id_from="bogus")
