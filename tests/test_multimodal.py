@@ -356,6 +356,15 @@ def test_media_fixture_fingerprints_match_engine(spark):
     assert got_img == ref_img and len(got_img) == 64
     assert got_aud == ref_aud and len(got_aud) == 64
 
+    # the fused single-scan pass (q110's served plan) must agree with
+    # the per-modality operators bit-for-bit
+    from cdc_makanmana_spark.multimodal.binary import media_fingerprints
+
+    fused = media_fingerprints(media).collect()
+    assert {r.media_id: r.fp for r in fused if r.kind == "image"} == ref_img
+    assert {r.media_id: r.fp for r in fused if r.kind == "audio"} == ref_aud
+    assert len(fused) == 128
+
 
 def test_q110_planted_pairs_complete(spark):
     """q110 returns EXACTLY the planted duplicate pairs: 10 exact + 14
