@@ -120,7 +120,11 @@ def synthetic_media_table(spark, n: int = 100, seed: int = 7) -> DataFrame:
 
 # extension → (kind, codec) for the file-ingest path; anything else
 # rides through as an opaque ("binary", <ext>) payload.
-_EXT_MEDIA = {"ppm": ("image", "ppm"), "wav": ("audio", "pcm16")}
+_EXT_MEDIA = {
+    "ppm": ("image", "ppm"),
+    "wav": ("audio", "pcm16"),
+    "y4m": ("video", "y4m"),
+}
 
 
 def read_media_dir(
@@ -199,6 +203,13 @@ def read_media_dir(
                         h, w = int(arr.shape[0]), int(arr.shape[1])
                     except ValueError:
                         kind, codec = "binary", "corrupt-ppm"
+                elif codec == "y4m":
+                    try:
+                        frames = kernels.decode_y4m(bytes(payload))
+                        n_frames = int(frames.shape[0])
+                        h, w = int(frames.shape[1]), int(frames.shape[2])
+                    except ValueError:
+                        kind, codec = "binary", "corrupt-y4m"
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["payload"].append(payload)
@@ -344,9 +355,16 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling for video payloads: one output row per sampled
-    frame (frame payload = stubbed equal slice of the video payload).
-    Row explosion happens executor-side inside the Arrow batch — the
-    driver never sees payload bytes."""
+    frame. Y4M payloads take the REAL path — ``kernels.decode_y4m``
+    splits the raw container into luma frames, each re-emitted as a
+    P6 PPM (gray replicated to RGB) so every downstream image kernel
+    consumes sampled frames unchanged; codec-requiring formats keep
+    the stub equal-slice payloads. Row explosion happens executor-side
+    inside the Arrow batch — the driver never sees payload bytes."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -360,6 +378,21 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
             ids, idxs, payloads = [], [], []
             for mid, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(p)
+                if m["codec"] == "y4m":
+                    frames = kernels.decode_y4m(raw)
+                    for fi in range(0, frames.shape[0], every_nth):
+                        ids.append(mid)
+                        idxs.append(fi)
+                        payloads.append(
+                            bytearray(
+                                kernels.encode_ppm(
+                                    np.repeat(
+                                        frames[fi][:, :, np.newaxis], 3, axis=2
+                                    )
+                                )
+                            )
+                        )
+                    continue
                 n = int(m["n_frames"])
                 step = max(len(raw) // max(n, 1), 1)
                 for fi in range(0, n, every_nth):
@@ -560,12 +593,13 @@ FRAME_HASH_SCHEMA = StructType(
 def video_frame_hashes(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """64-bit perceptual hash per SAMPLED video frame: the video tier
     of the multimodal dedup trio (image aHash / audio fingerprint /
-    this). Frame extraction is ``sample_frames``'s stub slicing (no
-    video codec in the container — the honest-stub rule), the
-    per-frame hash is the stub feature vector's threshold bits; with a
-    real decoder dropped in, the frame path becomes image_ahash's real
-    kernel and NOTHING downstream changes. One Arrow-batched
-    ``mapInPandas``; payloads never visit the driver."""
+    this). Y4M videos are REAL end-to-end: ``sample_frames`` decodes
+    the raw container and emits each sampled frame as a PPM, so the
+    per-frame hash here is ``image_ahash``'s actual kernel — exactly
+    the promised "drop in a real decoder and nothing downstream
+    changes". Codec-requiring formats (MP4 etc. — no codec libs in
+    the container) keep the stub slice → stub-bits path. One
+    Arrow-batched ``mapInPandas``; payloads never visit the driver."""
     import numpy as np
 
     frames = sample_frames(media, every_nth)
@@ -574,8 +608,12 @@ def video_frame_hashes(media: DataFrame, every_nth: int = 2) -> DataFrame:
         for pdf in it:
             hashes = []
             for p in pdf["frame_payload"]:
+                raw = bytes(p)
+                if raw.startswith(b"P6"):
+                    hashes.append(_image_ahash_one(raw, {"codec": "ppm"}))
+                    continue
                 feats = np.asarray(
-                    _decode_stub(bytes(p), 8, 8, dim=64), dtype=np.float64
+                    _decode_stub(raw, 8, 8, dim=64), dtype=np.float64
                 )
                 bits = feats > feats.mean()
                 h = 0

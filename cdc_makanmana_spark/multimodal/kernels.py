@@ -59,6 +59,62 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return data.reshape(h, w, 3)
 
 
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w) uint8 luma frames → YUV4MPEG2 ``Cmono`` bytes.
+
+    Y4M is the public RAW video container (a plain-text stream header,
+    then ``FRAME\\n`` + planar pixel data per frame — no codec, no
+    compression), which is what makes a REAL video decode path possible
+    in a container without codec libraries; ``Cmono`` is the
+    luma-only colourspace variant, exactly what perceptual frame
+    hashing consumes."""
+    n, h, w = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 Cmono\n" % (w, h, fps)]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(frames[i].astype(np.uint8).tobytes())
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """YUV4MPEG2 ``Cmono`` bytes → (n, h, w) uint8 luma frames.
+    Raises ValueError on non-Y4M input, non-mono colourspace (decoding
+    subsampled chroma without a converter would silently misread
+    frame boundaries), or a truncated final frame."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.index(b"\n")
+    w = h = 0
+    colour = "420"  # the Y4M spec's default when no C tag is present
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            colour = tok[1:].decode("ascii")
+    if colour != "mono":
+        raise ValueError(f"unsupported Y4M colourspace C{colour} (mono only)")
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    frames = []
+    pos = nl + 1
+    size = w * h
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1  # frame params end at newline
+        if pos + size > len(payload):
+            raise ValueError("truncated Y4M frame")
+        frames.append(
+            np.frombuffer(payload, dtype=np.uint8, count=size, offset=pos).reshape(
+                h, w
+            )
+        )
+        pos += size
+    return np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8)
+
+
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Nearest-neighbor resample of (h, w, 3) to (target_h, target_w, 3)."""
     h, w, _ = arr.shape

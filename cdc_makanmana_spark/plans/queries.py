@@ -6012,7 +6012,7 @@ def q104_stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream_rollup_maintainer(spark, sf_dir).serve()
 
 
-_Q105_PARAMS = "key=user_id,band=0..1800s,wm=2h,files=8,mft=2,v2"
+_Q105_PARAMS = "key=user_id,band=0..1800s,wm=2h,files=adaptive500k,mft=2,v3"
 
 
 def _stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6034,8 +6034,29 @@ def _stream_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts").alias("buy_ts"),
             F.col("value").alias("buy_value"),
         )
-        stage_ranged_files(spark, views, f"{work}/stage_l", ts_col="view_ts")
-        stage_ranged_files(spark, buys, f"{work}/stage_r", ts_col="buy_ts")
+        # VOLUME-ADAPTIVE batching: a real CDC feed scales by
+        # delivering MORE files, not bigger ones, so batch count grows
+        # with input volume and per-batch interval-join state stays
+        # bounded. With the file count pinned at 8, a x100 replay
+        # packed ~7.5 event-days into each micro-batch and the join's
+        # within-batch state scan (Spark probes the full per-key state
+        # list per arriving row; the interval bound is a post-filter)
+        # went quadratic in batch span — measured 122 s at x100 vs
+        # 48-51 s at 8-16 batches, identical output (batching
+        # independence is test-pinned). ~500 k rows/batch sits at the
+        # knee where the linear per-trigger cost (~3 s each) takes
+        # over. The result does not depend on the chosen count, so the
+        # artifact fingerprint doesn't fold it in.
+        n_rows = views.count() + buys.count()
+        batches = min(max(4, -(-n_rows // 500_000)), 32)
+        stage_ranged_files(
+            spark, views, f"{work}/stage_l", ts_col="view_ts",
+            n_files=2 * batches,
+        )
+        stage_ranged_files(
+            spark, buys, f"{work}/stage_r", ts_col="buy_ts",
+            n_files=2 * batches,
+        )
         replay_interval_join(
             spark,
             f"{work}/stage_l",
@@ -6469,8 +6490,11 @@ _REPO_ROOT = _os.path.dirname(
 )
 _MEDIA_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "fixtures", "media")
 _MEDIA_FP_PARQUET = _os.path.join(_REPO_ROOT, "fixtures", "media_fingerprints.parquet")
+_MEDIA_FH_PARQUET = _os.path.join(_REPO_ROOT, "fixtures", "media_frame_hashes.parquet")
 _Q110_IMG_DIST = 6  # aHash near-dup threshold (planted max 5, floor 20)
 _Q110_AUD_DIST = 3  # spectral-fp threshold (planted max 1, floor 13)
+_Q111_MIN_SHARED = 2  # planted partial copies share >= 2 sampled frames
+_Q111_EVERY_NTH = 2  # sample every 2nd frame (the operator's default)
 
 
 @query(
@@ -6536,6 +6560,54 @@ def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs("image", _Q110_IMG_DIST).unionByName(
         pairs("audio", _Q110_AUD_DIST)
     )
+
+
+@query(
+    "q111_video_neardup",
+    f"""
+    WITH fh AS (
+      SELECT DISTINCT media_id, fhash
+      FROM read_parquet('{_MEDIA_FH_PARQUET}')
+      WHERE frame_idx % {_Q111_EVERY_NTH} = 0)
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fh a JOIN fh b ON a.fhash = b.fhash AND a.media_id < b.media_id
+    GROUP BY a.media_id, b.media_id
+    HAVING count(*) >= {_Q111_MIN_SHARED}
+    """,
+)
+def q111_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplicate detection with a REAL decode path — the
+    video tier joins q110's image/audio tiers on the oracle surface:
+    committed YUV4MPEG2 ``Cmono`` fixtures (raw frames, a public
+    codec-free container) ride binaryFile → ``sample_frames`` (real
+    Y4M frame split, every {_Q111_EVERY_NTH}th frame re-emitted as a
+    PPM) → ``video_frame_hashes`` (image_ahash's actual kernel per
+    frame) → ``video_near_duplicates``'s inverted-index pairing:
+    explode to (frame-hash, video) postings, pair within a bucket,
+    count shared hashes — shuffle key is the 8-byte frame hash, cost
+    bounded by postings-per-hash, never |videos|². Planted partial
+    copies (2 of 8 frames re-cut) share >= {_Q111_MIN_SHARED} sampled
+    frames; unplanted pairs share none (generator separation report).
+    The oracle replays sampling + pairing over reference frame hashes
+    the generator computed from the source arrays with its own code —
+    the hash certifies the Y4M container parse, the frame sampling
+    arithmetic, the per-frame aHash, and the postings join in one
+    diff. ``sf_dir`` unused (fixture-backed, like q110); the scale
+    story is the postings shape. Reference linkage: extends
+    dataManager.ts:132-187's enrichment pipeline to frame-level
+    binary payloads."""
+    from cdc_makanmana_spark.multimodal.binary import (
+        read_media_dir,
+        video_near_duplicates,
+    )
+
+    media = read_media_dir(spark, _MEDIA_FIXTURE_DIR, id_from="stem_digits")
+    return video_near_duplicates(
+        media,
+        min_shared_frames=_Q111_MIN_SHARED,
+        every_nth=_Q111_EVERY_NTH,
+    ).select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:

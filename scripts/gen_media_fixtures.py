@@ -24,6 +24,18 @@ Fingerprint specs (shared contract, independent code):
   64 log-spaced bands on [50 Hz, 0.9*Nyquist], bit i set iff band
   energy > across-band mean (gain-invariant).
 
+Also writes, for q111 (video near-dup):
+- ``fixtures/media/vid_<id>.y4m`` — real YUV4MPEG2 ``Cmono`` raw
+  videos (8 seeded gray frames each; Y4M is the public uncompressed
+  container, decodable without codec libraries), including planted
+  exact copies and PARTIAL copies (a subset of frames replaced — the
+  "trimmed/re-cut copy" shape video_near_duplicates pairs on: shared
+  EXACT frame hashes, not per-frame noise);
+- ``fixtures/media_frame_hashes.parquet`` — (media_id, frame_idx,
+  fhash): every frame's aHash computed HERE from the source arrays by
+  this script's own implementation, so the q111 oracle replays frame
+  sampling + postings pairing over hashes the engine never produced.
+
 Run: ``python scripts/gen_media_fixtures.py`` (idempotent — fixed
 seed, rewrites the same bytes).
 """
@@ -45,6 +57,13 @@ FP_PARQUET = os.path.join(OUT_DIR, "fixtures", "media_fingerprints.parquet")
 N_BASE = 40  # base items per modality
 N_EXACT = 10  # planted exact copies (hamming 0)
 N_NEAR = 14  # planted noise-perturbed near-dups (small hamming)
+
+FH_PARQUET = os.path.join(OUT_DIR, "fixtures", "media_frame_hashes.parquet")
+N_VBASE = 24  # base videos
+N_VEXACT = 6  # planted exact video copies
+N_VPART = 8  # planted partial copies (2 of 8 frames replaced)
+V_FRAMES = 8
+V_W, V_H = 32, 24
 
 
 def _rng(tag: str) -> np.random.Generator:
@@ -110,6 +129,21 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return buf.getvalue()
 
 
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """(n, h, w) uint8 → YUV4MPEG2 Cmono bytes (independent writer)."""
+    n, h, w = frames.shape
+    head = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 Cmono\n" % (w, h)
+    return head + b"".join(
+        b"FRAME\n" + frames[k].astype(np.uint8).tobytes() for k in range(n)
+    )
+
+
+def frame_ahash64(frame: np.ndarray) -> int:
+    """aHash of a gray (h, w) frame == ahash64 of its gray→RGB stack
+    (the engine emits sampled Y4M frames as R=G=B PPMs)."""
+    return ahash64(np.repeat(frame[:, :, None], 3, axis=2))
+
+
 # ---- content generation -----------------------------------------------------
 
 
@@ -172,6 +206,39 @@ def perturb_audio(samples: np.ndarray, i: int) -> np.ndarray:
     )
 
 
+def make_frame(tag: str, w: int = V_W, h: int = V_H) -> np.ndarray:
+    """One seeded gray frame: oriented ramp + rectangles (the image
+    recipe's luminance structure, single channel)."""
+    rng = _rng(tag)
+    yy, xx = np.mgrid[0:h, 0:w]
+    angle = rng.uniform(0, 2 * np.pi)
+    ramp = np.cos(angle) * xx / max(w - 1, 1) + np.sin(angle) * yy / max(h - 1, 1)
+    ramp = (ramp - ramp.min()) / max(ramp.ptp(), 1e-9)
+    base = ramp * 255
+    for _ in range(int(rng.integers(2, 5))):
+        y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
+        y1, x1 = y0 + int(rng.integers(4, h // 2)), x0 + int(rng.integers(4, w // 2))
+        base[y0:y1, x0:x1] = rng.uniform(0, 255)
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def make_video(i: int) -> np.ndarray:
+    return np.stack([make_frame(f"vid:{i}:f{f}") for f in range(V_FRAMES)])
+
+
+def partial_copy(frames: np.ndarray, i: int) -> np.ndarray:
+    """A re-cut copy: 2 of the 8 frames replaced with fresh content —
+    shares the other 6 frames' hashes EXACTLY (>= 2 even if both
+    replacements land on sampled positions at every_nth=2) (the pairing signal
+    video_near_duplicates counts), unlike per-pixel noise which would
+    flip hash bits and share nothing."""
+    rng = _rng(f"vidp:{i}")
+    out = frames.copy()
+    for f in sorted(rng.choice(V_FRAMES, size=2, replace=False)):
+        out[int(f)] = make_frame(f"vidp:{i}:f{int(f)}")
+    return out
+
+
 def main() -> None:
     os.makedirs(MEDIA_DIR, exist_ok=True)
     rows: list[tuple[int, str, int]] = []
@@ -211,6 +278,25 @@ def main() -> None:
             f.write(encode_wav(s, rate))
         rows.append((mid, "audio", audio_fp64(pcm16_roundtrip(s), rate)))
 
+    # videos: ids 201.. (disjoint from image/audio ids)
+    videos: dict[int, np.ndarray] = {}
+    next_id = 201
+    for i in range(N_VBASE):
+        videos[next_id] = make_video(i)
+        next_id += 1
+    for i in range(N_VEXACT):
+        videos[next_id] = videos[201 + i]
+        next_id += 1
+    for i in range(N_VPART):
+        videos[next_id] = partial_copy(videos[201 + N_VEXACT + i], i)
+        next_id += 1
+    fh_rows: list[tuple[int, int, int]] = []
+    for mid, frames in videos.items():
+        with open(os.path.join(MEDIA_DIR, f"vid_{mid:05d}.y4m"), "wb") as f:
+            f.write(encode_y4m(frames))
+        for fi in range(frames.shape[0]):
+            fh_rows.append((mid, fi, frame_ahash64(frames[fi])))
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -222,6 +308,16 @@ def main() -> None:
         }
     )
     pq.write_table(table, FP_PARQUET)
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array([r[0] for r in fh_rows], pa.int64()),
+                "frame_idx": pa.array([r[1] for r in fh_rows], pa.int32()),
+                "fhash": pa.array([r[2] for r in fh_rows], pa.int64()),
+            }
+        ),
+        FH_PARQUET,
+    )
 
     # report planted-vs-unplanted separation (generation-time sanity)
     def planted_pairs(base0: int) -> set[tuple[int, int]]:
@@ -245,8 +341,30 @@ def main() -> None:
         ud.sort()
         print(f"{kind}: planted max={pd_[-1]} (all={pd_}); "
               f"unplanted min={ud[0]} p1={ud[len(ud)//100]} median={ud[len(ud)//2]}")
-    print(f"wrote {len(images)} images + {len(audio)} wavs to {MEDIA_DIR}")
+    # video sharing report at the engine's every_nth=2 sampling: planted
+    # pairs must share >= min_shared sampled-frame hashes; unrelated
+    # pairs must share none (exact 64-bit collisions across seeded
+    # content would show up here)
+    vids = sorted(videos)
+    sampled = {
+        m: {h for (mm, fi, h) in fh_rows if mm == m and fi % 2 == 0} for m in vids
+    }
+    vplanted = {(201 + i, 201 + N_VBASE + i) for i in range(N_VEXACT)} | {
+        (201 + N_VEXACT + i, 201 + N_VBASE + N_VEXACT + i) for i in range(N_VPART)
+    }
+    pshared, ushared = [], []
+    for ai, a in enumerate(vids):
+        for b in vids[ai + 1 :]:
+            n = len(sampled[a] & sampled[b])
+            (pshared if (a, b) in vplanted else ushared).append(n)
+    print(
+        f"video: planted shared sampled-frames min={min(pshared)} "
+        f"(all={sorted(pshared)}); unplanted max={max(ushared)}"
+    )
+    print(f"wrote {len(images)} images + {len(audio)} wavs + "
+          f"{len(videos)} y4m videos to {MEDIA_DIR}")
     print(f"wrote {len(rows)} fingerprints to {FP_PARQUET}")
+    print(f"wrote {len(fh_rows)} frame hashes to {FH_PARQUET}")
 
 
 if __name__ == "__main__":

@@ -388,6 +388,48 @@ def test_q110_planted_pairs_complete(spark):
     assert all(out[("audio", 101 + i, 141 + i)] == 0 for i in range(10))
 
 
+def test_y4m_round_trip_kernel():
+    """encode_y4m → decode_y4m is exact, and the decoder rejects what
+    it can't faithfully read (non-mono colourspace, truncated frame,
+    foreign bytes)."""
+    import numpy as np
+    import pytest
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (5, 24, 32)).astype(np.uint8)
+    payload = kernels.encode_y4m(frames)
+    back = kernels.decode_y4m(payload)
+    assert back.shape == (5, 24, 32)
+    assert (back == frames).all()
+    with pytest.raises(ValueError):
+        kernels.decode_y4m(b"P6\n1 1\n255\nxxx")
+    with pytest.raises(ValueError):
+        kernels.decode_y4m(payload[:-10])  # truncated final frame
+    with pytest.raises(ValueError):
+        kernels.decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420jpeg\nFRAME\n" + b"\0" * 6)
+
+
+def test_q111_planted_pairs_complete(spark):
+    """q111 returns EXACTLY the planted video pairs: 6 exact copies
+    (share all 4 sampled frames) + 8 partial copies (2 of 8 frames
+    re-cut → >= 2 shared sampled frames), nothing else (unplanted
+    pairs share 0 frame hashes — generator separation report)."""
+    from cdc_makanmana_spark.plans.queries import QUERIES
+
+    out = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in QUERIES["q111_video_neardup"](spark, "/root/testdata/sf0.001").collect()
+    }
+    planted = {(201 + i, 225 + i) for i in range(6)}
+    planted |= {(207 + i, 231 + i) for i in range(8)}
+    assert set(out) == planted
+    # exact copies share every sampled frame (8 frames, every 2nd)
+    assert all(out[(201 + i, 225 + i)] == 4 for i in range(6))
+    assert all(2 <= out[(207 + i, 231 + i)] <= 4 for i in range(8))
+
+
 def test_read_media_dir_stem_digit_ids(spark, tmp_path):
     """stem_digits id mode: ids parse from the first digit run of the
     basename; digit-less names get NULL (never a silent 0 collision)."""
