@@ -32,13 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # green). This round leads with the CHANGED queries — q59 (now
 # hash-certifiable: exact values + in-bound flags, its first-ever
 # oracle row) and q106 (NULL-key pin changed the Spark plan) — plus
-# q110 (new, auto-fronts via the number rule); the rest follow
-# stalest-certification-first: the r4-certified q40-q50 block (oldest
-# certificates on the surface), then the r5 block, then the
-# just-certified r6 block.
+# the NEW q110/q111 (auto-front via the number rule; q111 also lands
+# inside the window because 111 > _KNOWN_MAX) and q105 (its replay
+# build gained volume-adaptive batching this round — the served scan
+# is unchanged and batching independence is test-pinned, but the
+# front-what-changed rule applies to the whole build-through-serve
+# path). The rest follow stalest-certification-first: the
+# r4-certified q40-q50 block (oldest certificates on the surface),
+# then the r5 block, then the just-certified r6 block.
 _ROTATION_FRONT = [
     "q59_approx_group_sketches",
     "q106_stream_stateful_asof",
+    "q105_stream_interval_join",
 ]
 # round each query number last earned a driver CORRECTNESS row
 _R6_CERTIFIED = (
