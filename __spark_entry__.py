@@ -44,6 +44,10 @@ _ROTATION_FRONT = [
     "q59_approx_group_sketches",
     "q106_stream_stateful_asof",
     "q105_stream_interval_join",
+    # serve-plan change this round: avg now derives via exact integer
+    # half-up (the x10 organic probe caught round(double,4) diverging
+    # between engines at a decimal tie — see rollup.serve)
+    "q104_stream_rollup_serve",
 ]
 # round each query number last earned a driver CORRECTNESS row
 _R6_CERTIFIED = (

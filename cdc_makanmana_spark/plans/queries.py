@@ -5988,8 +5988,14 @@ def _stream_rollup_maintainer(spark: SparkSession, sf_dir: str):
            count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
              AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / count(*), 4) AS avg_value
+           -- avg via EXACT integer half-up at 4 dp (matches serve():
+           -- round(double, 4) is not replayable across engines at a
+           -- rounding boundary — Spark rounds the shortest decimal
+           -- repr, DuckDB the binary value; see rollup.serve)
+           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                          AS BIGINT)
+                 + 100 * count(*)) // (200 * count(*)) AS DOUBLE) / 10000
+             AS avg_value
     FROM events
     GROUP BY 1, 2
     """,

@@ -174,12 +174,47 @@ class RollupMaintainer:
         # accumulation order could flip a rounding boundary between the
         # partials-then-merge order and an oracle's single pass
         sum_d = F.col("sum_value").cast("double")
+        # avg derives via EXACT integer math when the sum is a DECIMAL:
+        # round(double_avg, dp) is NOT replayable across engines at a
+        # rounding boundary — Spark's round(double) goes through the
+        # shortest decimal repr (BigDecimal.valueOf) and rounds
+        # "293.99875" HALF_UP to 293.9988, while DuckDB rounds the
+        # actual binary value (...74999...) to 293.9987; an exact
+        # decimal sum divided by a count lands on such ties in real
+        # data (first hit: the x10 organic probe, one group of 264).
+        # half-up(m / d) == (2m + d) div 2d for non-negative m — both
+        # engines compute the identical integer, then divide by 10^dp
+        # as the final (exactly replayable) double op.
+        from pyspark.sql.types import DecimalType
+
+        sum_field = next(
+            f for f in self.spark.read.parquet(*dirs).schema.fields
+            if f.name == "sum_value"
+        )
+        if isinstance(sum_field.dataType, DecimalType):
+            s = sum_field.dataType.scale
+            if s < round_dp:
+                raise ValueError(
+                    f"round_dp={round_dp} exceeds the ingested scale {s}"
+                )
+            rescale = 10 ** (s - round_dp)
+            q = F.expr(
+                f"(2 * (CAST(sum_value * {10**s} AS BIGINT)) "
+                f"+ {rescale} * n_events) div (2 * {rescale} * n_events)"
+            )
+            avg_col = (q.cast("double") / F.lit(float(10**round_dp))).alias(
+                "avg_value"
+            )
+        else:
+            avg_col = F.round(sum_d / F.col("n_events"), round_dp).alias(
+                "avg_value"
+            )
         out_cols = [
             "window_start",
             *self.keys,
             "n_events",
             F.round(sum_d, round_dp).alias("total_value"),
-            F.round(sum_d / F.col("n_events"), round_dp).alias("avg_value"),
+            avg_col,
         ]
         if self.distinct_col is not None:
             agg = merged.agg(

@@ -695,6 +695,41 @@ def test_rollup_maintainer_matches_batch_twin_and_compacts(spark, tmp_path):
     assert after[("2024-01-01 00:00:00", 9)] == (1, 99.0, 99.0)
 
 
+def test_rollup_decimal_avg_exact_at_rounding_boundary(spark, tmp_path):
+    """DECIMAL-ingested rollups derive avg via exact integer half-up:
+    263 x 294.00 + 293.67 = 77615.67 over 264 events — in exact
+    decimal arithmetic the average is EXACTLY 293.99875, a 4-dp tie,
+    so half-up gives 293.9988. Rounding through doubles is not
+    replayable on exactly this class: the nearest double to the tie is
+    293.998749999...; DuckDB's round(double, 4) returns 293.9987 from
+    it while Spark's returns 293.9988 (shortest-repr half-up) — the
+    engine/oracle divergence the x10 organic probe caught on q104.
+    The integer path must return the decimal-arithmetic answer and
+    agree with the same formula evaluated exactly in Python."""
+    from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
+
+    roll = RollupMaintainer(
+        spark, str(tmp_path / "rd"), window="1 hour", keys=[]
+    )
+    rows = [(f"2024-01-01T00:{i % 60:02d}:00", 294.00) for i in range(263)]
+    rows.append(("2024-01-01T00:59:00", 293.67))
+    batch = spark.createDataFrame(rows, "ts string, value string").selectExpr(
+        "ts::timestamp AS ts", "CAST(value AS DECIMAL(18,6)) AS value"
+    )
+    roll._ingest_batch(batch, batch_id=0)
+    got = roll.serve().collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_events == 264
+    assert r.total_value == 77615.67
+    # exact half-up of the decimal tie, replayed in Python integers:
+    # m = sum * 10^6, half-up(m / (100 n)) = (2m + 100n) // (200n)
+    m, n = 77615670000, 264
+    expected = ((2 * m + 100 * n) // (200 * n)) / 10_000
+    assert expected == 293.9988
+    assert r.avg_value == expected
+
+
 def test_rollup_compact_crash_heals_without_double_count(spark, tmp_path):
     """Crash after committing compact staging but BEFORE deleting the
     folded inputs: healing must delete the manifest-listed inputs and
