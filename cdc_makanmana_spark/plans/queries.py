@@ -6551,7 +6551,14 @@ def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cdc_makanmana_spark.operators.dedup import _materialize, hamming_pairs
 
-    media = read_media_dir(spark, _MEDIA_FIXTURE_DIR, id_from="stem_digits")
+    # glob-restrict the scan to this query's modalities: binaryFile
+    # lists and READS every file under the dir, and the metadata pass
+    # decodes each payload — without the filter q110 ships q111's
+    # video bytes through the scan just to drop them at the kind
+    # filter (measured +1.5 s after the Y4M fixtures landed)
+    media = read_media_dir(
+        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,wav}", id_from="stem_digits"
+    )
     fps = _materialize(media_fingerprints(media))
 
     def pairs(kind: str, dist: int) -> DataFrame:
@@ -6608,7 +6615,9 @@ def q111_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_near_duplicates,
     )
 
-    media = read_media_dir(spark, _MEDIA_FIXTURE_DIR, id_from="stem_digits")
+    media = read_media_dir(
+        spark, _MEDIA_FIXTURE_DIR, glob="*.y4m", id_from="stem_digits"
+    )
     return video_near_duplicates(
         media,
         min_shared_frames=_Q111_MIN_SHARED,
