@@ -5984,20 +5984,29 @@ def _stream_rollup_maintainer(spark: SparkSession, sf_dir: str):
 @query(
     "q104_stream_rollup_serve",
     """
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+    -- total AND avg via EXACT sign-aware integer half-up at 4 dp
+    -- (matches serve(): round(double, 4) is not replayable across
+    -- engines at a rounding boundary — Spark rounds the shortest
+    -- decimal repr, DuckDB the binary value; half-up is away-from-
+    -- zero, so the integral division runs on the ABSOLUTE scaled sum
+    -- and the sign is re-applied; HUGEINT mirrors serve()'s
+    -- DECIMAL(38,0), no int64 overflow at feed scale — see
+    -- rollup.serve)
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
+                  AS HUGEINT) AS scaled
+      FROM events GROUP BY 1, 2)
+    SELECT window_start, event_type, n_events,
+           CAST(CASE WHEN scaled < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(scaled) + 100) // 200) AS DOUBLE) / 10000
              AS total_value,
-           -- avg via EXACT integer half-up at 4 dp (matches serve():
-           -- round(double, 4) is not replayable across engines at a
-           -- rounding boundary — Spark rounds the shortest decimal
-           -- repr, DuckDB the binary value; see rollup.serve)
-           CAST((2 * CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000
-                          AS BIGINT)
-                 + 100 * count(*)) // (200 * count(*)) AS DOUBLE) / 10000
+           CAST(CASE WHEN scaled < 0 THEN -1 ELSE 1 END
+                * ((2 * abs(scaled) + 100 * n_events)
+                   // (200 * n_events)) AS DOUBLE) / 10000
              AS avg_value
-    FROM events
-    GROUP BY 1, 2
+    FROM agg
     """,
 )
 def q104_stream_rollup_serve(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -42,6 +42,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 from cdc_makanmana_spark import fs
 
@@ -166,7 +167,9 @@ class RollupMaintainer:
         dirs = self._partial_dirs()
         if not dirs:
             return None
-        merged = self.spark.read.parquet(*dirs).groupBy("window_start", *self.keys)
+        # one read serves both the schema probe and the merge scan
+        df = self.spark.read.parquet(*dirs)
+        merged = df.groupBy("window_start", *self.keys)
         # derive through cast-to-double (a no-op for double inputs):
         # when the ingested value column is a DECIMAL, the partial sums
         # and their merge are EXACT regardless of micro-batch topology,
@@ -174,23 +177,27 @@ class RollupMaintainer:
         # accumulation order could flip a rounding boundary between the
         # partials-then-merge order and an oracle's single pass
         sum_d = F.col("sum_value").cast("double")
-        # avg derives via EXACT integer math when the sum is a DECIMAL:
-        # round(double_avg, dp) is NOT replayable across engines at a
-        # rounding boundary — Spark's round(double) goes through the
-        # shortest decimal repr (BigDecimal.valueOf) and rounds
+        # avg AND total derive via EXACT integer math when the sum is a
+        # DECIMAL: round(double, dp) is NOT replayable across engines
+        # at a rounding boundary — Spark's round(double) goes through
+        # the shortest decimal repr (BigDecimal.valueOf) and rounds
         # "293.99875" HALF_UP to 293.9988, while DuckDB rounds the
         # actual binary value (...74999...) to 293.9987; an exact
         # decimal sum divided by a count lands on such ties in real
-        # data (first hit: the x10 organic probe, one group of 264).
-        # half-up(m / d) == (2m + d) div 2d for non-negative m — both
-        # engines compute the identical integer, then divide by 10^dp
-        # as the final (exactly replayable) double op.
-        from pyspark.sql.types import DecimalType
-
-        sum_field = next(
-            f for f in self.spark.read.parquet(*dirs).schema.fields
-            if f.name == "sum_value"
-        )
+        # data (first hit: the x10 organic probe, one group of 264),
+        # and a DECIMAL sum with scale > round_dp can land total_value
+        # on the identical tie class. Half-up is away-from-zero in both
+        # engines' round(), and Spark `div` TRUNCATES toward zero while
+        # DuckDB `//` matches — so the integral division runs on the
+        # ABSOLUTE scaled sum (where truncate == floor and
+        # half-up(m/d) == (2m + d) div 2d) and the sign is re-applied:
+        # sign-aware, identical in both engines, no tie left to a
+        # float. The scaled sum stays DECIMAL(38,0) end-to-end — a
+        # CAST to BIGINT would overflow at |sum| ≳ 4.6e12 with s=6
+        # (one afternoon of a 100 TB feed), silently NULL in non-ANSI
+        # Spark while the oracle throws; 38 digits bounds the feed at
+        # 1e31, which is an error worth being loud about if ever hit.
+        sum_field = df.schema["sum_value"]
         if isinstance(sum_field.dataType, DecimalType):
             s = sum_field.dataType.scale
             if s < round_dp:
@@ -198,22 +205,29 @@ class RollupMaintainer:
                     f"round_dp={round_dp} exceeds the ingested scale {s}"
                 )
             rescale = 10 ** (s - round_dp)
-            q = F.expr(
-                f"(2 * (CAST(sum_value * {10**s} AS BIGINT)) "
-                f"+ {rescale} * n_events) div (2 * {rescale} * n_events)"
-            )
-            avg_col = (q.cast("double") / F.lit(float(10**round_dp))).alias(
-                "avg_value"
-            )
+
+            def half_up(denominator: str, alias: str):
+                q = F.expr(
+                    f"(2 * abs(CAST(sum_value * {10**s} AS DECIMAL(38,0)))"
+                    f" + ({denominator})) div (2 * ({denominator}))"
+                )
+                signed = F.when(F.col("sum_value") < 0, -q).otherwise(q)
+                return (
+                    signed.cast("double") / F.lit(float(10**round_dp))
+                ).alias(alias)
+
+            avg_col = half_up(f"{rescale} * n_events", "avg_value")
+            total_col = half_up(f"{rescale}", "total_value")
         else:
             avg_col = F.round(sum_d / F.col("n_events"), round_dp).alias(
                 "avg_value"
             )
+            total_col = F.round(sum_d, round_dp).alias("total_value")
         out_cols = [
             "window_start",
             *self.keys,
             "n_events",
-            F.round(sum_d, round_dp).alias("total_value"),
+            total_col,
             avg_col,
         ]
         if self.distinct_col is not None:

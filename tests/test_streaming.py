@@ -730,6 +730,42 @@ def test_rollup_decimal_avg_exact_at_rounding_boundary(spark, tmp_path):
     assert r.avg_value == expected
 
 
+def test_rollup_decimal_negative_and_total_ties_half_up(spark, tmp_path):
+    """Sign-aware half-up: a NEGATIVE decimal sum at a 4-dp tie must
+    round AWAY FROM ZERO (both engines' round() semantics) — the naive
+    (2m + d) div 2d formula silently rounds a negative tie toward
+    +inf because Spark's `div` truncates; and total_value (scale 6 >
+    round_dp 4) must take the same exact integer path as avg_value,
+    not round-through-double. Mirror of the r7 x10-probe bug class,
+    extended per the r7 advice."""
+    from cdc_makanmana_spark.streaming.rollup import RollupMaintainer
+
+    roll = RollupMaintainer(
+        spark, str(tmp_path / "rneg"), window="1 hour", keys=[]
+    )
+    # one row: sum = -7.000050 exactly (a 4-dp tie at scale 6).
+    # total half-up away from zero -> -7.0001; avg over n=1 likewise.
+    batch = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "-7.00005")], "ts string, value string"
+    ).selectExpr("ts::timestamp AS ts", "CAST(value AS DECIMAL(18,6)) AS value")
+    roll._ingest_batch(batch, batch_id=0)
+    r = roll.serve().collect()[0]
+    assert r.total_value == -7.0001
+    assert r.avg_value == -7.0001
+    # positive twin of the same tie, total path (263x294.00 + 293.67
+    # has scale-6 sum 77615.670000 — NOT a total tie; force one):
+    roll2 = RollupMaintainer(
+        spark, str(tmp_path / "rpos"), window="1 hour", keys=[]
+    )
+    batch2 = spark.createDataFrame(
+        [("2024-01-01T00:00:00", "7.00005")], "ts string, value string"
+    ).selectExpr("ts::timestamp AS ts", "CAST(value AS DECIMAL(18,6)) AS value")
+    roll2._ingest_batch(batch2, batch_id=0)
+    r2 = roll2.serve().collect()[0]
+    assert r2.total_value == 7.0001
+    assert r2.avg_value == 7.0001
+
+
 def test_rollup_compact_crash_heals_without_double_count(spark, tmp_path):
     """Crash after committing compact staging but BEFORE deleting the
     folded inputs: healing must delete the manifest-listed inputs and
