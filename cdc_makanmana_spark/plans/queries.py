@@ -3115,66 +3115,176 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle serves the exact columns and literal TRUE flags, so a
     sketch drifting outside its contract flips a FALSE into the hash
-    and fails the driver diff. Exact tier reuses q34's decomposed
-    operators (bracketed group percentiles, distinct-pairs count) —
-    certification cost is bounded single-pass aggregations, removable
-    at production scale by serving the sketch columns alone."""
+    and fails the driver diff.
+
+    FUSED certification tier (r7 verdict: the naive decomposition paid
+    ~4 extra fact passes, 23.2 s at the x100 probe): THREE lineitem
+    scans total —
+
+    1. the sketch plan itself, widened to also carry the exact tier's
+       GK meta: the SAME approx_percentile sketch is queried at the
+       served points AND at (p ± 3/accuracy) for the provable
+       order-statistic bracket (percentile.py's guarantee, same
+       accuracy), plus count(value) — still one hash aggregate with
+       mergeable partials, so the production plan's SHAPE is unchanged
+       (serve __pe[0..1]/__nse/n_rows alone at 100 TB);
+    2. one fused pass after broadcasting the 3-row estimate frame:
+       rank conditional sums for the served estimates, below-bracket
+       counts, and the exact distinct-supplier count (Expand: the
+       distinct agg shares the scan with the plain sums);
+    3. the band pass: rows inside a bracket (~6·n/accuracy per target
+       per group), window-sorted TINY, neighbors interpolated with
+       Spark Percentile's weighted blend (bit-identical to
+       quantile_cont, same formula as percentile.py).
+
+    Scans 2-3 are the whole exact tier — the GK bracket's floor."""
     from cdc_makanmana_spark.operators.dedup import _materialize
     from cdc_makanmana_spark.operators.joins import join_null_safe
-    from cdc_makanmana_spark.operators.percentile import exact_group_percentiles
+    from pyspark.sql import Window
 
     li = _t(spark, sf_dir, "lineitem")
-    pcts = F.percentile_approx(
-        "l_extendedprice",
-        F.array(F.lit(0.5), F.lit(0.9)),
-        F.lit(_Q59_ACCURACY),
+    acc = _Q59_ACCURACY
+    eps_gk = 1.0 / acc
+    ps = [0.5, 0.9]
+    # served estimates first, then the bracket's lo/hi companions —
+    # ONE GK sketch queried at 6 points (percentile.py's bracket
+    # guarantee: provably contains both neighbors when n >= accuracy)
+    all_pcts = (
+        ps
+        + [max(0.0, p - 3.0 * eps_gk) for p in ps]
+        + [min(1.0, p + 3.0 * eps_gk) for p in ps]
     )
-    # the measured sketch plan: one hash aggregate, mergeable partials
-    est = _materialize(  # 3 rows, consumed twice (assembly + rank scan)
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, "
+        f"array({', '.join(repr(x) for x in all_pcts)}), {acc})"
+    )
+    # scan 1 — the measured sketch plan (+ exact-tier meta riding the
+    # same aggregate); 3 rows, materialized for its 3 consumers
+    est = _materialize(
         li.groupBy("l_returnflag").agg(
             pcts.alias("__pe"),
             F.approx_count_distinct("l_suppkey", _Q59_RSD).alias("__nse"),
             F.count(F.lit(1)).alias("n_rows"),
+            F.count("l_extendedprice").alias("__nv"),
         )
     )
-    # exact tier (q34's parity-proven decomposition)
-    pct = (
-        exact_group_percentiles(
-            li,
+    # groups under the accuracy floor lose the bracket guarantee: the
+    # band degenerates to the whole (small) group, same as percentile.py
+    small = F.col("__nv") < acc
+    meta = est.select(
+        "l_returnflag",
+        "__pe",
+        "__nv",
+        *[
+            F.when(small, F.lit(float("-inf")))
+            .otherwise(F.col("__pe")[2 + i])
+            .alias(f"__blo_{i}")
+            for i in range(len(ps))
+        ],
+        *[
+            F.when(small, F.lit(float("inf")))
+            .otherwise(F.col("__pe")[2 + len(ps) + i])
+            .alias(f"__bhi_{i}")
+            for i in range(len(ps))
+        ],
+    )
+
+    # scan 2 — rank sums + below-bracket counts + exact distinct, one
+    # groupBy behind a broadcast of the 3-row meta (3 groups — bounded
+    # dim by the same contract as q34)
+    stats = _materialize(
+        join_null_safe(
+            li.select("l_returnflag", "l_extendedprice", "l_suppkey"),
+            meta.select("l_returnflag", "__pe", "__blo_0", "__blo_1"),
             ["l_returnflag"],
-            "l_extendedprice",
-            [0.5, 0.9],
-            broadcast_groups=True,  # 3 groups — bounded dim by contract
+            hint=F.broadcast,
         )
         .groupBy("l_returnflag")
-        .pivot("p", [0.5, 0.9])
-        .agg(F.first("value"))
+        .agg(
+            F.sum((F.col("l_extendedprice") < F.col("__pe")[0]).cast("long")).alias("__lt_m"),
+            F.sum((F.col("l_extendedprice") <= F.col("__pe")[0]).cast("long")).alias("__le_m"),
+            F.sum((F.col("l_extendedprice") < F.col("__pe")[1]).cast("long")).alias("__lt_p"),
+            F.sum((F.col("l_extendedprice") <= F.col("__pe")[1]).cast("long")).alias("__le_p"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("__blo_0"), 1).otherwise(0)
+            ).alias("__below_0"),
+            F.sum(
+                F.when(F.col("l_extendedprice") < F.col("__blo_1"), 1).otherwise(0)
+            ).alias("__below_1"),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+        )
+    )
+
+    # scan 3 — the band: per-target bracket rows, counted-below
+    # anchors the local offsets, neighbors picked by a window over the
+    # tiny band (percentile.py's exact machinery, inlined so the pass
+    # shares nothing with scan 2)
+    per_target = []
+    for i, p in enumerate(ps):
+        rank = F.lit(float(p)) * (F.col("__nv") - 1).cast("double")
+        per_target.append(
+            F.struct(
+                F.lit(i).alias("ti"),
+                F.floor(rank).cast("long").alias("lo_idx"),
+                rank.alias("position"),
+                F.col(f"__blo_{i}").alias("blo"),
+                F.col(f"__bhi_{i}").alias("bhi"),
+            )
+        )
+    targets = F.array(*per_target)
+    band = (
+        join_null_safe(
+            li.select("l_returnflag", F.col("l_extendedprice").alias("__v"))
+            .filter(F.col("l_extendedprice").isNotNull()),
+            meta,
+            ["l_returnflag"],
+            hint=F.broadcast,
+        )
+        .select("l_returnflag", "__v", F.explode(targets).alias("__t"))
+        .filter(
+            (F.col("__v") >= F.col("__t.blo")) & (F.col("__v") <= F.col("__t.bhi"))
+        )
+    )
+    w = Window.partitionBy("l_returnflag", F.col("__t.ti")).orderBy("__v")
+    ranked = join_null_safe(
+        band.withColumn("__r", F.row_number().over(w) - 1),
+        stats.select("l_returnflag", "__below_0", "__below_1"),
+        ["l_returnflag"],
+        hint=F.broadcast,
+    )
+    below = F.when(F.col("__t.ti") == 0, F.col("__below_0")).otherwise(
+        F.col("__below_1")
+    )
+    off = F.col("__r") + below
+    lo_hit = off == F.col("__t.lo_idx")
+    hi_hit = off == F.col("__t.lo_idx") + 1
+    picked = (
+        ranked.filter(lo_hit | hi_hit)
+        .groupBy("l_returnflag", F.col("__t.ti").alias("__ti"))
+        .agg(
+            F.first(F.col("__t.position")).alias("__pos"),
+            F.min(F.when(lo_hit, F.col("__v"))).alias("__lo"),
+            F.min(F.when(hi_hit, F.col("__v"))).alias("__hi"),
+        )
+    )
+    # bit-identical to Spark Percentile.getPercentile / quantile_cont:
+    # early return at integral positions, else the weighted blend
+    lower = F.floor(F.col("__pos")).cast("double")
+    higher = F.ceil(F.col("__pos")).cast("double")
+    value = F.when(higher == lower, F.col("__lo")).otherwise(
+        (higher - F.col("__pos")) * F.col("__lo")
+        + (F.col("__pos") - lower) * F.col("__hi")
+    )
+    pct = (
+        picked.select("l_returnflag", "__ti", value.alias("__val"))
+        .groupBy("l_returnflag")
+        .pivot("__ti", [0, 1])
+        .agg(F.first("__val"))
         .select(
             "l_returnflag",
-            F.round(F.col("`0.5`"), 4).alias("median_price"),
-            F.round(F.col("`0.9`"), 4).alias("p90_price"),
+            F.round(F.col("`0`"), 4).alias("median_price"),
+            F.round(F.col("`1`"), 4).alias("p90_price"),
         )
-    )
-    sup = (
-        li.select("l_returnflag", "l_suppkey")
-        .filter(F.col("l_suppkey").isNotNull())
-        .distinct()
-        .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_suppliers"))
-    )
-    # rank positions of the served percentile estimates: one broadcast
-    # of the 3-row estimate frame onto the fact scan, conditional sums
-    ranks = join_null_safe(
-        li.select("l_returnflag", "l_extendedprice"),
-        est.select("l_returnflag", "__pe"),
-        ["l_returnflag"],
-        hint=F.broadcast,  # 3 rows by the same contract as q34
-    ).groupBy("l_returnflag").agg(
-        F.sum((F.col("l_extendedprice") < F.col("__pe")[0]).cast("long")).alias("__lt_m"),
-        F.sum((F.col("l_extendedprice") <= F.col("__pe")[0]).cast("long")).alias("__le_m"),
-        F.sum((F.col("l_extendedprice") < F.col("__pe")[1]).cast("long")).alias("__lt_p"),
-        F.sum((F.col("l_extendedprice") <= F.col("__pe")[1]).cast("long")).alias("__le_p"),
-        F.count("l_extendedprice").alias("__nv"),
     )
 
     eps = 2.0 / _Q59_ACCURACY
@@ -3187,19 +3297,28 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hi_rank >= (q - eps) * n) & (lo_rank <= (q + eps) * n + 1)
         )
 
+    def checked(col_name: str):
+        # bracket-miss guard (percentile.py's): a NULL exact value in
+        # a group with non-null rows means the GK bracket broke its
+        # guarantee — raise in the executor, never emit plausible NULLs
+        return (
+            F.when(
+                F.col(col_name).isNull() & (F.col("__nv") > 0),
+                F.raise_error(
+                    F.lit(f"q59: GK bracket missed for {col_name}")
+                ).cast("double"),
+            )
+            .otherwise(F.col(col_name))
+            .alias(col_name)
+        )
+
     exact_n = F.coalesce(F.col("n_suppliers"), F.lit(0))
-    joined = join_null_safe(
-        join_null_safe(est, pct, ["l_returnflag"], "left", hint=F.broadcast),
-        sup,
-        ["l_returnflag"],
-        "left",
-        hint=F.broadcast,
-    )
-    joined = join_null_safe(joined, ranks, ["l_returnflag"], "left", hint=F.broadcast)
+    joined = join_null_safe(est, pct, ["l_returnflag"], "left", hint=F.broadcast)
+    joined = join_null_safe(joined, stats, ["l_returnflag"], "left", hint=F.broadcast)
     return joined.select(
         "l_returnflag",
-        "median_price",
-        "p90_price",
+        checked("median_price"),
+        checked("p90_price"),
         exact_n.alias("n_suppliers"),
         "n_rows",
         rank_in_bound(0.5, "__lt_m", "__le_m").alias("median_in_bound"),
