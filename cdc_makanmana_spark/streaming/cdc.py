@@ -25,6 +25,7 @@ Scale notes (1000-executor / 100 TB design):
 from __future__ import annotations
 
 import tempfile
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -182,6 +183,51 @@ def writer_lock_path(target_path: str) -> str:
     return f"{target_path.rstrip('/')}{WRITER_LOCK_SUFFIX}"
 
 
+def _parse_lock(text: str) -> tuple[str, float | None]:
+    """(owner_checkpoint, heartbeat_epoch_s) from lock-file content.
+    Line 1 is the owning checkpoint; line 2 (absent in pre-lease
+    locks) is the owner's last heartbeat — an unparseable or missing
+    heartbeat reads as None, which the lease policy treats as NEVER
+    stale (an old-format lock keeps the strict manual-takeover
+    contract rather than silently becoming reclaimable)."""
+    lines = text.split("\n")
+    hb: float | None = None
+    if len(lines) > 1 and lines[1]:
+        try:
+            hb = float(lines[1])
+        except ValueError:
+            hb = None
+    return lines[0], hb
+
+
+def _write_lock(spark: SparkSession, lock_path: str, checkpoint: str) -> None:
+    fs.write_text(spark, lock_path, f"{checkpoint}\n{time.time()}")
+
+
+def _fence_and_heartbeat(
+    spark: SparkSession, lock_path: str, checkpoint: str, target_path: str
+) -> None:
+    """Per-batch fencing: if the lock no longer names this writer's
+    checkpoint, a stale-lease reclaim (or explicit takeover) happened
+    while this writer was alive-but-silent — a zombie that kept
+    writing would interleave with the new owner, the exact clobber the
+    lock exists to prevent. Die loudly instead. Otherwise renew the
+    heartbeat so the lease stays fresh. Granularity is the micro-batch:
+    a zombie can still finish the batch it is INSIDE when the reclaim
+    lands (advisory lock, no OS lease) — the window a lakehouse
+    format's OCC closes transactionally."""
+    current = fs.read_text(spark, lock_path)
+    if current is not None and _parse_lock(current)[0] != checkpoint:
+        raise ForeignWriterError(
+            f"writer fenced: upsert target {target_path!r} was reclaimed "
+            f"by checkpoint {_parse_lock(current)[0]!r} (stale-lease "
+            f"takeover) while this stream (checkpoint {checkpoint!r}) "
+            "was still running. This writer must stop; resume only "
+            "after re-acquiring ownership (takeover=True)."
+        )
+    _write_lock(spark, lock_path, checkpoint)
+
+
 class ForeignWriterError(RuntimeError):
     """The upsert target is owned by a DIFFERENT streaming checkpoint.
 
@@ -209,6 +255,7 @@ def upsert_to_parquet(
     tie_cols: list[str] | None = None,
     retain_tombstones: bool = False,
     takeover: bool = False,
+    lease_timeout_s: float | None = None,
 ):
     """Materialize an upsert stream into a hash-bucket-partitioned
     parquet table via ``foreachBatch`` (T3: the reference's cache-sink
@@ -235,10 +282,26 @@ def upsert_to_parquet(
     before any data is touched (see its docstring for the race and
     the recovery paths). Same checkpoint → normal restart/resume.
     ``takeover=True`` rewrites the lock for explicit ownership
-    transfer. At 100 TB with genuinely concurrent writers you want a
-    lakehouse table format's snapshot isolation (Delta/Iceberg) —
-    this lock is the honest single-writer guard for the raw-parquet
-    layout, not an OCC protocol.
+    transfer.
+
+    LEASE: the lock carries a heartbeat renewed at every micro-batch.
+    ``lease_timeout_s`` is the stale-lock age policy: a new writer
+    finding a foreign lock whose heartbeat is OLDER than the timeout
+    reclaims ownership without manual takeover — the crashed-owner
+    path (a dead writer otherwise pins the target forever). The old
+    owner, should it wake up, is FENCED at its next micro-batch: the
+    lock no longer names its checkpoint, so it raises instead of
+    interleaving with the new owner (see :func:`_fence_and_heartbeat`
+    — batch-granular, the honest limit of an advisory sidecar). Size
+    the timeout well above the slowest expected micro-batch: a
+    too-short lease reclaims from a LIVE writer mid-batch and that
+    batch's writes interleave before the fence lands. With the default
+    ``None`` a foreign lock never expires and recovery is manual
+    takeover only (pre-lease contract). Pre-lease lock files carry no
+    heartbeat and likewise never expire. At 100 TB with genuinely
+    concurrent writers you want a lakehouse table format's snapshot
+    isolation (Delta/Iceberg) — this lock is the honest single-writer
+    guard for the raw-parquet layout, not an OCC protocol.
 
     ``retain_tombstones``: with the default False, a delete that wins
     its batch-merge removes the key's row AND ITSELF — correct only
@@ -256,11 +319,14 @@ def upsert_to_parquet(
     Returns the started StreamingQuery.
     """
     spark = events_stream.sparkSession
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
+    lock_path = writer_lock_path(target_path)
 
     def bucket_of(df: DataFrame):
         return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _fence_and_heartbeat(spark, lock_path, checkpoint, target_path)
         # Deletes must survive until AFTER the merge with current state:
         # a delete event tombstones the target row only if it is the
         # newest event for its key across (target ∪ batch).
@@ -319,17 +385,34 @@ def upsert_to_parquet(
         for b in set(touched) - surviving:
             fs.delete(spark, f"{target_path}/__bucket={b}", recursive=True)
 
-    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="cdc_upsert_ckpt_")
-    lock_path = writer_lock_path(target_path)
-    owner = fs.read_text(spark, lock_path)
-    if owner is not None and owner != checkpoint and not takeover:
-        raise ForeignWriterError(
-            f"upsert target {target_path!r} is owned by checkpoint "
-            f"{owner!r}; this stream's checkpoint is {checkpoint!r}. "
-            "Stop the other writer and resume with its checkpoint, or "
-            "pass takeover=True to transfer ownership explicitly."
-        )
-    fs.write_text(spark, lock_path, checkpoint)
+    lock_text = fs.read_text(spark, lock_path)
+    if lock_text is not None and not takeover:
+        owner, heartbeat = _parse_lock(lock_text)
+        if owner != checkpoint:
+            age = None if heartbeat is None else time.time() - heartbeat
+            stale = (
+                lease_timeout_s is not None
+                and age is not None
+                and age > lease_timeout_s
+            )
+            if not stale:
+                raise ForeignWriterError(
+                    f"upsert target {target_path!r} is owned by checkpoint "
+                    f"{owner!r}; this stream's checkpoint is {checkpoint!r}"
+                    + (
+                        f" (owner heartbeat {age:.1f}s old, lease "
+                        f"timeout {lease_timeout_s}s — not yet stale)."
+                        if lease_timeout_s is not None and age is not None
+                        else " (no lease policy — lock never expires)."
+                    )
+                    + " Stop the other writer and resume with its "
+                    "checkpoint, pass takeover=True to transfer ownership "
+                    "explicitly, or set lease_timeout_s to reclaim from a "
+                    "crashed owner once its heartbeat goes stale."
+                )
+            # stale lease: reclaim — the write below fences the old
+            # owner at its next batch should it turn out to be alive
+    _write_lock(spark, lock_path, checkpoint)
     return (
         events_stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
