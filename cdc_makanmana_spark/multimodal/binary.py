@@ -5,14 +5,18 @@ ride through the engine as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for codec-free formats (``kernels.py``): PPM images
-parse-and-reshape to numpy arrays (resize = genuine nearest-neighbor
-resampling), WAV/PCM16 audio decodes via stdlib ``wave`` into float
-samples with real features (RMS, zero-crossing rate, FFT dominant
-frequency). Formats that need external codecs (JPEG, MP4 frames) route
-to a deterministic stub kernel — the container ships no codec libs —
-behind the same dispatch; swapping the stub for Pillow/ffmpeg changes
-one inner function, not the pipeline.
+Decode is REAL for formats stdlib can carry (``kernels.py``): PPM
+images parse-and-reshape to numpy arrays (resize = genuine
+nearest-neighbor resampling), PNG images decode via stdlib zlib
+inflate + the spec's full per-row unfilter (None/Sub/Up/Average/Paeth
+— a real-world COMPRESSED format on the certified path), WAV/PCM16
+audio decodes via stdlib ``wave`` into float samples with real
+features (RMS, zero-crossing rate, FFT dominant frequency), Y4M video
+splits into raw luma frames. Formats that genuinely need external
+codecs (JPEG, MP4 frames) route to a deterministic stub kernel — the
+container ships no codec libs — behind the same dispatch; swapping
+the stub for Pillow/ffmpeg changes one inner function, not the
+pipeline.
 
 Scale notes:
 - payload bytes never pass through the driver; each ``mapInPandas``
@@ -122,6 +126,7 @@ def synthetic_media_table(spark, n: int = 100, seed: int = 7) -> DataFrame:
 # rides through as an opaque ("binary", <ext>) payload.
 _EXT_MEDIA = {
     "ppm": ("image", "ppm"),
+    "png": ("image", "png"),
     "wav": ("audio", "pcm16"),
     "y4m": ("video", "y4m"),
 }
@@ -203,6 +208,12 @@ def read_media_dir(
                         h, w = int(arr.shape[0]), int(arr.shape[1])
                     except ValueError:
                         kind, codec = "binary", "corrupt-ppm"
+                elif codec == "png":
+                    try:
+                        # IHDR-only parse — dims without the inflate
+                        w, h = kernels.png_dims(bytes(payload))
+                    except ValueError:
+                        kind, codec = "binary", "corrupt-png"
                 elif codec == "y4m":
                     try:
                         frames = kernels.decode_y4m(bytes(payload))
@@ -244,8 +255,8 @@ def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     from cdc_makanmana_spark.multimodal import kernels
 
     def one(p: bytes, m: dict) -> list[float]:
-        if m["codec"] == "ppm":
-            return kernels.image_features(kernels.decode_ppm(p), dim)
+        if m["codec"] in ("ppm", "png"):
+            return kernels.image_features(kernels.decode_image(p, m["codec"]), dim)
         return _decode_stub(p, m["width"], m["height"], dim)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -323,6 +334,12 @@ def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
         if m["codec"] == "ppm":
             return kernels.encode_ppm(
                 kernels.resize_nearest(kernels.decode_ppm(p), target_w, target_h)
+            )
+        if m["codec"] == "png":
+            # container-preserving: decode (any supported color type)
+            # → resample → re-encode as 8-bit RGB PNG
+            return kernels.encode_png(
+                kernels.resize_nearest(kernels.decode_png(p), target_w, target_h)
             )
         need = target_w * target_h * 3
         return (p * (need // max(len(p), 1) + 1))[:need]
@@ -414,8 +431,8 @@ def _image_ahash_one(p: bytes, m: dict, grid: int = 8) -> int:
 
     from cdc_makanmana_spark.multimodal import kernels
 
-    if m["codec"] == "ppm":
-        arr = kernels.decode_ppm(p)
+    if m["codec"] in ("ppm", "png"):
+        arr = kernels.decode_image(p, m["codec"])
         lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
     else:
         feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)

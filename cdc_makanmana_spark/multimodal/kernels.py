@@ -115,6 +115,181 @@ def decode_y4m(payload: bytes) -> np.ndarray:
     return np.stack(frames) if frames else np.empty((0, h, w), dtype=np.uint8)
 
 
+# ---- PNG images (stdlib zlib — a REAL compressed format, no codec
+# library needed: inflate + per-row unfilter is the whole decode) ----------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type → samples per pixel (palette/16-bit/interlaced rejected)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks; validates the signature and each
+    chunk's CRC (a corrupt IDAT otherwise inflates to garbage pixels
+    that look plausible downstream)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG stream ended without IEND")
+
+
+def png_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the IHDR alone — the metadata pass needs
+    dims without paying the inflate."""
+    import struct
+
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", data[:8])
+            return int(w), int(h)
+        break
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8.
+
+    Scope (raises ValueError outside it): 8-bit depth, color types
+    0 (grayscale → replicated to RGB), 2 (RGB), 4 (gray+alpha) and
+    6 (RGBA) — alpha is DROPPED (perceptual hashing wants the color
+    planes; compositing would need a canvas-color convention);
+    no interlacing, no palette. Implements the spec's full per-row
+    unfilter (None/Sub/Up/Average/Paeth) over the zlib-inflated
+    scanlines — Sub vectorizes as a per-channel-lane cumsum mod 256,
+    Up as a row add; Average/Paeth recurrences run per-pixel across
+    vectorized channel lanes."""
+    import struct
+    import zlib
+
+    ihdr = None
+    idat = []
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr[:13])
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color}")
+    if comp != 0 or filt != 0:
+        raise ValueError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    recon = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int64).reshape(w, ch)
+        if f == 0:
+            row = line
+        elif f == 1:  # Sub: per-channel-lane cumsum mod 256
+            row = np.cumsum(line, axis=0) % 256
+        elif f == 2:  # Up
+            row = (line + prev) % 256
+        elif f == 3:  # Average — sequential in x (left depends on recon)
+            row = np.zeros_like(line)
+            a = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                row[x] = (line[x] + (a + prev[x]) // 2) % 256
+                a = row[x]
+        elif f == 4:  # Paeth
+            row = np.zeros_like(line)
+            a = np.zeros(ch, dtype=np.int64)
+            c = np.zeros(ch, dtype=np.int64)
+            for x in range(w):
+                b = prev[x]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                )
+                row[x] = (line[x] + pred) % 256
+                a, c = row[x], b
+        else:
+            raise ValueError(f"invalid PNG filter type {f} on row {y}")
+        recon[y] = row.astype(np.uint8)
+        prev = row
+    if color == 0:
+        return np.repeat(recon, 3, axis=2)
+    if color == 2:
+        return recon
+    if color == 4:
+        return np.repeat(recon[:, :, :1], 3, axis=2)
+    return recon[:, :, :3]  # RGBA → drop alpha
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 8-bit RGB PNG bytes (filter 0 rows, one zlib
+    stream) — keeps ``resize_images`` container-preserving for PNG
+    inputs. NOT the fixture generator's encoder (that one is
+    independent code and deliberately exercises all five row filters)."""
+    import struct
+    import zlib
+
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("encode_png wants 3 channels")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    body = b"".join(
+        b"\x00" + arr[y].astype(np.uint8).tobytes() for y in range(h)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes, codec: str) -> np.ndarray:
+    """Dispatch to the real image decoder for ``codec``; raises
+    ValueError for codecs with no codec-free decoder (the callers'
+    cue to take the labeled stub path)."""
+    if codec == "ppm":
+        return decode_ppm(payload)
+    if codec == "png":
+        return decode_png(payload)
+    raise ValueError(f"no codec-free decoder for {codec!r}")
+
+
 def resize_nearest(arr: np.ndarray, target_w: int, target_h: int) -> np.ndarray:
     """Nearest-neighbor resample of (h, w, 3) to (target_h, target_w, 3)."""
     h, w, _ = arr.shape

@@ -6622,9 +6622,16 @@ import os as _os
 _REPO_ROOT = _os.path.dirname(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 )
-_MEDIA_FIXTURE_DIR = _os.path.join(_REPO_ROOT, "fixtures", "media")
-_MEDIA_FP_PARQUET = _os.path.join(_REPO_ROOT, "fixtures", "media_fingerprints.parquet")
-_MEDIA_FH_PARQUET = _os.path.join(_REPO_ROOT, "fixtures", "media_frame_hashes.parquet")
+# CDC_MEDIA_FIXTURES redirects the media tier at an alternative root
+# (gen_media_fixtures.py --scale N --out <root> layout: media/ + the
+# two reference parquets) — the organic-scale measurement knob for
+# q110/q111. Unset (the driver's case) = the committed 1x fixtures.
+_MEDIA_ROOT = _os.environ.get(
+    "CDC_MEDIA_FIXTURES", _os.path.join(_REPO_ROOT, "fixtures")
+)
+_MEDIA_FIXTURE_DIR = _os.path.join(_MEDIA_ROOT, "media")
+_MEDIA_FP_PARQUET = _os.path.join(_MEDIA_ROOT, "media_fingerprints.parquet")
+_MEDIA_FH_PARQUET = _os.path.join(_MEDIA_ROOT, "media_frame_hashes.parquet")
 _Q110_IMG_DIST = 6  # aHash near-dup threshold (planted max 5, floor 20)
 _Q110_AUD_DIST = 3  # spectral-fp threshold (planted max 1, floor 13)
 _Q111_MIN_SHARED = 2  # planted partial copies share >= 2 sampled frames
@@ -6685,7 +6692,7 @@ def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video bytes through the scan just to drop them at the kind
     # filter (measured +1.5 s after the Y4M fixtures landed)
     media = read_media_dir(
-        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,wav}", id_from="stem_digits"
+        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,png,wav}", id_from="stem_digits"
     )
     fps = _materialize(media_fingerprints(media))
 

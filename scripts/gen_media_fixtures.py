@@ -2,8 +2,14 @@
 on the oracle surface).
 
 Writes, from ONE seeded pass:
-- ``fixtures/media/img_<id>.ppm``  — real P6 images (seeded gradients +
-  noise), including planted exact copies and noise-perturbed near-dups;
+- ``fixtures/media/img_<id>.{ppm,png}`` — real images (seeded
+  gradients + noise), including planted exact copies and
+  noise-perturbed near-dups. The CONTAINER is mixed per id (P6 PPM /
+  RGB PNG with all five row filters cycling / RGBA PNG) while the
+  pixels stay the encoding-independent arrays — so planted duplicates
+  cross containers and the q110 hash certifies that the engine's PPM
+  parse and its zlib-inflate+unfilter PNG decode reconstruct the SAME
+  pixels;
 - ``fixtures/media/aud_<id>.wav``  — real PCM16 WAV clips (seeded sine
   mixes), with the same planting scheme;
 - ``fixtures/media_fingerprints.parquet`` — (media_id, kind, fp): the
@@ -119,6 +125,86 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
+def encode_png_mixed_filters(arr: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """INDEPENDENT PNG writer (NOT the engine's encode_png): 8-bit
+    RGB (or RGBA when ``alpha`` is given), with the row filter type
+    CYCLING through all five spec filters (row % 5: None, Sub, Up,
+    Average, Paeth) so the engine's unfilter paths are all exercised
+    by the committed fixtures, not just filter 0. The filter step is
+    the ENCODER-side forward transform (raw - predictor mod 256); a
+    decoder that gets any predictor wrong reconstructs different
+    pixels and the q110 fingerprint hash diff fails."""
+    import struct
+    import zlib
+
+    h, w, _ = arr.shape
+    px = arr.astype(np.int64)
+    if alpha is not None:
+        px = np.concatenate([px, alpha.astype(np.int64)[:, :, None]], axis=2)
+    ch = px.shape[2]
+    color_type = 6 if ch == 4 else 2
+    rows = []
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        cur = px[y]
+        f = y % 5
+        if f == 0:
+            out = cur
+        elif f == 1:  # Sub
+            left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+            out = (cur - left) % 256
+        elif f == 2:  # Up
+            out = (cur - prev) % 256
+        elif f == 3:  # Average
+            left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+            out = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+            upleft = np.vstack([np.zeros((1, ch), dtype=np.int64), prev[:-1]])
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            out = (cur - pred) % 256
+        rows.append(bytes([f]) + out.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def image_file_bytes(mid: int, arr: np.ndarray) -> tuple[str, bytes]:
+    """(filename, bytes) for image ``mid``: the CONTAINER varies by id
+    (mid % 3 == 0 → RGB PNG with cycling filters; mid % 9 == 1 → RGBA
+    PNG with a deterministic alpha ramp the engine must drop;
+    otherwise P6 PPM) while the PIXELS — and hence the reference
+    fingerprint — stay the encoding-independent array. Planted copies
+    thus cross containers (a PPM base's exact copy can land as a PNG):
+    the near-dup pairing certifies decode equivalence across formats."""
+    if mid % 3 == 0:
+        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr)
+    if mid % 9 == 1:
+        h, w, _ = arr.shape
+        alpha = ((np.arange(w)[None, :] * 255) // max(w - 1, 1)) * np.ones(
+            (h, 1), dtype=np.int64
+        )
+        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr, alpha=alpha)
+    return f"img_{mid:05d}.ppm", encode_ppm(arr)
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
@@ -222,77 +308,103 @@ def make_frame(tag: str, w: int = V_W, h: int = V_H) -> np.ndarray:
     return np.clip(base, 0, 255).astype(np.uint8)
 
 
-def make_video(i: int) -> np.ndarray:
-    return np.stack([make_frame(f"vid:{i}:f{f}") for f in range(V_FRAMES)])
+def make_video(i: int, n_frames: int = V_FRAMES) -> np.ndarray:
+    return np.stack([make_frame(f"vid:{i}:f{f}") for f in range(n_frames)])
 
 
 def partial_copy(frames: np.ndarray, i: int) -> np.ndarray:
-    """A re-cut copy: 2 of the 8 frames replaced with fresh content —
-    shares the other 6 frames' hashes EXACTLY (>= 2 even if both
+    """A re-cut copy: 2 of the frames replaced with fresh content —
+    shares the other frames' hashes EXACTLY (>= 2 even if both
     replacements land on sampled positions at every_nth=2) (the pairing signal
     video_near_duplicates counts), unlike per-pixel noise which would
     flip hash bits and share nothing."""
     rng = _rng(f"vidp:{i}")
     out = frames.copy()
-    for f in sorted(rng.choice(V_FRAMES, size=2, replace=False)):
+    for f in sorted(rng.choice(frames.shape[0], size=2, replace=False)):
         out[int(f)] = make_frame(f"vidp:{i}:f{int(f)}")
     return out
 
 
-def main() -> None:
-    os.makedirs(MEDIA_DIR, exist_ok=True)
+def main(scale: int = 1, out_root: str | None = None, v_frames: int = V_FRAMES) -> None:
+    """``scale`` multiplies every base/planted count (the media-volume
+    knob for the organic performance series); ``out_root`` redirects
+    output (NEVER point a scale>1 run at the committed fixtures — the
+    1x layout, ids and bytes are the certified oracle surface).
+    ``v_frames`` is the duration knob for videos. At scale 1 with the
+    default out_root this is byte-identical to the committed fixtures
+    (fixed seed), and the planted/unplanted separation reports run;
+    at scale>1 the audio/video id bases move to 10M/20M (the 1x bases
+    101/201 would collide with >100 images) and the O(n²) reports are
+    skipped."""
+    media_dir = MEDIA_DIR if out_root is None else os.path.join(out_root, "media")
+    fp_parquet = (
+        FP_PARQUET
+        if out_root is None
+        else os.path.join(out_root, "media_fingerprints.parquet")
+    )
+    fh_parquet = (
+        FH_PARQUET
+        if out_root is None
+        else os.path.join(out_root, "media_frame_hashes.parquet")
+    )
+    n_base, n_exact, n_near = N_BASE * scale, N_EXACT * scale, N_NEAR * scale
+    n_vbase, n_vexact, n_vpart = N_VBASE * scale, N_VEXACT * scale, N_VPART * scale
+    aud_base0 = 101 if scale == 1 else 10_000_000
+    vid_base0 = 201 if scale == 1 else 20_000_000
+    os.makedirs(media_dir, exist_ok=True)
     rows: list[tuple[int, str, int]] = []
 
     # images: ids 1..N; exact copies N+1.., near-dups after that
     images: dict[int, np.ndarray] = {}
     next_id = 1
-    for i in range(N_BASE):
+    for i in range(n_base):
         images[next_id] = make_image(i)
         next_id += 1
-    for i in range(N_EXACT):
+    for i in range(n_exact):
         images[next_id] = images[1 + i]  # copy of base i
         next_id += 1
-    for i in range(N_NEAR):
-        images[next_id] = perturb_image(images[1 + N_EXACT + i], i)
+    for i in range(n_near):
+        images[next_id] = perturb_image(images[1 + n_exact + i], i)
         next_id += 1
     for mid, arr in images.items():
-        with open(os.path.join(MEDIA_DIR, f"img_{mid:05d}.ppm"), "wb") as f:
-            f.write(encode_ppm(arr))
+        fname, data = image_file_bytes(mid, arr)
+        with open(os.path.join(media_dir, fname), "wb") as f:
+            f.write(data)
         rows.append((mid, "image", ahash64(arr)))
 
-    # audio: ids 101.. (disjoint from image ids)
+    # audio: ids disjoint from image ids
     audio: dict[int, np.ndarray] = {}
-    next_id = 101
-    for i in range(N_BASE):
+    next_id = aud_base0
+    for i in range(n_base):
         audio[next_id] = make_audio(i)
         next_id += 1
-    for i in range(N_EXACT):
-        audio[next_id] = audio[101 + i]
+    for i in range(n_exact):
+        audio[next_id] = audio[aud_base0 + i]
         next_id += 1
-    for i in range(N_NEAR):
-        audio[next_id] = perturb_audio(audio[101 + N_EXACT + i], i)
+    for i in range(n_near):
+        audio[next_id] = perturb_audio(audio[aud_base0 + n_exact + i], i)
         next_id += 1
     rate = 8000
     for mid, s in audio.items():
-        with open(os.path.join(MEDIA_DIR, f"aud_{mid:05d}.wav"), "wb") as f:
+        with open(os.path.join(media_dir, f"aud_{mid:05d}.wav"), "wb") as f:
             f.write(encode_wav(s, rate))
         rows.append((mid, "audio", audio_fp64(pcm16_roundtrip(s), rate)))
 
-    # videos: ids 201.. (disjoint from image/audio ids)
+    # videos: ids disjoint from image/audio ids
     videos: dict[int, np.ndarray] = {}
-    next_id = 201
-    for i in range(N_VBASE):
-        videos[next_id] = make_video(i)
+    next_id = vid_base0
+    for i in range(n_vbase):
+        videos[next_id] = make_video(i, n_frames=v_frames)
         next_id += 1
-    for i in range(N_VEXACT):
-        videos[next_id] = videos[201 + i]
+    for i in range(n_vexact):
+        videos[next_id] = videos[vid_base0 + i]
         next_id += 1
-    for i in range(N_VPART):
-        videos[next_id] = partial_copy(videos[201 + N_VEXACT + i], i)
+    for i in range(n_vpart):
+        videos[next_id] = partial_copy(videos[vid_base0 + n_vexact + i], i)
         next_id += 1
     fh_rows: list[tuple[int, int, int]] = []
     for mid, frames in videos.items():
-        with open(os.path.join(MEDIA_DIR, f"vid_{mid:05d}.y4m"), "wb") as f:
+        with open(os.path.join(media_dir, f"vid_{mid:05d}.y4m"), "wb") as f:
             f.write(encode_y4m(frames))
         for fi in range(frames.shape[0]):
             fh_rows.append((mid, fi, frame_ahash64(frames[fi])))
@@ -307,7 +419,7 @@ def main() -> None:
             "fp": pa.array([r[2] for r in rows], pa.int64()),
         }
     )
-    pq.write_table(table, FP_PARQUET)
+    pq.write_table(table, fp_parquet)
     pq.write_table(
         pa.table(
             {
@@ -316,56 +428,77 @@ def main() -> None:
                 "fhash": pa.array([r[2] for r in fh_rows], pa.int64()),
             }
         ),
-        FH_PARQUET,
+        fh_parquet,
     )
 
-    # report planted-vs-unplanted separation (generation-time sanity)
-    def planted_pairs(base0: int) -> set[tuple[int, int]]:
-        p = {(base0 + i, base0 + N_BASE + i) for i in range(N_EXACT)}
-        p |= {
-            (base0 + N_EXACT + i, base0 + N_BASE + N_EXACT + i)
-            for i in range(N_NEAR)
+    # report planted-vs-unplanted separation (generation-time sanity;
+    # O(n²) in Python — 1x only, scale runs are performance fixtures)
+    if scale == 1:
+        def planted_pairs(base0: int) -> set[tuple[int, int]]:
+            p = {(base0 + i, base0 + n_base + i) for i in range(n_exact)}
+            p |= {
+                (base0 + n_exact + i, base0 + n_base + n_exact + i)
+                for i in range(n_near)
+            }
+            return p
+
+        for kind, base0 in (("image", 1), ("audio", aud_base0)):
+            fps = {r[0]: r[2] for r in rows if r[1] == kind}
+            ids = sorted(fps)
+            planted = planted_pairs(base0)
+            pd_, ud = [], []
+            for ai, a in enumerate(ids):
+                for b in ids[ai + 1 :]:
+                    d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
+                    (pd_ if (a, b) in planted else ud).append(d)
+            pd_.sort()
+            ud.sort()
+            print(f"{kind}: planted max={pd_[-1]} (all={pd_}); "
+                  f"unplanted min={ud[0]} p1={ud[len(ud)//100]} median={ud[len(ud)//2]}")
+        # video sharing report at the engine's every_nth=2 sampling:
+        # planted pairs must share >= min_shared sampled-frame hashes;
+        # unrelated pairs must share none (exact 64-bit collisions
+        # across seeded content would show up here)
+        vids = sorted(videos)
+        sampled = {
+            m: {h for (mm, fi, h) in fh_rows if mm == m and fi % 2 == 0}
+            for m in vids
         }
-        return p
-
-    for kind, base0 in (("image", 1), ("audio", 101)):
-        fps = {r[0]: r[2] for r in rows if r[1] == kind}
-        ids = sorted(fps)
-        planted = planted_pairs(base0)
-        pd_, ud = [], []
-        for ai, a in enumerate(ids):
-            for b in ids[ai + 1 :]:
-                d = bin((fps[a] ^ fps[b]) & ((1 << 64) - 1)).count("1")
-                (pd_ if (a, b) in planted else ud).append(d)
-        pd_.sort()
-        ud.sort()
-        print(f"{kind}: planted max={pd_[-1]} (all={pd_}); "
-              f"unplanted min={ud[0]} p1={ud[len(ud)//100]} median={ud[len(ud)//2]}")
-    # video sharing report at the engine's every_nth=2 sampling: planted
-    # pairs must share >= min_shared sampled-frame hashes; unrelated
-    # pairs must share none (exact 64-bit collisions across seeded
-    # content would show up here)
-    vids = sorted(videos)
-    sampled = {
-        m: {h for (mm, fi, h) in fh_rows if mm == m and fi % 2 == 0} for m in vids
-    }
-    vplanted = {(201 + i, 201 + N_VBASE + i) for i in range(N_VEXACT)} | {
-        (201 + N_VEXACT + i, 201 + N_VBASE + N_VEXACT + i) for i in range(N_VPART)
-    }
-    pshared, ushared = [], []
-    for ai, a in enumerate(vids):
-        for b in vids[ai + 1 :]:
-            n = len(sampled[a] & sampled[b])
-            (pshared if (a, b) in vplanted else ushared).append(n)
-    print(
-        f"video: planted shared sampled-frames min={min(pshared)} "
-        f"(all={sorted(pshared)}); unplanted max={max(ushared)}"
-    )
-    print(f"wrote {len(images)} images + {len(audio)} wavs + "
-          f"{len(videos)} y4m videos to {MEDIA_DIR}")
-    print(f"wrote {len(rows)} fingerprints to {FP_PARQUET}")
-    print(f"wrote {len(fh_rows)} frame hashes to {FH_PARQUET}")
+        vplanted = {
+            (vid_base0 + i, vid_base0 + n_vbase + i) for i in range(n_vexact)
+        } | {
+            (vid_base0 + n_vexact + i, vid_base0 + n_vbase + n_vexact + i)
+            for i in range(n_vpart)
+        }
+        pshared, ushared = [], []
+        for ai, a in enumerate(vids):
+            for b in vids[ai + 1 :]:
+                n = len(sampled[a] & sampled[b])
+                (pshared if (a, b) in vplanted else ushared).append(n)
+        print(
+            f"video: planted shared sampled-frames min={min(pshared)} "
+            f"(all={sorted(pshared)}); unplanted max={max(ushared)}"
+        )
+    n_png = sum(1 for m in images if m % 3 == 0 or m % 9 == 1)
+    print(f"wrote {len(images)} images ({n_png} png, {len(images) - n_png} ppm) "
+          f"+ {len(audio)} wavs + {len(videos)} y4m videos to {media_dir}")
+    print(f"wrote {len(rows)} fingerprints to {fp_parquet}")
+    print(f"wrote {len(fh_rows)} frame hashes to {fh_parquet}")
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", type=int, default=1,
+                    help="media-count multiplier (1 = committed fixtures)")
+    ap.add_argument("--out", default=None,
+                    help="output root (required for scale > 1; contains "
+                         "media/ + the two reference parquets)")
+    ap.add_argument("--frames", type=int, default=V_FRAMES,
+                    help="frames per video (duration knob)")
+    a = ap.parse_args()
+    if a.scale != 1 and a.out is None:
+        ap.error("--scale > 1 requires --out (never overwrite the "
+                 "committed 1x fixtures with a scale run)")
+    main(scale=a.scale, out_root=a.out, v_frames=a.frames)

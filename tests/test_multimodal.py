@@ -39,6 +39,104 @@ def test_ppm_round_trip_and_resize_kernel():
     assert (small == arr[ys][:, xs]).all()
 
 
+def _ref_encode_png(arr, color_type, filters):
+    """Test-local PNG writer (independent of BOTH the engine's
+    encode_png and the fixture generator's): filters each row with the
+    spec's forward transform, one filter type per row from
+    ``filters``. arr is (h, w, ch) int; ch must match color_type."""
+    import struct
+    import zlib
+
+    h, w, ch = arr.shape
+    px = arr.astype(np.int64)
+    body = b""
+    prev = np.zeros((w, ch), dtype=np.int64)
+    for y in range(h):
+        cur = px[y]
+        left = np.vstack([np.zeros((1, ch), dtype=np.int64), cur[:-1]])
+        upleft = np.vstack([np.zeros((1, ch), dtype=np.int64), prev[:-1]])
+        f = filters[y % len(filters)]
+        if f == 0:
+            out = cur
+        elif f == 1:
+            out = (cur - left) % 256
+        elif f == 2:
+            out = (cur - prev) % 256
+        elif f == 3:
+            out = (cur - (left + prev) // 2) % 256
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            out = (cur - pred) % 256
+        body += bytes([f]) + out.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(body))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filters_and_color_types():
+    """decode_png reconstructs reference pixels through every spec row
+    filter (None/Sub/Up/Average/Paeth — each pinned as the ONLY filter
+    of a whole image, so no path hides behind another) and every
+    supported color type (gray→RGB replication, RGB, gray+alpha,
+    RGBA with alpha dropped); png_dims reads the header without
+    inflating; corrupt/unsupported payloads raise instead of decoding
+    garbage. Reference encoder is test-local code, independent of the
+    engine's and the fixture generator's."""
+    import pytest
+    import zlib
+
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (9, 7, 3)).astype(np.uint8)
+    # each filter type alone, then all five cycling
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = kernels.decode_png(_ref_encode_png(rgb, 2, filters))
+        assert (got == rgb).all(), f"filters={filters}"
+    assert kernels.png_dims(_ref_encode_png(rgb, 2, [4])) == (7, 9)
+    # grayscale (type 0) replicates to RGB
+    gray = rng.integers(0, 256, (5, 8, 1)).astype(np.uint8)
+    got = kernels.decode_png(_ref_encode_png(gray, 0, [1, 4]))
+    assert (got == np.repeat(gray, 3, axis=2)).all()
+    # gray+alpha (type 4): alpha dropped, gray replicated
+    ga = rng.integers(0, 256, (5, 8, 2)).astype(np.uint8)
+    got = kernels.decode_png(_ref_encode_png(ga, 4, [2, 3]))
+    assert (got == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    # RGBA (type 6): alpha dropped
+    rgba = rng.integers(0, 256, (6, 4, 4)).astype(np.uint8)
+    got = kernels.decode_png(_ref_encode_png(rgba, 6, [0, 4]))
+    assert (got == rgba[:, :, :3]).all()
+    # engine encoder round-trips through the decoder
+    assert (kernels.decode_png(kernels.encode_png(rgb)) == rgb).all()
+    # rejection paths: bad signature, CRC corruption, palette type
+    with pytest.raises(ValueError, match="not a PNG"):
+        kernels.decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+    good = bytearray(_ref_encode_png(rgb, 2, [0]))
+    good[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises(ValueError, match="CRC"):
+        kernels.decode_png(bytes(good))
+    import struct
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    pal = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="color type"):
+        kernels.decode_png(pal)
+
+
 def test_wav_round_trip_and_audio_features():
     """PCM16 WAV round-trips through the stdlib container within
     quantization error, and the FFT feature finds a planted tone."""
