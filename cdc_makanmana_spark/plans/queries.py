@@ -867,6 +867,12 @@ def q22_keyword_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a brute-force oracle: any recall loss flips the hash.
 # ---------------------------------------------------------------------------
 
+# Blocked (not all-pairs) ground truth: two docs with Jaccard >= 0.8
+# share at least one shingle (both sides are non-empty), so the
+# shared-shingle equi-join + per-pair intersection COUNT loses nothing
+# and the oracle stays an independent recomputation while scaling past
+# the old |docs|² list_intersect form (>9 min at the x10 organic probe;
+# max shingle df there is 26, so the equi-join is ~5M rows, sub-second).
 _JACCARD_ORACLE = r"""
     WITH d AS (
       SELECT doc_id,
@@ -874,17 +880,22 @@ _JACCARD_ORACLE = r"""
       FROM documents
       WHERE text IS NOT NULL
         AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
-    s AS (
+    s0 AS (
       SELECT doc_id,
-             list_distinct([array_to_string(w[i:i+2], ' ')
-                            for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
-      FROM d)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
+                                   for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
+      FROM d),
+    sizes AS (SELECT doc_id, count(*) AS n FROM s0 GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM s0 a JOIN s0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """
 
 
@@ -947,16 +958,23 @@ _Q24_ORACLE = rf"""
                                    for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
       FROM d),
     freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
-    s1 AS (
-      SELECT doc_id, list(s0.sh) AS sh
-      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
-      GROUP BY doc_id)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-    FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    kept AS (
+      SELECT s0.doc_id, s0.sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    -- shared-shingle equi-join blocking (lossless for J >= 0.8: such a
+    -- pair shares a kept shingle) replaces the former all-pairs
+    -- list_intersect — the x10-organic tractability rewrite, same rows
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
 """
 
 
@@ -1641,15 +1659,20 @@ _Q37_CTES = f"""
                                    for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
       FROM d),
     freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
-    s1 AS (
-      SELECT doc_id, list(s0.sh) AS sh
-      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
-      GROUP BY doc_id),
+    kept AS (
+      SELECT s0.doc_id, s0.sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -2632,11 +2655,22 @@ _Q50_ORACLE = r"""
       SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
                                     for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sh
       FROM d),
+    -- batch x corpus via shared-shingle equi-join blocking (lossless
+    -- for J >= 0.8; the former unblocked |batch| x |corpus|
+    -- list_intersect took 262.9 s at sf0.1 and timed out at x10)
+    sh0 AS (SELECT doc_id, unnest(sh) AS s FROM shl),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM shl),
+    inter AS (
+      SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS i
+      FROM sh0 b JOIN sh0 c ON b.s = c.s
+      WHERE b.doc_id % 4 = 3 AND c.doc_id % 4 <> 3
+      GROUP BY 1, 2),
     near_drop AS (
-      SELECT DISTINCT b.doc_id
-      FROM shl b JOIN shl c ON b.doc_id % 4 = 3 AND c.doc_id % 4 <> 3
-      WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
-            / (len(b.sh) + len(c.sh) - len(list_intersect(b.sh, c.sh))) >= 0.8)
+      SELECT DISTINCT i.bid AS doc_id
+      FROM inter i
+      JOIN sizes sb ON sb.doc_id = i.bid
+      JOIN sizes sc ON sc.doc_id = i.cid
+      WHERE i.i::DOUBLE / (sb.n + sc.n - i.i) >= 0.8)
     SELECT s.doc_id, s.n_chars FROM surv s
     WHERE s.doc_id NOT IN (SELECT doc_id FROM near_drop)
 """
@@ -3707,15 +3741,20 @@ _Q67_ORACLE = rf"""
                                    for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
       FROM d),
     freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
-    s1 AS (
-      SELECT doc_id, list(s0.sh) AS sh
-      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}
-      GROUP BY doc_id),
+    kept AS (
+      SELECT s0.doc_id, s0.sh
+      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}),
+    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+    isect AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM s1 a JOIN s1 b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      SELECT id_a, id_b
+      FROM isect
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -5431,11 +5470,11 @@ def q94_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_Q37_CTES},
     comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
-    sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+    csizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
     SELECT cluster_size,
            count(*) AS n_clusters,
            (cluster_size * count(*))::BIGINT AS n_docs
-    FROM sizes GROUP BY cluster_size
+    FROM csizes GROUP BY cluster_size
     """,
 )
 def q95_cluster_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
