@@ -29,6 +29,23 @@ sys.path.insert(0, REPO)
 
 def pandas_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
+    # DATE normalization: Spark's toPandas yields object columns of
+    # datetime.date while DuckDB's .df() yields datetime64 — same
+    # values, different reprs. The REAL driver certified DATE-output
+    # queries across engines (q88, r5), so its canonicalizer
+    # normalizes this; mirror it by lifting date objects to pandas
+    # datetimes before hashing. (Kept narrow: only all-date object
+    # columns — a mixed column should still hash-diverge loudly.)
+    import datetime
+
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].dropna()
+            if len(vals) and all(
+                type(v) is datetime.date for v in vals.head(100)
+            ):
+                df[c] = pd.to_datetime(df[c])
     lines = sorted(
         "|".join(repr(v) for v in row[1:]) for row in df.itertuples()
     )
