@@ -59,6 +59,18 @@ def get_spark(app_name: str = "cdc-makanmana-spark") -> SparkSession:
         .config("spark.ui.retainedTasks", "2000")
         .config("spark.ui.retainedDeadExecutors", "0")
         .config("spark.sql.ui.retainedExecutions", "50")
+        # Codegen compile-cache sized to the query surface: the default
+        # 100 entries thrash under 111 queries x several codegen units
+        # each, so every bench pass RE-COMPILES evicted units (Janino,
+        # driver-side, inside the timed window). Measured r8 on a
+        # 30-query x 2-pass probe at sf0.1: 830 recompiles during the
+        # timed passes at the default vs 2 at 5000, and pass wall
+        # 34.0/34.4 s -> 31.3/30.1 s (~10%). The full 111-query sweep
+        # thrashes harder — this was the residual "in-sweep tax" the
+        # r4/r7 notes kept measuring after cache/listener hygiene. The
+        # cache holds generated-class references (~KB each); 5000 is
+        # MBs of metaspace, not a memory risk.
+        .config("spark.sql.codegen.cache.maxEntries", "5000")
     )
     if not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
