@@ -5,18 +5,21 @@ ride through the engine as ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-Decode is REAL for formats stdlib can carry (``kernels.py``): PPM
-images parse-and-reshape to numpy arrays (resize = genuine
-nearest-neighbor resampling), PNG images decode via stdlib zlib
-inflate + the spec's full per-row unfilter (None/Sub/Up/Average/Paeth
-— a real-world COMPRESSED format on the certified path), WAV/PCM16
-audio decodes via stdlib ``wave`` into float samples with real
-features (RMS, zero-crossing rate, FFT dominant frequency), Y4M video
-splits into raw luma frames. Formats that genuinely need external
-codecs (JPEG, MP4 frames) route to a deterministic stub kernel — the
-container ships no codec libs — behind the same dispatch; swapping
-the stub for Pillow/ffmpeg changes one inner function, not the
-pipeline.
+Decode is REAL for formats pure numpy + stdlib can carry
+(``kernels.py``): PPM images parse-and-reshape to numpy arrays
+(resize = genuine nearest-neighbor resampling), PNG images decode via
+stdlib zlib inflate + the spec's full per-row unfilter
+(None/Sub/Up/Average/Paeth), JPEG images decode via a hand-built
+baseline-sequential pipeline (marker parse → canonical-huffman
+entropy decode → dequant → 8×8 IDCT → chroma upsample → YCbCr→RGB —
+the dominant real-world image container, on the certified path),
+WAV/PCM16 audio decodes via stdlib ``wave`` into float samples with
+real features (RMS, zero-crossing rate, FFT dominant frequency), Y4M
+video splits into raw luma frames. Formats that genuinely need
+external codec libraries (MP4 frames; progressive/arithmetic JPEG)
+route to a deterministic stub kernel — the container ships no codec
+libs — behind the same dispatch; swapping the stub for Pillow/ffmpeg
+changes one inner function, not the pipeline.
 
 Scale notes:
 - payload bytes never pass through the driver; each ``mapInPandas``
@@ -127,6 +130,8 @@ def synthetic_media_table(spark, n: int = 100, seed: int = 7) -> DataFrame:
 _EXT_MEDIA = {
     "ppm": ("image", "ppm"),
     "png": ("image", "png"),
+    "jpg": ("image", "jpeg"),
+    "jpeg": ("image", "jpeg"),
     "wav": ("audio", "pcm16"),
     "y4m": ("video", "y4m"),
 }
@@ -214,6 +219,12 @@ def read_media_dir(
                         w, h = kernels.png_dims(bytes(payload))
                     except ValueError:
                         kind, codec = "binary", "corrupt-png"
+                elif codec == "jpeg":
+                    try:
+                        # SOF0-only parse — dims without the entropy decode
+                        w, h = kernels.jpeg_dims(bytes(payload))
+                    except ValueError:
+                        kind, codec = "binary", "corrupt-jpeg"
                 elif codec == "y4m":
                     try:
                         frames = kernels.decode_y4m(bytes(payload))
@@ -233,11 +244,13 @@ def read_media_dir(
 
 
 def _decode_stub(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
-    """STUB decode+featurize kernel for codec-REQUIRING formats (JPEG
-    etc. — the container has no codec libs): derives a deterministic
-    ``dim``-float vector from the payload bytes (sha256-seeded).
-    Replace the body with Pillow decode + extractor — the signature and
-    the pipeline around it are the real contract."""
+    """STUB decode+featurize kernel for codec-REQUIRING formats (MP4
+    frames, progressive JPEG — the container has no codec libs):
+    derives a deterministic ``dim``-float vector from the payload
+    bytes (sha256-seeded). Replace the body with Pillow/ffmpeg decode
+    + extractor — the signature and the pipeline around it are the
+    real contract. PPM/PNG/baseline-JPEG/WAV/Y4M never reach this:
+    their decoders are real (kernels.py)."""
     h = hashlib.sha256(payload).digest()
     while len(h) < 2 * dim:  # stretch deterministically for dim > 16
         h += hashlib.sha256(h).digest()
@@ -255,7 +268,7 @@ def decode_image_features(media: DataFrame, dim: int = 8) -> DataFrame:
     from cdc_makanmana_spark.multimodal import kernels
 
     def one(p: bytes, m: dict) -> list[float]:
-        if m["codec"] in ("ppm", "png"):
+        if m["codec"] in ("ppm", "png", "jpeg"):
             return kernels.image_features(kernels.decode_image(p, m["codec"]), dim)
         return _decode_stub(p, m["width"], m["height"], dim)
 
@@ -325,34 +338,47 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
 
 def resize_images(media: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: payload → payload' with updated metadata, same
-    MEDIA_SCHEMA in and out. PPM payloads get REAL nearest-neighbor
-    resampling (decode → numpy index-resample → re-encode); other
-    codecs fall back to a deterministic byte-tiling stub."""
+    MEDIA_SCHEMA in and out. PPM/PNG payloads get REAL nearest-neighbor
+    resampling (decode → numpy index-resample → re-encode, container
+    preserved); JPEG decodes for real too but re-emits as PNG — the
+    engine keeps no lossy ENCODER, and a resize stage that silently
+    re-quantized pixels would corrupt downstream fingerprints (the
+    codec in the output meta says so honestly). Other codecs fall back
+    to a deterministic byte-tiling stub."""
     from cdc_makanmana_spark.multimodal import kernels
 
-    def one(p: bytes, m: dict) -> bytes:
+    def one(p: bytes, m: dict) -> tuple[bytes, str]:
         if m["codec"] == "ppm":
-            return kernels.encode_ppm(
-                kernels.resize_nearest(kernels.decode_ppm(p), target_w, target_h)
+            return (
+                kernels.encode_ppm(
+                    kernels.resize_nearest(kernels.decode_ppm(p), target_w, target_h)
+                ),
+                "ppm",
             )
-        if m["codec"] == "png":
-            # container-preserving: decode (any supported color type)
-            # → resample → re-encode as 8-bit RGB PNG
-            return kernels.encode_png(
-                kernels.resize_nearest(kernels.decode_png(p), target_w, target_h)
+        if m["codec"] in ("png", "jpeg"):
+            # decode (any supported color type) → resample → re-encode
+            # as 8-bit RGB PNG (lossless re-container for JPEG inputs)
+            return (
+                kernels.encode_png(
+                    kernels.resize_nearest(
+                        kernels.decode_image(p, m["codec"]), target_w, target_h
+                    )
+                ),
+                "png",
             )
         need = target_w * target_h * 3
-        return (p * (need // max(len(p), 1) + 1))[:need]
+        return (p * (need // max(len(p), 1) + 1))[:need], m["codec"]
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out_payload = []
             out_meta = []
             for p, m in zip(pdf["payload"], pdf["meta"]):
-                out_payload.append(bytearray(one(bytes(p), m)))
+                data, codec = one(bytes(p), m)
+                out_payload.append(bytearray(data))
                 out_meta.append(
                     {
-                        "codec": m["codec"],
+                        "codec": codec,
                         "width": target_w,
                         "height": target_h,
                         "n_frames": m["n_frames"],
@@ -431,7 +457,7 @@ def _image_ahash_one(p: bytes, m: dict, grid: int = 8) -> int:
 
     from cdc_makanmana_spark.multimodal import kernels
 
-    if m["codec"] in ("ppm", "png"):
+    if m["codec"] in ("ppm", "png", "jpeg"):
         arr = kernels.decode_image(p, m["codec"])
         lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
     else:

@@ -7,12 +7,15 @@ formats that need no external library.
 - WAV (PCM16): stdlib ``wave`` handles the RIFF container; samples
   decode to float arrays and real features (RMS, zero-crossing rate,
   dominant frequency via numpy FFT) come out.
+- PNG: stdlib zlib inflate + the spec's five row unfilters.
+- JPEG (baseline sequential SOF0): hand-built marker/huffman/IDCT
+  pipeline in pure numpy — see the JPEG section below.
 
 These run INSIDE the Arrow batches of the ``mapInPandas`` stages in
 ``binary.py`` — executor-side, payload never on the driver. Formats
-that genuinely need codecs (JPEG, MP4...) still route to the
-deterministic stub kernel there; swapping that stub for Pillow/ffmpeg
-changes one inner function, exactly like these did.
+that genuinely need codec libraries (MP4, progressive JPEG...) still
+route to the deterministic stub kernel there; swapping that stub for
+Pillow/ffmpeg changes one inner function, exactly like these did.
 """
 
 from __future__ import annotations
@@ -279,6 +282,317 @@ def encode_png(arr: np.ndarray) -> bytes:
     )
 
 
+# ---- JPEG (baseline sequential DCT, SOF0 — pure numpy, no codec lib) ------
+#
+# Scope (ValueError outside it, the honest-scope discipline of the PNG
+# decoder above): baseline sequential huffman JPEG only — SOF0 frames,
+# 8-bit samples, 1 (grayscale) or 3 (YCbCr) components, sampling
+# factors 1 or 2 per axis, 8-bit quant tables, optional restart
+# markers. Progressive (SOF2), arithmetic coding, 12-bit, and CMYK are
+# rejected by marker, never mis-decoded. Chroma upsampling is pixel
+# replication (the simple spec-conformant choice; the fixture
+# generator's expected-pixel reference uses the same convention).
+
+# zigzag index -> natural (row-major v*8+u) index, ITU-T T.81 fig. 5
+_JPEG_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _jpeg_idct_matrix() -> np.ndarray:
+    """8×8 IDCT basis M with M[y, v] = c(v)/2 · cos((2y+1)vπ/16),
+    c(0)=1/√2 — spatial block = M @ coeffs @ M.T (coeffs row index =
+    vertical frequency, per the spec's natural order)."""
+    y, v = np.mgrid[0:8, 0:8]
+    m = 0.5 * np.cos((2 * y + 1) * v * np.pi / 16)
+    m[:, 0] *= 1 / np.sqrt(2)
+    return m
+
+
+_JPEG_IDCT_M = _jpeg_idct_matrix()
+_POW16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+
+def _jpeg_segments(payload: bytes):
+    """Yield (marker, data) for each segment up to SOS; then
+    ('SCAN', entropy_bytes) for the scan body (EOI-terminated).
+    Standalone markers (RSTn inside scans are handled by the scan
+    splitter, not here) carry no length."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected JPEG marker at byte {pos}")
+        while payload[pos + 1] == 0xFF:  # legal fill bytes before a marker
+            pos += 1
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            return
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        data = payload[pos + 4 : pos + 2 + length]
+        if len(data) != length - 2:
+            raise ValueError("truncated JPEG segment")
+        yield marker, data
+        pos += 2 + length
+        if marker == 0xDA:  # SOS — entropy data runs to EOI
+            end = payload.rfind(b"\xff\xd9")
+            if end < pos:
+                raise ValueError("JPEG scan without EOI")
+            yield "SCAN", payload[pos:end]
+            return
+    raise ValueError("JPEG stream ended without SOS/EOI")
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the SOF0 header alone — the metadata pass
+    needs dims without paying the entropy decode. Rejects non-baseline
+    frames exactly like :func:`decode_jpeg`."""
+    for marker, data in _jpeg_segments(payload):
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        if marker == 0xC0:
+            h, w = int.from_bytes(data[1:3], "big"), int.from_bytes(data[3:5], "big")
+            return w, h
+    raise ValueError("JPEG missing SOF0")
+
+
+def _jpeg_huff_lut(counts: list[int], symbols: bytes) -> np.ndarray:
+    """Canonical huffman table → 65536-entry uint16 LUT keyed by a
+    16-bit lookahead: entry = symbol<<5 | code_length (0 = invalid
+    code). One vectorized slice-fill per symbol."""
+    lut = np.zeros(65536, dtype=np.uint16)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            sym = symbols[k]
+            k += 1
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut[lo:hi] = (sym << 5) | length
+            code += 1
+        code <<= 1
+    return lut
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC value extension (spec EXTEND): ``t``-bit magnitude ``v``
+    → signed value."""
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _jpeg_decode_scan_segment(
+    seg: bytes,
+    comps: list[dict],
+    huff_dc: dict[int, np.ndarray],
+    huff_ac: dict[int, np.ndarray],
+    n_mcus: int,
+    blocks_out: dict[int, list],
+) -> None:
+    """Entropy-decode ``n_mcus`` MCUs from one restart segment. DC
+    predictors reset at segment entry (that is what a restart means).
+    The bit cursor rides a precomputed 16-bit lookahead array — one
+    numpy gather per huffman symbol and per value read."""
+    data = seg.replace(b"\xff\x00", b"\xff")
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    # 16-bit lookahead at every bit position (zero-padded tail: trailing
+    # garbage only matters if the stream overruns, which raises below)
+    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+    la = np.lib.stride_tricks.sliding_window_view(padded, 16) @ _POW16
+    nbits = len(bits)
+    pos = 0
+    pred = {c["id"]: 0 for c in comps}
+
+    for _ in range(n_mcus):
+        for c in comps:
+            dc_lut, ac_lut = huff_dc[c["td"]], huff_ac[c["ta"]]
+            for _b in range(c["blocks_per_mcu"]):
+                if pos >= nbits:
+                    raise ValueError("JPEG entropy stream overrun")
+                blk = np.zeros(64, dtype=np.int64)
+                entry = int(dc_lut[la[pos]])
+                length = entry & 31
+                if length == 0:
+                    raise ValueError("invalid JPEG huffman code (DC)")
+                pos += length
+                t = entry >> 5
+                diff = 0
+                if t:
+                    diff = _jpeg_extend(int(la[pos]) >> (16 - t), t)
+                    pos += t
+                pred[c["id"]] += diff
+                blk[0] = pred[c["id"]]
+                k = 1
+                while k < 64:
+                    entry = int(ac_lut[la[pos]])
+                    length = entry & 31
+                    if length == 0:
+                        raise ValueError("invalid JPEG huffman code (AC)")
+                    pos += length
+                    rs = entry >> 5
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r == 15:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    blk[k] = _jpeg_extend(int(la[pos]) >> (16 - s), s)
+                    pos += s
+                    k += 1
+                blocks_out[c["id"]].append(blk)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w, 3) uint8.
+
+    The full pipeline, pure numpy: marker parse → canonical-huffman
+    entropy decode (16-bit-lookahead LUT, restart-interval aware) →
+    dequantize (zigzag → natural order) → batched 8×8 IDCT (one
+    einsum per component) → plane assembly with MCU padding crop →
+    chroma upsample by replication → YCbCr→RGB (BT.601 constants,
+    round then clip). Grayscale replicates to RGB like the PNG path.
+    """
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, np.ndarray] = {}
+    huff_ac: dict[int, np.ndarray] = {}
+    sof = None
+    sos_comps: list[tuple[int, int, int]] = []
+    restart_interval = 0
+    scan = None
+
+    for marker, data in _jpeg_segments(payload):
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        if marker == 0xCC:
+            raise ValueError("arithmetic-coded JPEG unsupported")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(data):
+                pq, tq = data[p] >> 4, data[p] & 15
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    data[p + 1 : p + 65], dtype=np.uint8
+                ).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            p = 0
+            while p < len(data):
+                tc, th = data[p] >> 4, data[p] & 15
+                counts = list(data[p + 1 : p + 17])
+                n = sum(counts)
+                symbols = data[p + 17 : p + 17 + n]
+                (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_lut(
+                    counts, symbols
+                )
+                p += 17 + n
+        elif marker == 0xC0:  # SOF0
+            precision = data[0]
+            if precision != 8:
+                raise ValueError(f"unsupported JPEG sample precision {precision}")
+            h = int.from_bytes(data[1:3], "big")
+            w = int.from_bytes(data[3:5], "big")
+            nc = data[5]
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i]
+                hi, vi = hv >> 4, hv & 15
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(f"unsupported JPEG sampling {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+            sof = {"w": w, "h": h, "comps": comps}
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(data[:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            for i in range(ns):
+                sos_comps.append(
+                    (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
+                )
+        elif marker == "SCAN":
+            scan = data
+    if sof is None or scan is None:
+        raise ValueError("JPEG missing SOF0/scan")
+    if len(sos_comps) != len(sof["comps"]):
+        raise ValueError("JPEG multi-scan (non-interleaved color) unsupported")
+
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        (cid, td, ta) = next(s for s in sos_comps if s[0] == c["id"])
+        c["td"], c["ta"] = td, ta
+        c["blocks_per_mcu"] = c["h"] * c["v"]
+
+    # split on restart markers; each segment decodes restart_interval
+    # MCUs (the last one takes the remainder)
+    n_mcus = mcux * mcuy
+    blocks: dict[int, list] = {c["id"]: [] for c in comps}
+    if restart_interval:
+        segs = __import__("re").split(b"\xff[\xd0-\xd7]", scan)
+        done = 0
+        for seg in segs:
+            take = min(restart_interval, n_mcus - done)
+            if take <= 0:
+                break
+            _jpeg_decode_scan_segment(seg, comps, huff_dc, huff_ac, take, blocks)
+            done += take
+        if done != n_mcus:
+            raise ValueError("JPEG restart segments cover too few MCUs")
+    else:
+        _jpeg_decode_scan_segment(scan, comps, huff_dc, huff_ac, n_mcus, blocks)
+
+    planes: dict[int, np.ndarray] = {}
+    for c in comps:
+        zz = np.stack(blocks[c["id"]])  # (n_blocks, 64) zigzag order
+        dz = zz * qt[c["tq"]][None, :]  # quant table rides zigzag order
+        nat = np.zeros_like(dz)
+        nat[:, _JPEG_ZIGZAG] = dz
+        spatial = np.einsum(
+            "yv,nvu,xu->nyx", _JPEG_IDCT_M, nat.reshape(-1, 8, 8), _JPEG_IDCT_M
+        )
+        px = np.clip(np.round(spatial + 128.0), 0, 255)
+        # MCU order (mcu_y, mcu_x, v, h) → padded plane
+        plane = (
+            px.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * c["v"] * 8, mcux * c["h"] * 8)
+        )
+        # upsample by replication, crop to frame dims
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes[c["id"]] = plane[:h, :w]
+
+    if len(comps) == 1:
+        gray = planes[comps[0]["id"]].astype(np.uint8)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    y, cb, cr = (planes[c["id"]].astype(np.float64) for c in comps)
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes, codec: str) -> np.ndarray:
     """Dispatch to the real image decoder for ``codec``; raises
     ValueError for codecs with no codec-free decoder (the callers'
@@ -287,6 +601,8 @@ def decode_image(payload: bytes, codec: str) -> np.ndarray:
         return decode_ppm(payload)
     if codec == "png":
         return decode_png(payload)
+    if codec == "jpeg":
+        return decode_jpeg(payload)
     raise ValueError(f"no codec-free decoder for {codec!r}")
 
 

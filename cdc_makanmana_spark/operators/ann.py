@@ -288,6 +288,67 @@ def label_cell_assign(
     return df.join(best, id_col)
 
 
+def two_level_split(cells_per_label: int) -> tuple[int, int]:
+    """(c1, c2) factorization of the cell budget: c1 = ceil(sqrt(m))
+    coarse cells, c2 = ceil(m / c1) fine cells per coarse cell, so
+    c1 * c2 >= m and both levels stay O(sqrt(m)). One definition shared
+    by the engine and the oracle-SQL generator so the two can never
+    factor the budget differently."""
+    c1 = max(1, math.ceil(math.sqrt(cells_per_label)))
+    c2 = max(1, math.ceil(cells_per_label / c1))
+    return c1, c2
+
+
+def label_cell_assign_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    cells_per_label: int = 8,
+) -> DataFrame:
+    """Two-level (coarse → fine) quantizer-cell assignment: the IVF
+    trick applied to the deterministic seed-cell blocker. Adds
+    ``__cell`` in ``[0, c1*c2)`` where ``(c1, c2)`` =
+    :func:`two_level_split`.
+
+    WHY: single-level argmin against m centers costs N×m distance
+    evaluations, and m itself grows with N (cells_per_label =
+    ceil(N / (labels × target_block))) — so the ASSIGNMENT is the
+    hidden quadratic term of the composite blocker, not the bounded
+    within-block pairing. Measured at ×100 organic (200 k vectors,
+    m = 313): 62.6 M distance evals dominate q76's 77 s / q48's 60 s.
+    Two levels cut it to N×(c1+c2) ≈ N×2√m — 7.2 M evals, ~9× less —
+    while keeping every step deterministic and SQL-replayable:
+
+    - coarse centers = the c1 lowest-id vectors OF EACH LABEL
+      (:func:`label_seed_cells` — unchanged seed discipline);
+    - coarse assign = argmin sequential-sum squared L2, ties to the
+      lower cell id (:func:`label_cell_assign` — unchanged
+      arithmetic, so the oracle's list_sum comprehension still
+      reproduces it bit-for-bit);
+    - fine centers = the c2 lowest-id vectors of each (label, coarse)
+      cell — the same seed rule one level down;
+    - fine assign = the same argmin within the coarse cell;
+    - ``__cell`` = coarse * c2 + fine.
+
+    Blocks still average ~target_block vectors (c1*c2 >= m), and seeds
+    drawn inside each coarse cell keep splitting the label's natural
+    clusters — the per-label seed property that made the single-level
+    form survive clustered organic data holds recursively.
+    """
+    c1, c2 = two_level_split(cells_per_label)
+    coarse_centers = label_seed_cells(df, id_col, label_col, vec_col, c1)
+    coarse = label_cell_assign(df, coarse_centers, id_col, label_col, vec_col)
+    coarse = coarse.withColumnRenamed("__cell", "__coarse").withColumn(
+        "__lc", F.concat_ws("\x1f", label_col, "__coarse")
+    )
+    fine_centers = label_seed_cells(coarse, id_col, "__lc", vec_col, c2)
+    fine = label_cell_assign(coarse, fine_centers, id_col, "__lc", vec_col)
+    return fine.withColumn(
+        "__cell", F.col("__coarse") * c2 + F.col("__cell")
+    ).drop("__coarse", "__lc")
+
+
 def ivf_index(
     df: DataFrame,
     n_cells: int = 16,

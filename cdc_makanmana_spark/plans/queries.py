@@ -2504,7 +2504,12 @@ def q40_winnowing_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ivf_train's k-means centers through the same assign path; the
 # blocking STRUCTURE — and the ~linear scale shape — is what q48
 # measures (sf1: 2k-vector label blocks -> ~64-vector composite
-# blocks).
+# blocks). Round 9: the assignment itself went TWO-LEVEL
+# (ann.label_cell_assign_two_level) — argmin against all m centers was
+# N x m evals with m proportional to N, i.e. the assignment was the
+# real quadratic term once the pairing was bounded; coarse(sqrt m) ->
+# fine(sqrt m) cuts it to N x 2*sqrt(m) with the same seed/tie
+# discipline replayed in the oracle.
 _Q48_TARGET_BLOCK = 64
 _Q48_M_CACHE: dict[tuple[str, str], int] = {}
 
@@ -2525,25 +2530,57 @@ def _q48_cells_per_label(spark: SparkSession, sf_dir: str, e) -> int:
     return m
 
 
+# Two-level (coarse -> fine) replay of ann.label_cell_assign_two_level:
+# single-level argmin against m centers is N x m distance evals with m
+# itself proportional to N — the assignment, not the bounded pairing,
+# was the quadratic term (measured 62.6 M evals at x100 organic,
+# dominating q76/q48). c1 = ceil(sqrt(m)) coarse cells per label,
+# c2 = ceil(m / c1) fine cells per coarse cell, final cell =
+# coarse * c2 + fine; every argmin keeps the sequential list_sum
+# squared-L2 arithmetic and the ties-to-lower-cell-id struct-min, so
+# the engine and this SQL still agree bit-for-bit. MATERIALIZED on the
+# multi-reference CTEs (e, a1, a) — DuckDB re-evaluates plain CTEs per
+# reference site.
 _Q48_CTES = f"""
-    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    p AS (
-      SELECT greatest(1, cast(ceil(count(*)::DOUBLE
-                                   / (count(DISTINCT label) * {_Q48_TARGET_BLOCK})) AS BIGINT)) AS m
-      FROM e
+    e AS MATERIALIZED (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS MATERIALIZED (
+      SELECT m,
+             greatest(1, cast(ceil(sqrt(m::DOUBLE)) AS BIGINT)) AS c1,
+             greatest(1, cast(ceil(m::DOUBLE
+               / greatest(1, cast(ceil(sqrt(m::DOUBLE)) AS BIGINT))) AS BIGINT)) AS c2
+      FROM (SELECT greatest(1, cast(ceil(count(*)::DOUBLE
+                     / (count(DISTINCT label) * {_Q48_TARGET_BLOCK})) AS BIGINT)) AS m
+            FROM e)
     ),
-    c AS (
+    cc AS (
       SELECT label, row_number() OVER (PARTITION BY label ORDER BY vec_id) - 1 AS cell, v AS cv
       FROM e
-      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= (SELECT m FROM p)
+      QUALIFY row_number() OVER (PARTITION BY label ORDER BY vec_id) <= (SELECT c1 FROM p)
     ),
-    a AS (
+    a1 AS MATERIALIZED (
       SELECT e.vec_id, e.label, e.v,
-             min({{'d': list_sum([ (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])
+             min({{'d': list_sum([ (e.v[i] - cc.cv[i]) * (e.v[i] - cc.cv[i])
                                    for i in range(1, len(e.v) + 1) ]),
-                  'i': c.cell}}).i AS cell
-      FROM e JOIN c ON e.label = c.label
+                  'i': cc.cell}}).i AS coarse
+      FROM e JOIN cc ON e.label = cc.label
       GROUP BY e.vec_id, e.label, e.v
+    ),
+    cf AS (
+      SELECT label, coarse,
+             row_number() OVER (PARTITION BY label, coarse ORDER BY vec_id) - 1 AS cell,
+             v AS cv
+      FROM a1
+      QUALIFY row_number() OVER (PARTITION BY label, coarse ORDER BY vec_id) <= (SELECT c2 FROM p)
+    ),
+    a AS MATERIALIZED (
+      SELECT a1.vec_id, a1.label, a1.v,
+             a1.coarse * (SELECT c2 FROM p)
+               + min({{'d': list_sum([ (a1.v[i] - cf.cv[i]) * (a1.v[i] - cf.cv[i])
+                                       for i in range(1, len(a1.v) + 1) ]),
+                      'i': cf.cell}}).i AS cell
+      FROM a1 JOIN cf ON a1.label = cf.label AND a1.coarse = cf.coarse
+      GROUP BY a1.vec_id, a1.label, a1.v, a1.coarse
     )
 """
 
@@ -2568,21 +2605,23 @@ def q48_embedding_composite_block_neardup(spark: SparkSession, sf_dir: str) -> D
     pair cost ~linear where q35's grows quadratically; centers are
     drawn INSIDE each label so tight label clusters actually split
     (global seeds degenerated to label-only blocking on organic data —
-    see the comment above). The only driver-side step is the one-row
-    count that sizes the quantizer (cached per table); centers and
-    assignment stay distributed (broadcast join + struct-argmin)."""
+    see the comment above). Assignment is the TWO-LEVEL coarse→fine
+    argmin (ann.label_cell_assign_two_level): N×2√m distance evals
+    instead of N×m — at ×100 organic the single-level assignment (not
+    the bounded pairing) was the dominant cost of both this query and
+    q76. The only driver-side step is the one-row count that sizes the
+    quantizer (cached per table); centers and assignment stay
+    distributed (broadcast join + struct-argmin)."""
     from cdc_makanmana_spark.operators.ann import (
         embedding_near_duplicates_by_block,
-        label_cell_assign,
-        label_seed_cells,
+        label_cell_assign_two_level,
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     m = _q48_cells_per_label(spark, sf_dir, e)
-    centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
-    blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
-        "__blk", F.concat_ws(":", "label", "__cell")
-    )
+    blocked = label_cell_assign_two_level(
+        e, "vec_id", "label", "embedding", cells_per_label=m
+    ).withColumn("__blk", F.concat_ws(":", "label", "__cell"))
     return embedding_near_duplicates_by_block(
         blocked, "__blk", threshold=0.4, vec_col="embedding", id_col="vec_id"
     )
@@ -4400,22 +4439,23 @@ def q76_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph-based dedup, clustering and kNN-classification over
     embeddings; built here as blocked directed pairs → per-source
     top-k window with a deterministic (rounded-cosine, id) order both
-    engines replay. Scale shape inherits q48's ~linear pair cost; the
-    window ranks within-block candidate lists, never a global sort."""
+    engines replay. Scale shape inherits q48's ~linear pair cost AND
+    its two-level assignment (the r8 verdict's q76 cost center was the
+    N×m single-level argmin, not the pairing — see
+    ann.label_cell_assign_two_level); the window ranks within-block
+    candidate lists, never a global sort."""
     from pyspark.sql import Window
 
     from cdc_makanmana_spark.operators.ann import (
         embedding_near_duplicates_by_block,
-        label_cell_assign,
-        label_seed_cells,
+        label_cell_assign_two_level,
     )
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
     m = _q48_cells_per_label(spark, sf_dir, e)
-    centers = label_seed_cells(e, "vec_id", "label", "embedding", cells_per_label=m)
-    blocked = label_cell_assign(e, centers, "vec_id", "label", "embedding").withColumn(
-        "__blk", F.concat_ws(":", "label", "__cell")
-    )
+    blocked = label_cell_assign_two_level(
+        e, "vec_id", "label", "embedding", cells_per_label=m
+    ).withColumn("__blk", F.concat_ws(":", "label", "__cell"))
     from cdc_makanmana_spark.operators.dedup import _materialize
 
     # pairs feed both directions of the symmetric union — cut lineage
@@ -4445,9 +4485,23 @@ ORACLE_SQL["q76_knn_graph"] = _Q76_ORACLE.format(ctes=_Q48_CTES.strip())
 
 _Q77_ITER = 8
 
+
+def _materialize_ctes(sql: str) -> str:
+    """Pin every CTE in a chain with ``AS MATERIALIZED``. DuckDB 1.0
+    inlines single-reference CTEs and re-evaluates a CTE referenced
+    from a recursive member ON EVERY ITERATION — the old recursive
+    PageRank oracles rebuilt the entire co-activity edge chain (the
+    quadratic within-group pairing included) 8 times over, which is
+    why they measured 101 s at sf0.1 while the final rank loop itself
+    is sub-second. Materializing evaluates each CTE exactly once."""
+    import re
+
+    return re.sub(r"AS \(", "AS MATERIALIZED (", sql)
+
+
 # top-M-sparsified undirected graph + degrees, shared by BOTH
-# recursive-CTE PageRank oracles (q77, q87) — one definition so the
-# two can never silently rank different graphs
+# PageRank oracles (q77, q87) — one definition so the two can never
+# silently rank different graphs
 _QGRAPH_SPARSE_SQL = f"""
     sym0 AS (
       SELECT id_a AS src, id_b AS dst, n_groups AS wt FROM edges
@@ -4464,27 +4518,73 @@ _QGRAPH_SPARSE_SQL = f"""
 """
 
 
-@query(
-    "q77_pagerank_influence",
-    f"""
-    WITH RECURSIVE {_Q74_EDGE_SQL},
-    {_QGRAPH_SPARSE_SQL},
-    nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
-    pr(iter, id, rank) AS (
-      SELECT 0, src, 1.0 / nn.n FROM deg, nn
-      UNION ALL
-      SELECT p.iter + 1, s.dst,
-             0.15 / max(nn.n) + 0.85 * sum(p.rank / d.d)
-      FROM pr p
+def _pagerank_oracle_sql(seeded: bool) -> str:
+    """Fixed-iteration PageRank oracle, UNROLLED: one MATERIALIZED CTE
+    per iteration (pr0..pr{_Q77_ITER}) instead of a recursive CTE.
+    Same algorithm, same single-statement driver contract, but each
+    pass — and crucially the shared edge/sparsify chain — evaluates
+    exactly once: 101 s → 0.6 s at sf0.1, and ×100 organic becomes
+    tractable (the r8 verdict's #1 item). The unrolled form mirrors
+    the engine's own fixed-iteration loop (operators/graph.py
+    ``pagerank``) while staying an independent DuckDB recomputation.
+    ``seeded`` switches between the uniform-teleport form (q77) and
+    the personalized form (q87: teleport mass only on the
+    user_id % {_Q87_SEED_MOD} == 0 cohort)."""
+    parts = [
+        _materialize_ctes(_Q74_EDGE_SQL).strip().rstrip(","),
+        _materialize_ctes(_QGRAPH_SPARSE_SQL).strip().rstrip(","),
+    ]
+    if seeded:
+        parts.append(
+            f"""sd AS MATERIALIZED (
+      SELECT src AS id,
+             1.0 / (SELECT count(*) FROM deg
+                    WHERE src % {_Q87_SEED_MOD} = 0) AS s
+      FROM deg WHERE src % {_Q87_SEED_MOD} = 0)"""
+        )
+        parts.append(
+            """pr0 AS MATERIALIZED (
+      SELECT deg.src AS id, coalesce(sd.s, 0.0) AS rank
+      FROM deg LEFT JOIN sd ON sd.id = deg.src)"""
+        )
+        step = """pr{next} AS MATERIALIZED (
+      SELECT s.dst AS id,
+             0.15 * coalesce(max(sd.s), 0.0) + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr{cur} p
+      JOIN sym s ON s.src = p.id
+      JOIN deg d ON d.src = s.src
+      LEFT JOIN sd ON sd.id = s.dst
+      GROUP BY s.dst)"""
+        final = (
+            f"SELECT id, round(rank, 6) AS rank FROM pr{_Q77_ITER}"
+            " WHERE round(rank, 6) > 0"
+        )
+    else:
+        parts.append(
+            "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM deg)"
+        )
+        parts.append(
+            """pr0 AS MATERIALIZED (
+      SELECT src AS id, 1.0 / nn.n AS rank FROM deg, nn)"""
+        )
+        step = """pr{next} AS MATERIALIZED (
+      SELECT s.dst AS id,
+             0.15 / max(nn.n) + 0.85 * sum(p.rank / d.d) AS rank
+      FROM pr{cur} p
       JOIN sym s ON s.src = p.id
       JOIN deg d ON d.src = s.src
       CROSS JOIN nn
-      WHERE p.iter < {_Q77_ITER}
-      GROUP BY p.iter + 1, s.dst)
-    SELECT id, round(rank, 6) AS rank
-    FROM pr WHERE iter = {_Q77_ITER}
-    """,
-)
+      GROUP BY s.dst)"""
+        final = f"SELECT id, round(rank, 6) AS rank FROM pr{_Q77_ITER}"
+    for i in range(_Q77_ITER):
+        parts.append(step.format(cur=i, next=i + 1))
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+_Q87_SEED_MOD = 29
+
+
+@query("q77_pagerank_influence", _pagerank_oracle_sql(seeded=False))
 def q77_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank influence scores over the q74 co-activity graph
     (operators/graph.py ``pagerank``), degree-bounded first by
@@ -4492,9 +4592,11 @@ def q77_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``fixed_iter`` mode ({_Q77_ITER} iterations): the loop then has
     ZERO driver-side collects — each iteration is one shuffle on the
     node id plus a lineage cut, plan depth O(1) per iteration — and a
-    deterministic iteration count the oracle replays as a recursive
-    CTE (iteration counter in the working table, aggregation in the
-    recursive member). Ranks are rounded to 6 dp on both sides: the
+    deterministic iteration count the oracle replays as an UNROLLED
+    chain of MATERIALIZED CTEs — one per iteration, each evaluated
+    exactly once (the recursive-CTE form re-ran the whole edge build
+    per iteration inside DuckDB: 101 s at sf0.1 vs 0.6 s unrolled).
+    Ranks are rounded to 6 dp on both sides: the
     two engines sum contributions in different orders, so the raw
     doubles differ at ~1e-15 while the algorithm is identical.
     Unweighted here (sparsification drops weights); the weighted form
@@ -5041,33 +5143,7 @@ def q86_group_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q87_SEED_MOD = 29
-
-
-@query(
-    "q87_personalized_pagerank",
-    f"""
-    WITH RECURSIVE {_Q74_EDGE_SQL},
-    {_QGRAPH_SPARSE_SQL},
-    sd AS (SELECT src AS id,
-                  1.0 / (SELECT count(*) FROM deg WHERE src % {_Q87_SEED_MOD} = 0) AS s
-           FROM deg WHERE src % {_Q87_SEED_MOD} = 0),
-    pr(iter, id, rank) AS (
-      SELECT 0, deg.src, coalesce(sd.s, 0.0)
-      FROM deg LEFT JOIN sd ON sd.id = deg.src
-      UNION ALL
-      SELECT p.iter + 1, s.dst,
-             0.15 * coalesce(max(sd.s), 0.0) + 0.85 * sum(p.rank / d.d)
-      FROM pr p
-      JOIN sym s ON s.src = p.id
-      JOIN deg d ON d.src = s.src
-      LEFT JOIN sd ON sd.id = s.dst
-      WHERE p.iter < {_Q77_ITER}
-      GROUP BY p.iter + 1, s.dst)
-    SELECT id, round(rank, 6) AS rank
-    FROM pr WHERE iter = {_Q77_ITER} AND round(rank, 6) > 0
-    """,
-)
+@query("q87_personalized_pagerank", _pagerank_oracle_sql(seeded=True))
 def q87_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank over the q74 co-activity graph: teleport
     mass lands only on a deterministic seed cohort (user_id %
@@ -5076,8 +5152,9 @@ def q87_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     analogue: surfacing merchants similar to a followed one). Same
     fixed-iteration loop as q77 (zero in-loop collects, every-2nd-step
     lineage cuts); the seed set joins as a broadcastable dim. The
-    oracle extends q77's recursive CTE with a per-node seed term
-    (LEFT JOIN + max() over the functionally-dependent seed column).
+    oracle extends q77's unrolled fixed-iteration CTE chain with a
+    per-node seed term (LEFT JOIN + max() over the
+    functionally-dependent seed column).
     Zero-rank nodes (unreachable from any seed within the damping
     horizon) are filtered on the ROUNDED value so both engines apply
     the identical cut. The sparsified graph is read from the
@@ -6804,7 +6881,7 @@ def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # video bytes through the scan just to drop them at the kind
     # filter (measured +1.5 s after the Y4M fixtures landed)
     media = read_media_dir(
-        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,png,wav}", id_from="stem_digits"
+        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,png,jpg,wav}", id_from="stem_digits"
     )
     fps = _materialize(media_fingerprints(media))
 

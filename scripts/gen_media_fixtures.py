@@ -186,23 +186,367 @@ def encode_png_mixed_filters(arr: np.ndarray, alpha: np.ndarray | None = None) -
     )
 
 
-def image_file_bytes(mid: int, arr: np.ndarray) -> tuple[str, bytes]:
-    """(filename, bytes) for image ``mid``: the CONTAINER varies by id
-    (mid % 3 == 0 → RGB PNG with cycling filters; mid % 9 == 1 → RGBA
-    PNG with a deterministic alpha ramp the engine must drop;
-    otherwise P6 PPM) while the PIXELS — and hence the reference
-    fingerprint — stay the encoding-independent array. Planted copies
-    thus cross containers (a PPM base's exact copy can land as a PNG):
-    the near-dup pairing certifies decode equivalence across formats."""
+# ---- independent baseline JPEG encoder (NOT the engine's decoder) ---------
+#
+# Writes real baseline-sequential JPEGs (SOF0, canonical huffman,
+# optional 4:2:0 subsampling / grayscale / restart intervals) and
+# returns, alongside the bytes, the EXPECTED DECODED PIXELS — computed
+# from the quantized coefficients by the spec's reconstruction math
+# (dequant → IDCT → level shift → round/clip → replication upsample →
+# BT.601), never by parsing the bytes back. JPEG is lossy, so the
+# reference fingerprint must hash what a correct decoder OUTPUTS, not
+# the source array; the engine's marker/huffman/scan machinery stays
+# independently certified because this side never reads the stream it
+# wrote. Huffman tables here are per-image fixed-length canonical
+# tables (every used symbol at one code length) — deliberately NOT the
+# Annex K typical tables, so the engine's generic DHT handling is
+# exercised, not a hardcoded-table shortcut.
+
+_J_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K example quantization tables (natural order)
+_J_QLUM = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+_J_QCHROM = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
+
+def _j_quality(base: np.ndarray, q: int) -> np.ndarray:
+    """libjpeg-convention quality scaling of a base table."""
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    return np.clip((base * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _j_dct_m() -> np.ndarray:
+    y, v = np.mgrid[0:8, 0:8]
+    m = 0.5 * np.cos((2 * y + 1) * v * np.pi / 16)
+    m[:, 0] *= 1 / np.sqrt(2)
+    return m
+
+
+_J_M = _j_dct_m()
+
+
+def _j_pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad a 2-D plane to (ph, pw)."""
+    h, w = plane.shape
+    return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+
+
+def _j_block_grid(plane: np.ndarray) -> np.ndarray:
+    """(H, W) with H,W multiples of 8 → (H//8, W//8, 8, 8)."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _j_cat(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+class _JBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, val: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (val & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush_padded(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _j_symbolize_block(zz: np.ndarray, pred: int) -> tuple[int, list, list]:
+    """One quantized zigzag block → (new_pred, dc_records, ac_records)
+    where records are (symbol, value_bits, n_value_bits)."""
+    dc = int(zz[0])
+    diff = dc - pred
+    t = _j_cat(diff)
+    dcrec = [(t, diff if diff >= 0 else diff + (1 << t) - 1, t)]
+    acrec = []
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            acrec.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _j_cat(v)
+        acrec.append(((run << 4) | s, v if v >= 0 else v + (1 << s) - 1, s))
+        run = 0
+    if last_nz < 63:
+        acrec.append((0x00, 0, 0))  # EOB
+    return dc, dcrec, acrec
+
+
+def _j_huff(symbols: set) -> tuple[list, list, dict]:
+    """Fixed-length canonical huffman table over the used symbols:
+    (counts[16], ordered_symbols, {symbol: (code, length)})."""
+    import math as _math
+
+    syms = sorted(symbols)
+    length = max(2, _math.ceil(_math.log2(len(syms) + 1)))
+    counts = [0] * 16
+    counts[length - 1] = len(syms)
+    codes = {s: (i, length) for i, s in enumerate(syms)}
+    return counts, syms, codes
+
+
+def encode_jpeg_with_expected(
+    arr: np.ndarray,
+    quality: int = 92,
+    subsample: bool = False,
+    gray: bool = False,
+    restart_interval: int = 0,
+) -> tuple[bytes, np.ndarray]:
+    """(jpeg_bytes, expected_decoded_rgb) for an (h, w, 3) uint8 array."""
+    import struct
+
+    h, w, _ = arr.shape
+    rgb = arr.astype(np.float64)
+    yy = 0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "plane": yy}]
+    else:
+        cb = -0.168736 * rgb[:, :, 0] - 0.331264 * rgb[:, :, 1] + 0.5 * rgb[:, :, 2] + 128.0
+        cr = 0.5 * rgb[:, :, 0] - 0.418688 * rgb[:, :, 1] - 0.081312 * rgb[:, :, 2] + 128.0
+        if subsample:
+            # 2x2 mean chroma downsample (encoder-side convention)
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "tq": 0, "plane": yy},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr},
+            ]
+        else:
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "tq": 0, "plane": yy},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "plane": cb},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "plane": cr},
+            ]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qt = {0: _j_quality(_J_QLUM, quality), 1: _j_quality(_J_QCHROM, quality)}
+
+    # forward DCT + quantize, blocks kept on the component block grid
+    for c in comps:
+        ph, pw = mcuy * c["v"] * 8, mcux * c["h"] * 8
+        plane = _j_pad_to(c["plane"], ph, pw) - 128.0
+        bg = _j_block_grid(plane)  # (by, bx, 8, 8)
+        # forward: F = M.T @ s @ M per block
+        coeffs = np.einsum("yv,abyx,xu->abvu", _J_M, bg, _J_M)
+        qnat = qt[c["tq"]].reshape(64)
+        c["zz"] = np.round(coeffs.reshape(bg.shape[0], bg.shape[1], 64) / qnat).astype(
+            np.int64
+        )[:, :, :]  # natural order still
+        c["zz"] = c["zz"][:, :, _J_ZZ]  # → zigzag order
+
+    # MCU-interleaved symbol stream (two passes: tables, then bits)
+    dc_syms: dict[int, set] = {0: set(), 1: set()}
+    ac_syms: dict[int, set] = {0: set(), 1: set()}
+    preds = [0] * len(comps)
+    n_mcu_done = 0
+    stream: list[tuple] = []  # (class_id, dcrec, acrec) per block in order
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu_done and n_mcu_done % restart_interval == 0:
+                preds = [0] * len(comps)
+                stream.append(("RST", (n_mcu_done // restart_interval - 1) % 8))
+            for ci, c in enumerate(comps):
+                cls = 0 if ci == 0 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = c["zz"][my * c["v"] + by, mx * c["h"] + bx]
+                        preds[ci], dcrec, acrec = _j_symbolize_block(zz, preds[ci])
+                        dc_syms[cls].update(s for s, _, _ in dcrec)
+                        ac_syms[cls].update(s for s, _, _ in acrec)
+                        stream.append((cls, dcrec, acrec))
+            n_mcu_done += 1
+
+    n_classes = 1 if gray else 2
+    dc_tables = {c: _j_huff(dc_syms[c]) for c in range(n_classes)}
+    ac_tables = {c: _j_huff(ac_syms[c]) for c in range(n_classes)}
+
+    bw = _JBitWriter()
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    # DQT (zigzag order on the wire)
+    for tq in range(n_classes):
+        zzq = qt[tq].reshape(64)[_J_ZZ]
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in zzq))
+    # SOF0
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    seg(0xC0, bytes(sof))
+    # DHT
+    for cls in range(n_classes):
+        for tc, tables in ((0, dc_tables), (1, ac_tables)):
+            counts, syms, _codes = tables[cls]
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+    # SOS
+    sos = bytearray([len(comps)])
+    for ci, c in enumerate(comps):
+        cls = 0 if ci == 0 else 1
+        sos += bytes([c["id"], (cls << 4) | cls])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    for rec in stream:
+        if rec[0] == "RST":
+            bw.flush_padded()
+            out.extend(bw.buf)
+            bw = _JBitWriter()
+            out.extend(b"\xff" + bytes([0xD0 + rec[1]]))
+            continue
+        cls, dcrec, acrec = rec
+        for sym, val, nbits in dcrec:
+            code, length = dc_tables[cls][2][sym]
+            bw.write(code, length)
+            bw.write(val, nbits)
+        for sym, val, nbits in acrec:
+            code, length = ac_tables[cls][2][sym]
+            bw.write(code, length)
+            bw.write(val, nbits)
+    bw.flush_padded()
+    out.extend(bw.buf)
+    out.extend(b"\xff\xd9")  # EOI
+
+    # expected decoded pixels: the spec's reconstruction from the
+    # quantized coefficients (shared arithmetic, independent code)
+    planes = {}
+    for c in comps:
+        zz = c["zz"].reshape(-1, 64)
+        dz = zz * qt[c["tq"]].reshape(64)[_J_ZZ][None, :]
+        nat = np.zeros_like(dz)
+        nat[:, _J_ZZ] = dz
+        spatial = np.einsum("yv,nvu,xu->nyx", _J_M, nat.reshape(-1, 8, 8), _J_M)
+        px = np.clip(np.round(spatial + 128.0), 0, 255)
+        nby, nbx = c["zz"].shape[0], c["zz"].shape[1]
+        plane = (
+            px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes[c["id"]] = plane[:h, :w]
+    if gray:
+        g = planes[1].astype(np.uint8)
+        expected = np.repeat(g[:, :, None], 3, axis=2)
+    else:
+        y_, cb_, cr_ = (planes[i].astype(np.float64) for i in (1, 2, 3))
+        r = y_ + 1.402 * (cr_ - 128.0)
+        g = y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0)
+        b = y_ + 1.772 * (cb_ - 128.0)
+        expected = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+            np.uint8
+        )
+    return bytes(out), expected
+
+
+def jpeg_file_bytes(mid: int, arr: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Deterministic JPEG variant for image ``mid``: cycles 4:4:4 /
+    4:2:0 / grayscale / restart-marker streams so every decoder path
+    is exercised by committed fixtures. The grayscale container is
+    used only when the CONTENT is channel-equal (see make_image) —
+    wrapping color pixels in a gray JPEG legitimately moves the
+    perceptual hash and would break planted-pair separation."""
+    v = mid % 12
+    if v == 5 and arr.shape[0] % 2 == 0 and arr.shape[1] % 2 == 0:
+        return encode_jpeg_with_expected(arr, quality=95, subsample=True)
+    if v == 8 and np.array_equal(arr[:, :, 0], arr[:, :, 1]) and np.array_equal(
+        arr[:, :, 1], arr[:, :, 2]
+    ):
+        return encode_jpeg_with_expected(arr, quality=96, gray=True)
+    if v == 11:
+        return encode_jpeg_with_expected(arr, quality=94, restart_interval=2)
+    return encode_jpeg_with_expected(arr, quality=96)
+
+
+def image_file_bytes(mid: int, arr: np.ndarray) -> tuple[str, bytes, np.ndarray]:
+    """(filename, bytes, fingerprint_pixels) for image ``mid``: the
+    CONTAINER varies by id (mid % 3 == 0 → RGB PNG with cycling
+    filters; mid % 9 == 1 → RGBA PNG with a deterministic alpha ramp
+    the engine must drop; mid % 3 == 2 → baseline JPEG cycling
+    4:4:4 / 4:2:0 / grayscale / restart-interval variants; otherwise
+    P6 PPM). For the lossless containers the fingerprint pixels ARE
+    the source array; for JPEG they are the expected decoded pixels
+    (dequant→IDCT reconstruction) — lossy coding means the reference
+    fingerprint must hash what a correct decoder outputs. Planted
+    copies cross containers (a PPM base's exact copy can land as a
+    JPEG): the near-dup pairing certifies decode equivalence across
+    all three formats."""
     if mid % 3 == 0:
-        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr)
+        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr), arr
     if mid % 9 == 1:
         h, w, _ = arr.shape
         alpha = ((np.arange(w)[None, :] * 255) // max(w - 1, 1)) * np.ones(
             (h, 1), dtype=np.int64
         )
-        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr, alpha=alpha)
-    return f"img_{mid:05d}.ppm", encode_ppm(arr)
+        return f"img_{mid:05d}.png", encode_png_mixed_filters(arr, alpha=alpha), arr
+    if mid % 3 == 2:
+        data, expected = jpeg_file_bytes(mid, arr)
+        return f"img_{mid:05d}.jpg", data, expected
+    return f"img_{mid:05d}.ppm", encode_ppm(arr), arr
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
@@ -241,11 +585,20 @@ def make_image(i: int) -> np.ndarray:
     angle = rng.uniform(0, 2 * np.pi)
     ramp = (np.cos(angle) * xx / max(w - 1, 1) + np.sin(angle) * yy / max(h - 1, 1))
     ramp = (ramp - ramp.min()) / max(ramp.ptp(), 1e-9)
+    # 8x8-blocky noise channel (piecewise constant): content-bearing
+    # for the luminance grid like the old per-pixel noise, but JPEG
+    # quantization preserves flat blocks near-exactly — per-pixel
+    # noise is precisely the signal lossy coding discards, and it made
+    # planted JPEG copies drift past the unplanted floor (measured:
+    # planted max 36 vs floor 18 with per-pixel noise; 8-blocky keeps
+    # planted pairs tight across all three containers)
+    bn = rng.integers(0, 256, (h // 8 + 1, w // 8 + 1)).astype(np.float64)
+    blocky = np.repeat(np.repeat(bn, 8, axis=0), 8, axis=1)[:h, :w]
     base = np.stack(
         [
             (ramp * 255),
             ((1 - ramp) * 255),
-            rng.integers(0, 256, (h, w)).astype(np.float64),
+            blocky,
         ],
         axis=2,
     )
@@ -254,7 +607,19 @@ def make_image(i: int) -> np.ndarray:
         y0, x0 = int(rng.integers(0, h // 2)), int(rng.integers(0, w // 2))
         y1, x1 = y0 + int(rng.integers(4, h // 2)), x0 + int(rng.integers(4, w // 2))
         base[y0:y1, x0:x1] = rng.uniform(0, 255, 3)
-    return np.clip(base, 0, 255).astype(np.uint8)
+    out = np.clip(base, 0, 255).astype(np.uint8)
+    if i % 7 == 3:
+        # grayscale-CONTENT images (R=G=B): the population the
+        # grayscale-JPEG container variant can wrap without changing
+        # the perceptual hash — for color content, dropping chroma
+        # legitimately moves aHash luminance (channel mean ≠ BT.601 Y)
+        # and a planted pair crossing a gray container drifts past the
+        # unplanted floor (measured 16-23 vs floor 16)
+        lum = out.astype(np.float64).mean(axis=2)
+        out = np.repeat(
+            np.clip(np.round(lum), 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+    return out
 
 
 def perturb_image(arr: np.ndarray, i: int) -> np.ndarray:
@@ -367,10 +732,10 @@ def main(scale: int = 1, out_root: str | None = None, v_frames: int = V_FRAMES) 
         images[next_id] = perturb_image(images[1 + n_exact + i], i)
         next_id += 1
     for mid, arr in images.items():
-        fname, data = image_file_bytes(mid, arr)
+        fname, data, fp_px = image_file_bytes(mid, arr)
         with open(os.path.join(media_dir, fname), "wb") as f:
             f.write(data)
-        rows.append((mid, "image", ahash64(arr)))
+        rows.append((mid, "image", ahash64(fp_px)))
 
     # audio: ids disjoint from image ids
     audio: dict[int, np.ndarray] = {}
@@ -480,7 +845,9 @@ def main(scale: int = 1, out_root: str | None = None, v_frames: int = V_FRAMES) 
             f"(all={sorted(pshared)}); unplanted max={max(ushared)}"
         )
     n_png = sum(1 for m in images if m % 3 == 0 or m % 9 == 1)
-    print(f"wrote {len(images)} images ({n_png} png, {len(images) - n_png} ppm) "
+    n_jpg = sum(1 for m in images if m % 3 == 2 and m % 9 != 1)
+    print(f"wrote {len(images)} images ({n_png} png, {n_jpg} jpg, "
+          f"{len(images) - n_png - n_jpg} ppm) "
           f"+ {len(audio)} wavs + {len(videos)} y4m videos to {media_dir}")
     print(f"wrote {len(rows)} fingerprints to {fp_parquet}")
     print(f"wrote {len(fh_rows)} frame hashes to {fh_parquet}")

@@ -481,8 +481,17 @@ def test_q110_planted_pairs_complete(spark):
         for i in range(14):
             planted.add((kind, base0 + 10 + i, base0 + 50 + i))
     assert set(out) == planted
-    # exact copies pair at hamming 0 through the identical-signature tier
-    assert all(out[("image", 1 + i, 41 + i)] == 0 for i in range(10))
+    # exact copies pair at hamming 0 through the identical-signature
+    # tier — unless one side rides the lossy JPEG container (r9), where
+    # the pixels legitimately drift a few bits but stay under threshold
+    def is_jpeg(mid: int) -> bool:
+        return mid % 3 == 2 and mid % 9 != 1
+
+    for i in range(10):
+        if not is_jpeg(1 + i) and not is_jpeg(41 + i):
+            assert out[("image", 1 + i, 41 + i)] == 0
+        else:
+            assert 0 <= out[("image", 1 + i, 41 + i)] <= 6
     assert all(out[("audio", 101 + i, 141 + i)] == 0 for i in range(10))
 
 
@@ -553,3 +562,112 @@ def test_read_media_dir_stem_digit_ids(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="id_from"):
         read_media_dir(spark, str(d), id_from="bogus")
+
+
+# ---- JPEG (baseline DCT decode, round 9) -----------------------------------
+
+
+def _gen_module():
+    """The fixture generator IS the independent JPEG encoder the
+    decoder is tested against (separate code, shared spec)."""
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "gen_media_fixtures.py",
+    )
+    spec = importlib.util.spec_from_file_location("gen_media_fixtures", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_jpeg_decode_variants_match_expected():
+    """decode_jpeg reproduces the encoder's expected-decoded pixels
+    EXACTLY (dequant → IDCT → round/clip is spec-pinned arithmetic)
+    across 4:4:4, 4:2:0 subsampling, grayscale, and restart-marker
+    streams, on non-multiple-of-16 dims (MCU padding crop)."""
+    gen = _gen_module()
+
+    for i in (0, 3, 5):
+        arr = gen.make_image(i)  # 32/48/64-px sides, seeded
+        for kw in (
+            {"quality": 96},
+            {"quality": 95, "subsample": True},
+            {"quality": 96, "gray": True},
+            {"quality": 94, "restart_interval": 2},
+            {"quality": 75, "restart_interval": 3, "subsample": True},
+        ):
+            if kw.get("subsample") and (arr.shape[0] % 2 or arr.shape[1] % 2):
+                continue
+            data, expected = gen.encode_jpeg_with_expected(arr, **kw)
+            got = kernels.decode_jpeg(data)
+            assert got.shape == expected.shape
+            assert (got == expected).all(), kw
+            assert kernels.jpeg_dims(data) == (arr.shape[1], arr.shape[0])
+
+
+def test_jpeg_padding_crop_odd_dims():
+    """48x40 at 4:2:0 → MCU grid 16-aligned (3x3 MCUs cover 48x48);
+    the decoder must crop the replication-padded rows/cols away."""
+    import numpy as np
+
+    gen = _gen_module()
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    data, expected = gen.encode_jpeg_with_expected(arr, quality=90, subsample=True)
+    got = kernels.decode_jpeg(data)
+    assert got.shape == (40, 48, 3)
+    assert (got == expected).all()
+
+
+def test_jpeg_scope_rejections():
+    """Out-of-scope streams raise ValueError by marker — progressive
+    (SOF2), 16-bit quant tables, truncation — and never mis-decode."""
+    import pytest
+
+    gen = _gen_module()
+    arr = gen.make_image(1)
+    data, _ = gen.encode_jpeg_with_expected(arr, quality=92)
+
+    with pytest.raises(ValueError, match="SOI"):
+        kernels.decode_jpeg(b"\x00" + data)
+    prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF2"):
+        kernels.decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOF2"):
+        kernels.jpeg_dims(prog)
+    # 16-bit DQT: flip Pq of the first quant table
+    i = data.index(b"\xff\xdb") + 4
+    bad = data[:i] + bytes([data[i] | 0x10]) + data[i + 1 :]
+    with pytest.raises(ValueError, match="16-bit"):
+        kernels.decode_jpeg(bad)
+    with pytest.raises(ValueError):
+        kernels.decode_jpeg(data[: len(data) // 2])  # truncated scan
+
+
+def test_jpeg_ingest_and_fingerprint_path(spark, tmp_path):
+    """read_media_dir classifies .jpg payloads (SOF0-only dims in the
+    metadata pass), corrupt JPEG downgrades to binary, and the aHash
+    kernel fingerprints the decoded pixels — matching the generator's
+    independent expected-pixel hash."""
+    from cdc_makanmana_spark.multimodal.binary import image_ahash, read_media_dir
+
+    gen = _gen_module()
+    arr = gen.make_image(2)
+    data, expected = gen.encode_jpeg_with_expected(arr, quality=96)
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "img_00005.jpg").write_bytes(data)
+    (d / "img_00006.jpg").write_bytes(data[:40])  # truncated → corrupt
+    media = read_media_dir(spark, str(d), id_from="stem_digits")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[5]["kind"] == "image"
+    assert rows[5]["meta"]["codec"] == "jpeg"
+    assert rows[5]["meta"]["width"] == arr.shape[1]
+    assert rows[6]["kind"] == "binary"
+    assert rows[6]["meta"]["codec"] == "corrupt-jpeg"
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert got[5] == gen.ahash64(expected)
