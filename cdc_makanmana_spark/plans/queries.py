@@ -4267,7 +4267,24 @@ def _q74_edge_sql(suffix: str = "", pred: str = "TRUE") -> str:
     predicate and a CTE-name suffix so one oracle can build several
     filtered graphs (q96's week-over-week churn); the unfiltered
     default (``WHERE TRUE``) keeps q74/q75/q77/q87 semantics
-    unchanged."""
+    unchanged.
+
+    Round 9: the pair enumeration became a BITSET matrix product.
+    The direct within-group self-join enumerates Σ n_g² pairs — 2.88
+    BILLION at ×100 organic (720 hour-groups × ~1300 users each),
+    260 s in DuckDB at full parallelism and 20+ min single-threaded
+    (which is what it gets under a MATERIALIZED consumer: DuckDB 1.0
+    evaluates materialized-CTE pipelines with almost no parallelism —
+    measured ~2 cores). Instead: dense-rank the gated groups to ids,
+    pack each user's group memberships into 64-bit words
+    (``bit_or(1 << gid%64)`` per (user, gid//64)), and count shared
+    groups per user pair as ``sum(bit_count(a.wd & b.wd))`` over a
+    word-index equi-join — O(|users|² × groups/64) word-ANDs instead
+    of O(Σ n_g²) row enumerations. Measured ×100: 3.9 s, bit-equal
+    output (same edge set, same n_groups — it is the same matrix
+    A·Aᵀ computed 64 columns at a time). EXACT, not an approximation;
+    the ORACLE-side cost trick mirroring the engine-side discipline
+    that pair enumeration must never ride raw group density."""
     s = suffix
     return f"""
     g{s} AS (
@@ -4280,12 +4297,21 @@ def _q74_edge_sql(suffix: str = "", pred: str = "TRUE") -> str:
       QUALIFY cume_dist() OVER (ORDER BY n) <= {_Q74_KEEP_FRAC}
            OR n = min(n) OVER ()),
     cg{s} AS (SELECT g{s}.* FROM g{s} JOIN ok{s} USING (w, event_type)),
+    gid{s} AS (
+      SELECT w, event_type,
+             CAST(dense_rank() OVER (ORDER BY w, event_type) - 1 AS BIGINT) AS gid
+      FROM (SELECT DISTINCT w, event_type FROM cg{s})),
+    uw{s} AS (
+      SELECT user_id, gid // 64 AS wi,
+             bit_or((1::UBIGINT << (gid % 64))) AS wd
+      FROM cg{s} JOIN gid{s} USING (w, event_type)
+      GROUP BY user_id, gid // 64),
     edges{s} AS (
-      SELECT a.user_id AS id_a, b.user_id AS id_b, count(*) AS n_groups
-      FROM cg{s} a JOIN cg{s} b
-        ON a.w = b.w AND a.event_type = b.event_type
-       AND a.user_id < b.user_id
-      GROUP BY 1, 2)
+      SELECT a.user_id AS id_a, b.user_id AS id_b,
+             sum(bit_count(a.wd & b.wd))::BIGINT AS n_groups
+      FROM uw{s} a JOIN uw{s} b ON a.wi = b.wi AND a.user_id < b.user_id
+      GROUP BY 1, 2
+      HAVING sum(bit_count(a.wd & b.wd)) > 0)
 """
 
 
@@ -4365,6 +4391,12 @@ def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q75_triangle_counts",
+    # e is MATERIALIZED: inlining its subtree three times into the
+    # wedge join sent DuckDB's join reorderer into a spilling plan at
+    # ×100 organic (>76 GB temp for a 15k-row e); pinned, the triple
+    # self-join is three scans of a 15k-row table. The e chain itself
+    # is cheap (~7 s at ×100 on the bitset edge build), so the
+    # near-serial materialized-pipeline evaluation is immaterial here.
     f"""
     WITH {_Q74_EDGE_SQL},
     sym AS (
@@ -4374,8 +4406,9 @@ def _sparse_coactivity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, dst FROM sym
       QUALIFY row_number() OVER (PARTITION BY src
                                  ORDER BY wt DESC, dst ASC) <= {_Q75_TOP_M}),
-    e AS (SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
-          FROM kept),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS id_a, greatest(src, dst) AS id_b
+      FROM kept),
     tri AS (
       SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
       FROM e ab
@@ -4486,19 +4519,6 @@ ORACLE_SQL["q76_knn_graph"] = _Q76_ORACLE.format(ctes=_Q48_CTES.strip())
 _Q77_ITER = 8
 
 
-def _materialize_ctes(sql: str) -> str:
-    """Pin every CTE in a chain with ``AS MATERIALIZED``. DuckDB 1.0
-    inlines single-reference CTEs and re-evaluates a CTE referenced
-    from a recursive member ON EVERY ITERATION — the old recursive
-    PageRank oracles rebuilt the entire co-activity edge chain (the
-    quadratic within-group pairing included) 8 times over, which is
-    why they measured 101 s at sf0.1 while the final rank loop itself
-    is sub-second. Materializing evaluates each CTE exactly once."""
-    import re
-
-    return re.sub(r"AS \(", "AS MATERIALIZED (", sql)
-
-
 # top-M-sparsified undirected graph + degrees, shared by BOTH
 # PageRank oracles (q77, q87) — one definition so the two can never
 # silently rank different graphs
@@ -4529,10 +4549,24 @@ def _pagerank_oracle_sql(seeded: bool) -> str:
     ``pagerank``) while staying an independent DuckDB recomputation.
     ``seeded`` switches between the uniform-teleport form (q77) and
     the personalized form (q87: teleport mass only on the
-    user_id % {_Q87_SEED_MOD} == 0 cohort)."""
+    user_id % {_Q87_SEED_MOD} == 0 cohort).
+
+    Materialization placement is deliberate: DuckDB 1.0 evaluates a
+    MATERIALIZED CTE's pipeline near-serially (measured ~2 cores), so
+    only the REUSED nodes are pinned — ``edges`` (referenced twice by
+    the symmetrization; its bitset chain is ~4 s at ×100 even serial),
+    ``sym``/``deg`` (referenced by all {_Q77_ITER} iterations), the
+    scalar ``nn``/seed ``sd``, and each ``pr_i``. Everything else
+    stays plain so its one evaluation keeps full parallelism."""
+    import re as _re
+
+    edge_mat = _re.sub(r"edges AS \(", "edges AS MATERIALIZED (", _Q74_EDGE_SQL)
+    sparse_mat = _re.sub(
+        r"(sym|deg) AS \(", r"\1 AS MATERIALIZED (", _QGRAPH_SPARSE_SQL
+    )
     parts = [
-        _materialize_ctes(_Q74_EDGE_SQL).strip().rstrip(","),
-        _materialize_ctes(_QGRAPH_SPARSE_SQL).strip().rstrip(","),
+        edge_mat.strip().rstrip(","),
+        sparse_mat.strip().rstrip(","),
     ]
     if seeded:
         parts.append(

@@ -192,11 +192,18 @@ class RollupMaintainer:
         # ABSOLUTE scaled sum (where truncate == floor and
         # half-up(m/d) == (2m + d) div 2d) and the sign is re-applied:
         # sign-aware, identical in both engines, no tie left to a
-        # float. The scaled sum stays DECIMAL(38,0) end-to-end — a
-        # CAST to BIGINT would overflow at |sum| ≳ 4.6e12 with s=6
-        # (one afternoon of a 100 TB feed), silently NULL in non-ANSI
-        # Spark while the oracle throws; 38 digits bounds the feed at
-        # 1e31, which is an error worth being loud about if ever hit.
+        # float. The scaled sum stays DECIMAL(38,0) into the division —
+        # a CAST to BIGINT would overflow at |sum| ≳ 4.6e12 with s=6
+        # (one afternoon of a 100 TB feed). The honest bound (r8
+        # ADVICE): Spark's `div` operator RETURNS LONG, so the
+        # QUOTIENT — |sum|·10^round_dp / denominator — must fit in
+        # ~9.2e18, i.e. |total| < ~9.2e12 at round_dp=6; past that
+        # non-ANSI Spark NULLs the quotient while DuckDB returns a
+        # HUGEINT, and the hash diff catches it loudly. That is ~2e6×
+        # more headroom than the old BIGINT-sum hazard (which
+        # overflowed on the SUM, not the quotient) — not the DECIMAL
+        # 1e31 ceiling; a feed needing quotients past LONG range moves
+        # round_dp down or the division to DECIMAL division.
         sum_field = df.schema["sum_value"]
         if isinstance(sum_field.dataType, DecimalType):
             s = sum_field.dataType.scale

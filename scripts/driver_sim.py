@@ -42,9 +42,10 @@ def pandas_hash(df: pd.DataFrame) -> str:
     for c in df.columns:
         if df[c].dtype == object:
             vals = df[c].dropna()
-            if len(vals) and all(
-                type(v) is datetime.date for v in vals.head(100)
-            ):
+            # ALL values checked (r8 ADVICE: a head-sample would
+            # silently coerce — or raise on — a column whose tail
+            # isn't dates; sf0.01 scale makes the full scan free)
+            if len(vals) and all(type(v) is datetime.date for v in vals):
                 df[c] = pd.to_datetime(df[c])
     lines = sorted(
         "|".join(repr(v) for v in row[1:]) for row in df.itertuples()
