@@ -288,15 +288,10 @@ def label_cell_assign(
     return df.join(best, id_col)
 
 
-def two_level_split(cells_per_label: int) -> tuple[int, int]:
-    """(c1, c2) factorization of the cell budget: c1 = ceil(sqrt(m))
-    coarse cells, c2 = ceil(m / c1) fine cells per coarse cell, so
-    c1 * c2 >= m and both levels stay O(sqrt(m)). One definition shared
-    by the engine and the oracle-SQL generator so the two can never
-    factor the budget differently."""
-    c1 = max(1, math.ceil(math.sqrt(cells_per_label)))
-    c2 = max(1, math.ceil(cells_per_label / c1))
-    return c1, c2
+# fine cell ids pack as coarse * _TWO_LEVEL_STRIDE + fine; fine counts
+# are ceil(|coarse cell| / target_block) <= N / target_block, far under
+# the stride at any realistic per-label population
+_TWO_LEVEL_STRIDE = 1_000_000
 
 
 def label_cell_assign_two_level(
@@ -305,47 +300,67 @@ def label_cell_assign_two_level(
     label_col: str = "label",
     vec_col: str = "embedding",
     cells_per_label: int = 8,
+    target_block: int = 64,
 ) -> DataFrame:
     """Two-level (coarse → fine) quantizer-cell assignment: the IVF
     trick applied to the deterministic seed-cell blocker. Adds
-    ``__cell`` in ``[0, c1*c2)`` where ``(c1, c2)`` =
-    :func:`two_level_split`.
+    ``__cell`` = coarse * _TWO_LEVEL_STRIDE + fine.
 
     WHY: single-level argmin against m centers costs N×m distance
     evaluations, and m itself grows with N (cells_per_label =
     ceil(N / (labels × target_block))) — so the ASSIGNMENT is the
     hidden quadratic term of the composite blocker, not the bounded
     within-block pairing. Measured at ×100 organic (200 k vectors,
-    m = 313): 62.6 M distance evals dominate q76's 77 s / q48's 60 s.
-    Two levels cut it to N×(c1+c2) ≈ N×2√m — 7.2 M evals, ~9× less —
-    while keeping every step deterministic and SQL-replayable:
+    m = 313): 62.6 M distance evals — 41-48 s of q48's ~50 s. Two
+    levels cut it to ~N×2√m (7.2 M evals, 10-14 s measured) while
+    keeping every step deterministic and SQL-replayable:
 
-    - coarse centers = the c1 lowest-id vectors OF EACH LABEL
-      (:func:`label_seed_cells` — unchanged seed discipline);
+    - coarse centers = the c1 = ceil(√m) lowest-id vectors OF EACH
+      LABEL (:func:`label_seed_cells` — unchanged seed discipline);
     - coarse assign = argmin sequential-sum squared L2, ties to the
       lower cell id (:func:`label_cell_assign` — unchanged
       arithmetic, so the oracle's list_sum comprehension still
       reproduces it bit-for-bit);
-    - fine centers = the c2 lowest-id vectors of each (label, coarse)
-      cell — the same seed rule one level down;
-    - fine assign = the same argmin within the coarse cell;
-    - ``__cell`` = coarse * c2 + fine.
+    - fine centers = the ceil(|cell| / target_block) lowest-id
+      members OF EACH (label, coarse) CELL — COUNT-PROPORTIONAL, the
+      global sizing rule applied one level down. A uniform fine count
+      (ceil(m / c1) everywhere) collapsed the ×100 organic planted
+      duplicate cluster into ONE 2194-vector block (a tight cluster
+      is closest to a single center no matter how ties break; only
+      MORE centers drawn inside it — near-identical, split by their
+      own noise — divide it), which tripled the pairing volume
+      (sum n² 29 M → 70 M). Proportional fine counts restore
+      single-level's block-size profile at two-level's assign cost;
+    - fine assign = the same argmin within the coarse cell.
 
-    Blocks still average ~target_block vectors (c1*c2 >= m), and seeds
-    drawn inside each coarse cell keep splitting the label's natural
-    clusters — the per-label seed property that made the single-level
-    form survive clustered organic data holds recursively.
-    """
-    c1, c2 = two_level_split(cells_per_label)
+    Blocks average ~target_block vectors, total fine centers ≈ m, and
+    the per-level eval budget is N×c1 + Σ|cell|×ceil(|cell|/64) —
+    ~N×2√m when cells are balanced, and a skewed coarse cell pays
+    |cell|²/64, bounded by the coarse split long before the global
+    N×m term."""
+    c1 = max(1, math.ceil(math.sqrt(cells_per_label)))
     coarse_centers = label_seed_cells(df, id_col, label_col, vec_col, c1)
     coarse = label_cell_assign(df, coarse_centers, id_col, label_col, vec_col)
     coarse = coarse.withColumnRenamed("__cell", "__coarse").withColumn(
         "__lc", F.concat_ws("\x1f", label_col, "__coarse")
     )
-    fine_centers = label_seed_cells(coarse, id_col, "__lc", vec_col, c2)
+    from pyspark.sql import Window
+
+    cnt = coarse.groupBy("__lc").agg(F.count(F.lit(1)).alias("__cnt"))
+    w = Window.partitionBy("__lc").orderBy(id_col)
+    fine_centers = (
+        coarse.join(F.broadcast(cnt), "__lc")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.ceil(F.col("__cnt") / F.lit(target_block)))
+        .select(
+            "__lc",
+            (F.col("__rn") - 1).alias("__cell"),
+            F.col(vec_col).alias("__cv"),
+        )
+    )
     fine = label_cell_assign(coarse, fine_centers, id_col, "__lc", vec_col)
     return fine.withColumn(
-        "__cell", F.col("__coarse") * c2 + F.col("__cell")
+        "__cell", F.col("__coarse") * _TWO_LEVEL_STRIDE + F.col("__cell")
     ).drop("__coarse", "__lc")
 
 

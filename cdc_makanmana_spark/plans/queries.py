@@ -2534,21 +2534,21 @@ def _q48_cells_per_label(spark: SparkSession, sf_dir: str, e) -> int:
 # single-level argmin against m centers is N x m distance evals with m
 # itself proportional to N — the assignment, not the bounded pairing,
 # was the quadratic term (measured 62.6 M evals at x100 organic,
-# dominating q76/q48). c1 = ceil(sqrt(m)) coarse cells per label,
-# c2 = ceil(m / c1) fine cells per coarse cell, final cell =
-# coarse * c2 + fine; every argmin keeps the sequential list_sum
-# squared-L2 arithmetic and the ties-to-lower-cell-id struct-min, so
-# the engine and this SQL still agree bit-for-bit. MATERIALIZED on the
-# multi-reference CTEs (e, a1, a) — DuckDB re-evaluates plain CTEs per
-# reference site.
+# dominating q76/q48). c1 = ceil(sqrt(m)) coarse cells per label; fine
+# cells per coarse cell are COUNT-PROPORTIONAL, ceil(|cell| / 64) — a
+# uniform fine count collapsed the planted-duplicate cluster into one
+# 2194-vector block at x100 (sum n^2 29M -> 70M); proportional counts
+# restore the single-level block profile at two-level assign cost.
+# Final cell = coarse * 1e6 + fine; every argmin keeps the sequential
+# list_sum squared-L2 arithmetic and the ties-to-lower-cell-id
+# struct-min, so the engine and this SQL agree bit-for-bit.
+# MATERIALIZED on the multi-reference CTEs (e, a1, a) — DuckDB
+# re-evaluates plain CTEs per reference site.
 _Q48_CTES = f"""
     e AS MATERIALIZED (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
     p AS MATERIALIZED (
-      SELECT m,
-             greatest(1, cast(ceil(sqrt(m::DOUBLE)) AS BIGINT)) AS c1,
-             greatest(1, cast(ceil(m::DOUBLE
-               / greatest(1, cast(ceil(sqrt(m::DOUBLE)) AS BIGINT))) AS BIGINT)) AS c2
+      SELECT greatest(1, cast(ceil(sqrt(m::DOUBLE)) AS BIGINT)) AS c1
       FROM (SELECT greatest(1, cast(ceil(count(*)::DOUBLE
                      / (count(DISTINCT label) * {_Q48_TARGET_BLOCK})) AS BIGINT)) AS m
             FROM e)
@@ -2566,16 +2566,22 @@ _Q48_CTES = f"""
       FROM e JOIN cc ON e.label = cc.label
       GROUP BY e.vec_id, e.label, e.v
     ),
+    cn AS (
+      SELECT label, coarse, count(*) AS cnt FROM a1 GROUP BY label, coarse
+    ),
     cf AS (
-      SELECT label, coarse,
-             row_number() OVER (PARTITION BY label, coarse ORDER BY vec_id) - 1 AS cell,
-             v AS cv
-      FROM a1
-      QUALIFY row_number() OVER (PARTITION BY label, coarse ORDER BY vec_id) <= (SELECT c2 FROM p)
+      SELECT a1.label, a1.coarse,
+             row_number() OVER (PARTITION BY a1.label, a1.coarse
+                                ORDER BY a1.vec_id) - 1 AS cell,
+             a1.v AS cv
+      FROM a1 JOIN cn ON a1.label = cn.label AND a1.coarse = cn.coarse
+      QUALIFY row_number() OVER (PARTITION BY a1.label, a1.coarse
+                                 ORDER BY a1.vec_id)
+              <= cast(ceil(cn.cnt::DOUBLE / {_Q48_TARGET_BLOCK}) AS BIGINT)
     ),
     a AS MATERIALIZED (
       SELECT a1.vec_id, a1.label, a1.v,
-             a1.coarse * (SELECT c2 FROM p)
+             a1.coarse * 1000000
                + min({{'d': list_sum([ (a1.v[i] - cf.cv[i]) * (a1.v[i] - cf.cv[i])
                                        for i in range(1, len(a1.v) + 1) ]),
                       'i': cf.cell}}).i AS cell
@@ -6981,6 +6987,125 @@ def q111_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_shared_frames=_Q111_MIN_SHARED,
         every_nth=_Q111_EVERY_NTH,
     ).select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))
+
+
+# ---------------------------------------------------------------------------
+# q112: BPE tokenizer train + tokenize on the ORACLE surface — the one
+# LLM-pipeline operator that was tests-only through r8. The oracle
+# replays the ENTIRE algorithm in SQL: training as a materialized CTE
+# chain (one argmax + one boundary-safe string replace per merge
+# iteration — early-stop mirrored as a no-op replace once the best
+# pair's frequency drops under min_freq), then tokenization as the
+# final chain state joined back to per-doc word positions. Words ride
+# as separator-strings ("\x1f" at the edges, "\x1f\x1f" between
+# symbols) so a merge is replace('\x1fa\x1f\x1fb\x1f' -> '\x1fab\x1f')
+# — non-overlapping left-to-right, exactly the engine's fold-merge
+# semantics (the shared-separator consumption analysis and the a=b
+# overlap case both check out; the corpus is verified free of \x1f).
+# ---------------------------------------------------------------------------
+
+_Q112_MERGES = 32
+_Q112_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
+
+
+def _q112_oracle_sql() -> str:
+    s = "\x1f"
+    ss = s + s
+    parts = [
+        f"""d AS MATERIALIZED (
+      SELECT doc_id, {_Q112_NORM} AS t FROM documents
+      WHERE text IS NOT NULL AND {_Q112_NORM} <> '')""",
+        """dw AS MATERIALIZED (
+      SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, unnest(l) AS w
+      FROM (SELECT doc_id, string_split(t, ' ') AS l FROM d))""",
+        f"""v0 AS MATERIALIZED (
+      SELECT w, count(*) AS freq,
+             '{s}' || array_to_string(
+               list_append(string_split(w, ''), '</w>'), '{ss}') || '{s}' AS vs
+      FROM dw GROUP BY w)""",
+    ]
+    for i in range(1, _Q112_MERGES + 1):
+        parts.append(
+            f"""p{i} AS (
+      SELECT u.a AS a, u.b AS b, sum(freq) AS n
+      FROM (
+        SELECT freq,
+               unnest([struct_pack(a := l[k], b := l[k + 1])
+                       for k in range(1, len(l))]) AS u
+        FROM (SELECT freq, string_split(trim(vs, '{s}'), '{ss}') AS l
+              FROM v{i - 1}))
+      GROUP BY u.a, u.b)""",
+        )
+        parts.append(
+            f"""b{i} AS MATERIALIZED (
+      SELECT a, b FROM p{i} WHERE n >= 2
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1)""",
+        )
+        parts.append(
+            f"""v{i} AS MATERIALIZED (
+      SELECT w, freq,
+             replace(vs,
+               coalesce((SELECT '{s}' || a || '{ss}' || b || '{s}' FROM b{i}),
+                        chr(0)),
+               coalesce((SELECT '{s}' || a || b || '{s}' FROM b{i}), '')) AS vs
+      FROM v{i - 1})""",
+        )
+    parts.append(
+        f"""tok AS MATERIALIZED (
+      SELECT w, string_split(trim(vs, '{s}'), '{ss}') AS ts
+      FROM v{_Q112_MERGES})""",
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT dw.doc_id,
+           sum(len(tok.ts))::BIGINT AS n_tokens,
+           len(list_distinct(flatten(list(tok.ts ORDER BY dw.pos))))::BIGINT
+             AS n_distinct_tokens,
+           md5(array_to_string(flatten(list(tok.ts ORDER BY dw.pos)), ' '))
+             AS tokens_sig
+    FROM dw JOIN tok USING (w)
+    GROUP BY dw.doc_id"""
+    )
+
+
+@query("q112_bpe_tokenize", _q112_oracle_sql())
+def q112_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer, hash-certified end-to-end: train {_Q112_MERGES}
+    merges over the documents corpus (operators/corpus.py
+    ``bpe_train_merges`` — word-frequency table once, then
+    vocabulary-sized iterations; the per-iteration argmax collect is
+    ONE row, the documented bounded-scalar pattern), tokenize every
+    document with the learned list (``bpe_tokenize`` — distinct words
+    tokenized once, token arrays rejoined through a broadcast), and
+    emit per-doc token count, distinct-token count and an md5 sequence
+    signature (tokens joined on ' ' — tokens cannot contain spaces, so
+    the signature is collision-honest). The DuckDB oracle replays
+    TRAINING AND TOKENIZATION independently: a {_Q112_MERGES}-step
+    materialized CTE chain whose step = exact pair-frequency argmax
+    (ties lexicographic, both engines binary collation) + one
+    boundary-delimited string replace that IS the engine's left-to-
+    right fold-merge. Early stop (best pair under min_freq=2) is a
+    no-op replace on the oracle side — the chain state freezes exactly
+    where the engine's loop breaks. Token arrays never reach the
+    driver hash (scalar stats + md5 only). At 100 TB the training
+    reads the corpus once into (word, freq); everything after is
+    dictionary-sized — the scale story is corpus.py's."""
+    from cdc_makanmana_spark.operators.corpus import (
+        bpe_tokenize,
+        bpe_train_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train_merges(docs, "text", n_merges=_Q112_MERGES, min_freq=2)
+    toks = bpe_tokenize(docs, "text", "doc_id", merges)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct_tokens"),
+        F.md5(F.concat_ws(" ", "tokens")).alias("tokens_sig"),
+    )
 
 
 def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
