@@ -7,6 +7,13 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is forced with the noop sink (full execution, no
 driver-side row transfer — we measure the engine, not py4j).
+
+Media tier: q110/q111 read the committed 1x fixtures unless
+CDC_MEDIA_FIXTURES points at a gen_media_fixtures --scale N --out
+root. ORGANIC-SCALE runs must set it to the matching media scale
+(e.g. /tmp/media_x100 with /tmp/sf10_organic) or the total
+understates the multimodal cost; the JSON output records which media
+root was measured so the series artifacts are self-documenting.
 """
 
 from __future__ import annotations
@@ -121,6 +128,9 @@ def main() -> None:
                 "queries": timings,
                 "calibration_sec": cal,
                 "sf": sf,
+                "media_fixtures": os.environ.get(
+                    "CDC_MEDIA_FIXTURES", "fixtures (committed 1x)"
+                ),
             }
         )
     )

@@ -344,6 +344,12 @@ def label_cell_assign_two_level(
     coarse = coarse.withColumnRenamed("__cell", "__coarse").withColumn(
         "__lc", F.concat_ws("\x1f", label_col, "__coarse")
     )
+    # The coarse stage feeds four consumers (cell counts, fine-center
+    # ranking, the fine argmin join, the assignment join-back), so the
+    # plan census reads ~22 exchanges for q48 — DELIBERATE: each replay
+    # is a broadcast-join argmin over narrow rows, and cutting lineage
+    # with a localCheckpoint here measured 35.4 → 52.8 s at ×100
+    # (checkpointing N wide embedding rows costs more than the replays).
     from pyspark.sql import Window
 
     cnt = coarse.groupBy("__lc").agg(F.count(F.lit(1)).alias("__cnt"))
