@@ -1646,8 +1646,23 @@ def q36_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # q24-pair → recursive-reachability CTE chain, shared by the q37
 # component oracle and the q95 cluster-size profile built on it
-_Q37_CTES = f"""
-    d AS (
+# Clustering tail (round 9): the old transitive-closure recursive CTE
+# (`reach` = every (node, reachable-ancestor) pair) is QUADRATIC in
+# cluster size — at ×100 organic the planted clusters grow ~100× and
+# the closure spilled ~70 GB / ~25 min PER ORACLE (q37/q67/q95 were
+# 4,100 s of the first ×100 sweep's wall). Replaced by K rounds of
+# min-label propagation with NODE-sized state (the engine's own
+# connected-components shape): each round, every node takes the min
+# of its label and its neighbors' labels. K=16 covers any component
+# of diameter ≤ 16; the `conv` CTE PROVES convergence inside the
+# oracle — one more propagation must improve nothing, else every
+# component id is poisoned to NULL and the driver hash diff fails
+# loudly (an under-iterated oracle can never silently pass).
+_Q37_LABEL_ITERS = 16
+
+def _q37_ctes() -> str:
+    parts = [
+        f"""d AS (
       SELECT doc_id,
              string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')), ' ') AS w
       FROM documents
@@ -1673,16 +1688,40 @@ _Q37_CTES = f"""
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
       WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(id, anc) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.anc FROM r JOIN edges e ON e.src = r.id)
-      SELECT * FROM r)
-"""
+    cl0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM edges)"""
+    ]
+    for i in range(1, _Q37_LABEL_ITERS + 1):
+        parts.append(
+            f"""cl{i} AS MATERIALIZED (
+      SELECT id, min(lbl) AS lbl FROM (
+        SELECT id, lbl FROM cl{i - 1}
+        UNION ALL
+        SELECT e.src AS id, l.lbl FROM edges e JOIN cl{i - 1} l ON l.id = e.dst
+      ) t GROUP BY id)"""
+        )
+    k = _Q37_LABEL_ITERS
+    parts.append(
+        f"""conv AS MATERIALIZED (
+      SELECT count(*) AS n
+      FROM edges e
+      JOIN cl{k} a ON a.id = e.src
+      JOIN cl{k} b ON b.id = e.dst
+      WHERE b.lbl < a.lbl)"""
+    )
+    parts.append(
+        f"""comp AS (
+      SELECT id,
+             lbl + (SELECT CASE WHEN n > 0 THEN NULL ELSE 0 END FROM conv)
+               AS component
+      FROM cl{k})"""
+    )
+    return ",\n    ".join(parts)
+
+
+_Q37_CTES = _q37_ctes()
 
 
 # Materialized build artifacts, path-cached per table dir (the
@@ -1863,7 +1902,7 @@ def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_duplicate_clusters",
     f"""
     WITH {_Q37_CTES}
-    SELECT id, min(anc) AS component FROM reach GROUP BY id
+    SELECT id, component FROM comp
     """,
 )
 def q37_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3846,43 +3885,11 @@ def q66_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q67_ORACLE = rf"""
-    WITH d AS (
-      SELECT doc_id,
-             string_split(trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')), ' ') AS w
-      FROM documents
-      WHERE text IS NOT NULL
-        AND trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) <> ''),
-    s0 AS (
-      SELECT doc_id,
-             unnest(list_distinct([array_to_string(w[i:i+2], ' ')
-                                   for i in range(1, greatest(len(w) - 2, 1) + 1)])) AS sh
-      FROM d),
-    freq AS (SELECT sh, count(*) AS c FROM s0 GROUP BY sh),
-    kept AS (
-      SELECT s0.doc_id, s0.sh
-      FROM s0 JOIN freq USING (sh) WHERE freq.c <= {_Q24_MAX_DF}),
-    sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
-    isect AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-      FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
-      GROUP BY 1, 2),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM isect
-      JOIN sizes sa ON sa.doc_id = id_a
-      JOIN sizes sb ON sb.doc_id = id_b
-      WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs),
-    reach AS (
-      WITH RECURSIVE r(id, anc) AS (
-        SELECT src, src FROM edges
-        UNION
-        SELECT e.dst, r.anc FROM r JOIN edges e ON e.src = r.id)
-      SELECT * FROM r),
-    comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
+# shares the q37 clustering chain verbatim (one definition — the two
+# oracles can never cluster differently), then applies the min-id
+# survivor rule and the per-source rollup
+_Q67_ORACLE = f"""
+    WITH {_Q37_CTES},
     losers AS (SELECT id FROM comp WHERE id <> component)
     SELECT dd.source,
            count(*)                                            AS n_docs,
@@ -5659,7 +5666,6 @@ def q94_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q95_cluster_size_profile",
     f"""
     WITH {_Q37_CTES},
-    comp AS (SELECT id, min(anc) AS component FROM reach GROUP BY id),
     csizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
     SELECT cluster_size,
            count(*) AS n_clusters,
