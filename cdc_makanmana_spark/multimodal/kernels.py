@@ -21,6 +21,7 @@ Pillow/ffmpeg changes one inner function, exactly like these did.
 from __future__ import annotations
 
 import io
+import re
 import wave
 
 import numpy as np
@@ -336,6 +337,8 @@ def _jpeg_segments(payload: bytes):
             raise ValueError(f"expected JPEG marker at byte {pos}")
         while payload[pos + 1] == 0xFF:  # legal fill bytes before a marker
             pos += 1
+            if pos + 4 > len(payload):
+                raise ValueError("JPEG stream ended inside marker fill bytes")
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             return
@@ -428,6 +431,10 @@ def _jpeg_decode_scan_segment(
                 pos += length
                 t = entry >> 5
                 diff = 0
+                if pos + t > nbits:  # mid-symbol truncation: the
+                    # zero-padded lookahead would otherwise decode
+                    # garbage in the final MCU silently
+                    raise ValueError("JPEG entropy stream overrun")
                 if t:
                     diff = _jpeg_extend(int(la[pos]) >> (16 - t), t)
                     pos += t
@@ -442,6 +449,8 @@ def _jpeg_decode_scan_segment(
                     pos += length
                     rs = entry >> 5
                     r, s = rs >> 4, rs & 15
+                    if pos + s > nbits:  # same mid-symbol guard as DC
+                        raise ValueError("JPEG entropy stream overrun")
                     if s == 0:
                         if r == 15:  # ZRL: 16 zeros
                             k += 16
@@ -485,6 +494,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 pq, tq = data[p] >> 4, data[p] & 15
                 if pq != 0:
                     raise ValueError("16-bit JPEG quant tables unsupported")
+                if p + 65 > len(data):
+                    raise ValueError("truncated JPEG DQT segment")
                 qt[tq] = np.frombuffer(
                     data[p + 1 : p + 65], dtype=np.uint8
                 ).astype(np.int64)
@@ -495,12 +506,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = data[p] >> 4, data[p] & 15
                 counts = list(data[p + 1 : p + 17])
                 n = sum(counts)
+                if len(counts) < 16 or p + 17 + n > len(data):
+                    raise ValueError("truncated JPEG DHT segment")
                 symbols = data[p + 17 : p + 17 + n]
                 (huff_dc if tc == 0 else huff_ac)[th] = _jpeg_huff_lut(
                     counts, symbols
                 )
                 p += 17 + n
         elif marker == 0xC0:  # SOF0
+            if len(data) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             precision = data[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG sample precision {precision}")
@@ -509,6 +524,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             nc = data[5]
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
+            if len(data) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF0 segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i]
@@ -520,6 +537,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(data[:2], "big")
         elif marker == 0xDA:  # SOS
+            if len(data) < 1 or len(data) < 1 + 2 * data[0]:
+                raise ValueError("truncated JPEG SOS segment")
             ns = data[0]
             for i in range(ns):
                 sos_comps.append(
@@ -547,7 +566,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     n_mcus = mcux * mcuy
     blocks: dict[int, list] = {c["id"]: [] for c in comps}
     if restart_interval:
-        segs = __import__("re").split(b"\xff[\xd0-\xd7]", scan)
+        segs = re.split(b"\xff[\xd0-\xd7]", scan)
         done = 0
         for seg in segs:
             take = min(restart_interval, n_mcus - done)

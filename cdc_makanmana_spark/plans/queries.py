@@ -7001,13 +7001,17 @@ def q111_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replays the ENTIRE algorithm in SQL: training as a materialized CTE
 # chain (one argmax + one boundary-safe string replace per merge
 # iteration — early-stop mirrored as a no-op replace once the best
-# pair's frequency drops under min_freq), then tokenization as the
-# final chain state joined back to per-doc word positions. Words ride
-# as separator-strings ("\x1f" at the edges, "\x1f\x1f" between
-# symbols) so a merge is replace('\x1fa\x1f\x1fb\x1f' -> '\x1fab\x1f')
-# — non-overlapping left-to-right, exactly the engine's fold-merge
-# semantics (the shared-separator consumption analysis and the a=b
-# overlap case both check out; the corpus is verified free of \x1f).
+# pair's frequency drops under min_freq), then tokenization by
+# applying the learned merge list directly to separator-encoded
+# DOCUMENT strings (r10: replaced the per-word-occurrence join +
+# ordered list-flatten recombination, 413 s -> 96.7 s at x100
+# organic). Words ride as separator-strings ("\x1f" at the edges,
+# "\x1f\x1f" between symbols) so a merge is
+# replace('\x1fa\x1f\x1fb\x1f' -> '\x1fab\x1f') — non-overlapping
+# left-to-right, exactly the engine's fold-merge semantics (the
+# shared-separator consumption analysis and the a=b overlap case both
+# check out; the corpus is verified free of \x1f, and the word
+# junction "\x1f \x1f" can never alias the in-word "\x1f\x1f" gap).
 # ---------------------------------------------------------------------------
 
 _Q112_MERGES = 32
@@ -7028,14 +7032,11 @@ def _q112_oracle_sql() -> str:
         f"""d AS MATERIALIZED (
       SELECT doc_id, {_Q112_NORM} AS t FROM documents
       WHERE text IS NOT NULL AND {_Q112_NORM} <> '')""",
-        """dw AS MATERIALIZED (
-      SELECT doc_id, unnest(generate_series(1, len(l))) AS pos, unnest(l) AS w
-      FROM (SELECT doc_id, string_split(t, ' ') AS l FROM d))""",
         f"""v0 AS MATERIALIZED (
       SELECT w, count(*) AS freq,
              '{s}' || array_to_string(
                list_append(string_split(w, ''), '</w>'), '{ss}') || '{s}' AS vs
-      FROM dw GROUP BY w)""",
+      FROM (SELECT unnest(string_split(t, ' ')) AS w FROM d) GROUP BY w)""",
     ]
     for i in range(1, _Q112_MERGES + 1):
         parts.append(
@@ -7063,23 +7064,55 @@ def _q112_oracle_sql() -> str:
                coalesce((SELECT '{s}' || a || b || '{s}' FROM b{i}), '')) AS vs
       FROM v{i - 1})""",
         )
+    # Tokenize DOCUMENTS, not the vocabulary join: encode each doc as
+    # its words in separator form joined by ' ', then apply the 32
+    # learned merges as ONE nested-replace projection. The merge
+    # pattern/replacement strings are evaluated ONCE in the single-row
+    # CTE ``m`` and cross-joined in — scalar subqueries INSIDE the
+    # replace expression are re-evaluated per row by DuckDB (measured
+    # at x100 organic: ~110 s subquery form vs 12.3 s column form for
+    # the same 32 replaces), and the old per-word-occurrence join +
+    # ordered list-flatten recombination was the sweep's largest
+    # non-cluster line (413 s at x100; this form: ~45 s). The doubled
+    # separator between symbols keeps each replace non-overlapping
+    # left-to-right across BOTH symbol and word boundaries (word
+    # junction is '\\x1f \\x1f', never '\\x1f\\x1f'), so the chain is
+    # still exactly the engine's fold-merge.
+    m_cols = ", ".join(
+        f"""coalesce((SELECT '{s}' || a || '{ss}' || b || '{s}' FROM b{i}),
+             chr(0)) AS p{i},
+           coalesce((SELECT '{s}' || a || b || '{s}' FROM b{i}), '') AS r{i}"""
+        for i in range(1, _Q112_MERGES + 1)
+    )
+    parts.append(f"m AS MATERIALIZED (SELECT {m_cols})")
+    expr = "ds"
+    for i in range(1, _Q112_MERGES + 1):
+        expr = f"replace({expr}, m.p{i}, m.r{i})"
     parts.append(
-        f"""tok AS MATERIALIZED (
-      SELECT w, string_split(trim(vs, '{s}'), '{ss}') AS ts
-      FROM v{_Q112_MERGES})""",
+        f"""dd AS (
+      SELECT doc_id,
+             array_to_string(list_transform(string_split(t, ' '),
+               w -> '{s}' || array_to_string(
+                 list_append(string_split(w, ''), '</w>'), '{ss}') || '{s}'),
+               ' ') AS ds
+      FROM d)""",
+    )
+    parts.append(
+        f"""dtok AS (
+      SELECT doc_id,
+             string_split(trim(replace({expr}, '{s} {s}', '{ss}'), '{s}'),
+                          '{ss}') AS ts
+      FROM dd CROSS JOIN m)""",
     )
     return (
         "WITH "
         + ",\n    ".join(parts)
         + """
-    SELECT dw.doc_id,
-           sum(len(tok.ts))::BIGINT AS n_tokens,
-           len(list_distinct(flatten(list(tok.ts ORDER BY dw.pos))))::BIGINT
-             AS n_distinct_tokens,
-           md5(array_to_string(flatten(list(tok.ts ORDER BY dw.pos)), ' '))
-             AS tokens_sig
-    FROM dw JOIN tok USING (w)
-    GROUP BY dw.doc_id"""
+    SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           len(list_distinct(ts))::BIGINT AS n_distinct_tokens,
+           md5(array_to_string(ts, ' ')) AS tokens_sig
+    FROM dtok"""
     )
 
 

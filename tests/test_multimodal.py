@@ -648,6 +648,49 @@ def test_jpeg_scope_rejections():
         kernels.decode_jpeg(data[: len(data) // 2])  # truncated scan
 
 
+def test_jpeg_corrupt_payloads_raise_valueerror_not_indexerror():
+    """Every malformed-payload class raises ValueError (the contract
+    read_media_dir's corrupt-downgrade relies on), never IndexError:
+    fill-byte run past EOF, lying DHT/SOF segment lengths, and a
+    header-valid stream whose entropy scan is truncated mid-MCU (the
+    zero-padded lookahead must not decode garbage silently)."""
+    import pytest
+
+    gen = _gen_module()
+
+    # fill-byte loop walking off the payload end
+    with pytest.raises(ValueError):
+        kernels.decode_jpeg(b"\xff\xd8" + b"\xff" * 10)
+    with pytest.raises(ValueError):
+        kernels.jpeg_dims(b"\xff\xd8" + b"\xff" * 10)
+
+    arr = gen.make_image(1)
+    data, _ = gen.encode_jpeg_with_expected(arr, quality=92)
+
+    # DHT whose symbol table is shorter than its count row claims:
+    # zero the payload after counts but keep the segment length
+    i = data.index(b"\xff\xc4")
+    seg_len = int.from_bytes(data[i + 2 : i + 4], "big")
+    lying = data[:i] + b"\xff\xc4\x00\x13" + data[i + 4 : i + 4 + 17] + data[i + 2 + seg_len :]
+    with pytest.raises(ValueError):
+        kernels.decode_jpeg(lying)
+
+    # SOF0 cut short (claims 3 components, provides none)
+    j = data.index(b"\xff\xc0")
+    sof_short = data[:j] + b"\xff\xc0\x00\x08" + data[j + 4 : j + 10] + data[j + 2 + int.from_bytes(data[j + 2 : j + 4], "big") :]
+    with pytest.raises(ValueError):
+        kernels.decode_jpeg(sof_short)
+
+    # header-valid, scan truncated mid-MCU: must raise, not return
+    # wrong pixels (keep SOI..SOS headers + a sliver of entropy data)
+    k = data.index(b"\xff\xda")
+    sos_len = int.from_bytes(data[k + 2 : k + 4], "big")
+    scan_start = k + 2 + sos_len
+    truncated = data[: scan_start + 2] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        kernels.decode_jpeg(truncated)
+
+
 def test_jpeg_ingest_and_fingerprint_path(spark, tmp_path):
     """read_media_dir classifies .jpg payloads (SOF0-only dims in the
     metadata pass), corrupt JPEG downgrades to binary, and the aHash
