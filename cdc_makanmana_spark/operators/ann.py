@@ -340,23 +340,37 @@ def label_cell_assign_two_level(
     N×m term."""
     c1 = max(1, math.ceil(math.sqrt(cells_per_label)))
     coarse_centers = label_seed_cells(df, id_col, label_col, vec_col, c1)
-    coarse = label_cell_assign(df, coarse_centers, id_col, label_col, vec_col)
-    coarse = coarse.withColumnRenamed("__cell", "__coarse").withColumn(
-        "__lc", F.concat_ws("\x1f", label_col, "__coarse")
+    # The coarse stage feeds multiple consumers (fine-center ranking,
+    # the fine argmin join, the assignment join-back). Persist the
+    # NARROW assignment — (id, __coarse, __lc), ~tens of bytes/row at
+    # any N — so the coarse argmin (the N×√m distance-eval stage) runs
+    # ONCE instead of per consumer; each consumer re-attaches the wide
+    # vector rows with one id-equi-join against ``df``. Caching the
+    # WIDE rows instead (localCheckpoint) carried the embedding
+    # vectors and measured 35.4 → 52.8 s at ×100 — the narrow cache
+    # keeps the ×100 win while removing the small-scale replay tax the
+    # r9 bench flagged (q48 sf0.1 1.20→1.57 s, q76 ×10 6.16→8.05 s).
+    coarse_narrow = (
+        label_cell_assign(df, coarse_centers, id_col, label_col, vec_col)
+        .select(
+            id_col,
+            F.col("__cell").alias("__coarse"),
+            F.concat_ws("\x1f", label_col, "__cell").alias("__lc"),
+        )
+        .persist()
     )
-    # The coarse stage feeds four consumers (cell counts, fine-center
-    # ranking, the fine argmin join, the assignment join-back), so the
-    # plan census reads ~22 exchanges for q48 — DELIBERATE: each replay
-    # is a broadcast-join argmin over narrow rows, and cutting lineage
-    # with a localCheckpoint here measured 35.4 → 52.8 s at ×100
-    # (checkpointing N wide embedding rows costs more than the replays).
+    coarse = df.join(coarse_narrow, id_col)
     from pyspark.sql import Window
 
-    cnt = coarse.groupBy("__lc").agg(F.count(F.lit(1)).alias("__cnt"))
+    # cell count + fine-center ranking fused into ONE partitioned pass:
+    # the whole-partition count frame rides the same __lc partitioning
+    # the row_number sorts, so no separate groupBy+broadcast-join round
     w = Window.partitionBy("__lc").orderBy(id_col)
+    wc = Window.partitionBy("__lc")
     fine_centers = (
-        coarse.join(F.broadcast(cnt), "__lc")
+        coarse.select("__lc", id_col, vec_col)
         .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
         .filter(F.col("__rn") <= F.ceil(F.col("__cnt") / F.lit(target_block)))
         .select(
             "__lc",
