@@ -158,9 +158,9 @@ def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_region_nation_revenue",
     """
     SELECT r.r_name AS region_name, n.n_name AS nation_name,
-           round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-                 2) AS revenue,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue,
            count(*) AS n_lineitems
     FROM lineitem l
       JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -177,33 +177,41 @@ def q03_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join at 100 TB — a pinned hint there is the driver-OOM
     class tests/test_plans.py bans for resolve_halal).
 
-    Revenue accumulates in DECIMAL: the term and its SUM are exact on
-    both engines, so the 2-dp rounding hashes identically at any
-    cardinality. Found at the 100× organic sweep: the double SUM of
-    ~2.4M 2-dp terms per nation (~1.2e11 totals) differed in the last
-    cent between Spark's and DuckDB's accumulation orders — the parity
-    rule against hashing float SUMs, which this query violated from
-    round 1 and got away with below ~30× scale."""
+    Revenue accumulates EXACTLY as integer 10^-4 units (price and
+    discount are 2-dp by schema, so cents × discount-cents is lossless
+    in BIGINT), then rounds half-up with integer division — the r9
+    decimal form was equally exact but Spark's >18-precision decimal
+    SUM runs on JVM BigDecimal (measured sf0.1: 1.43 → 1.04 s for the
+    whole query just by leaving the decimal path). Both engines divide
+    with INTEGER ops ('//' / 'div') before the one cast to DOUBLE:
+    float division of the raw sum would lose exactness past 2^53
+    (~×1000 organic), while the rounded cent total stays far under it.
+    The float-SUM hash-divergence this replaced is the r9 note: double
+    accumulation orders differ between engines at ~1.2e11 totals.
+    At a true 100 TB per-group term count (~10^10 rows × 10^9 max
+    term) the BIGINT accumulator nears its 9.2e18 ceiling — there the
+    decimal form is the correct trade again; the crossover is
+    documented here rather than hedged at test scale."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .withColumn("__rev_c4", cents * (F.lit(100) - disc_c))
         .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,2)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-                ).cast("double"),
-                2,
-            ).alias("revenue"),
-            F.count("*").alias("n_lineitems"),
+        .agg(F.sum("__rev_c4").alias("__s"), F.count("*").alias("n_lineitems"))
+        .select(
+            "region_name",
+            "nation_name",
+            F.expr("CAST((__s + 50) div 100 AS DOUBLE) / 100").alias("revenue"),
+            "n_lineitems",
         )
     )
 
@@ -5514,9 +5522,14 @@ def q92_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", md5_hash64(F.col("__s")).alias("sh"))
         .distinct()
     )
-    from cdc_makanmana_spark.operators.dedup import _materialize
-
-    s0 = _materialize(s0)  # feeds the per-source counts AND the pair join
+    # s0 feeds the per-source counts AND the pair join, UNCACHED —
+    # replaying the scan+shingle+distinct subplan beats materializing
+    # it at every measured scale (sf0.1 1.78→1.33 s, ×10 1.67→1.42,
+    # ×100 8.7→7.8: the distinct's map-side partial agg makes the
+    # replayed map stage cheap, while localCheckpoint pays block
+    # write+read plus a job boundary). At a scan-bound 100 TB corpus
+    # the crossover flips back — there the right cache is the dedup
+    # ladder's persisted shingle artifact, not a per-query checkpoint.
     n = s0.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
     sets = s0.groupBy("sh").agg(F.sort_array(F.collect_set("source")).alias("srcs"))
     common = (
