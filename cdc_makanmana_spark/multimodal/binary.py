@@ -16,7 +16,7 @@ the dominant real-world image container, on the certified path),
 WAV/PCM16 audio decodes via stdlib ``wave`` into float samples with
 real features (RMS, zero-crossing rate, FFT dominant frequency), Y4M
 video splits into raw luma frames. Formats that genuinely need
-external codec libraries (MP4 frames; progressive/arithmetic JPEG)
+external codec libraries (MP4 frames; arithmetic-coded JPEG)
 route to a deterministic stub kernel — the container ships no codec
 libs — behind the same dispatch; swapping the stub for Pillow/ffmpeg
 changes one inner function, not the pipeline.
@@ -245,7 +245,7 @@ def read_media_dir(
 
 def _decode_stub(payload: bytes, width: int, height: int, dim: int = 8) -> list[float]:
     """STUB decode+featurize kernel for codec-REQUIRING formats (MP4
-    frames, progressive JPEG — the container has no codec libs):
+    frames, arithmetic-coded JPEG — the container has no codec libs):
     derives a deterministic ``dim``-float vector from the payload
     bytes (sha256-seeded). Replace the body with Pillow/ffmpeg decode
     + extractor — the signature and the pipeline around it are the

@@ -8,12 +8,13 @@ formats that need no external library.
   decode to float arrays and real features (RMS, zero-crossing rate,
   dominant frequency via numpy FFT) come out.
 - PNG: stdlib zlib inflate + the spec's five row unfilters.
-- JPEG (baseline sequential SOF0): hand-built marker/huffman/IDCT
-  pipeline in pure numpy — see the JPEG section below.
+- JPEG (baseline SOF0 + progressive SOF2 spectral-selection/DC
+  successive-approximation): hand-built marker/huffman/IDCT pipeline
+  in pure numpy — see the JPEG section below.
 
 These run INSIDE the Arrow batches of the ``mapInPandas`` stages in
 ``binary.py`` — executor-side, payload never on the driver. Formats
-that genuinely need codec libraries (MP4, progressive JPEG...) still
+that genuinely need codec libraries (MP4, arithmetic JPEG...) still
 route to the deterministic stub kernel there; swapping that stub for
 Pillow/ffmpeg changes one inner function, exactly like these did.
 """
@@ -325,49 +326,65 @@ _POW16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
 
 def _jpeg_segments(payload: bytes):
-    """Yield (marker, data) for each segment up to SOS; then
-    ('SCAN', entropy_bytes) for the scan body (EOI-terminated).
-    Standalone markers (RSTn inside scans are handled by the scan
-    splitter, not here) carry no length."""
+    """Yield (marker, data) for each segment; after every SOS, a
+    ('SCAN', entropy_bytes) item follows with that scan's entropy data
+    (byte-stuffed FF00 and in-scan RSTn stay inside it — the scan
+    splitter handles them). Progressive streams interleave several
+    SOS/SCAN pairs, with DHT segments legal between them. Standalone
+    markers carry no length."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
-    while pos + 4 <= len(payload):
+    n = len(payload)
+    while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError(f"expected JPEG marker at byte {pos}")
         while payload[pos + 1] == 0xFF:  # legal fill bytes before a marker
             pos += 1
-            if pos + 4 > len(payload):
+            if pos + 2 > n:
                 raise ValueError("JPEG stream ended inside marker fill bytes")
         marker = payload[pos + 1]
-        if marker == 0xD9:  # EOI before any scan
+        if marker == 0xD9:  # EOI
             return
+        if pos + 4 > n:
+            raise ValueError("truncated JPEG segment")
         length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         data = payload[pos + 4 : pos + 2 + length]
         if len(data) != length - 2:
             raise ValueError("truncated JPEG segment")
         yield marker, data
         pos += 2 + length
-        if marker == 0xDA:  # SOS — entropy data runs to EOI
-            end = payload.rfind(b"\xff\xd9")
-            if end < pos:
-                raise ValueError("JPEG scan without EOI")
-            yield "SCAN", payload[pos:end]
-            return
+        if marker == 0xDA:  # SOS — entropy data runs to the next true marker
+            end = pos
+            while True:
+                nxt = payload.find(b"\xff", end)
+                if nxt < 0 or nxt + 1 >= n:
+                    raise ValueError("JPEG scan without terminating marker")
+                b2 = payload[nxt + 1]
+                if b2 == 0x00 or 0xD0 <= b2 <= 0xD7:  # stuffing / RST
+                    end = nxt + 2
+                    continue
+                break
+            yield "SCAN", payload[pos:nxt]
+            pos = nxt
     raise ValueError("JPEG stream ended without SOS/EOI")
 
 
 def jpeg_dims(payload: bytes) -> tuple[int, int]:
-    """(width, height) from the SOF0 header alone — the metadata pass
-    needs dims without paying the entropy decode. Rejects non-baseline
-    frames exactly like :func:`decode_jpeg`."""
+    """(width, height) from the SOF0/SOF2 header alone — the metadata
+    pass needs dims without paying the entropy decode. Rejects frame
+    types outside :func:`decode_jpeg`'s scope exactly like it does."""
     for marker, data in _jpeg_segments(payload):
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
-        if marker == 0xC0:
+        if marker in (0xC0, 0xC2):
+            if len(data) < 5:
+                raise ValueError("truncated JPEG SOF segment")
             h, w = int.from_bytes(data[1:3], "big"), int.from_bytes(data[3:5], "big")
             return w, h
-    raise ValueError("JPEG missing SOF0")
+        if marker == 0xDA:  # frame header must precede the first scan
+            break
+    raise ValueError("JPEG missing SOF0/SOF2")
 
 
 def _jpeg_huff_lut(counts: list[int], symbols: bytes) -> np.ndarray:
@@ -465,8 +482,168 @@ def _jpeg_decode_scan_segment(
                 blocks_out[c["id"]].append(blk)
 
 
+def _jpeg_la(seg: bytes) -> tuple[np.ndarray, int]:
+    """Byte-unstuffed entropy segment → (16-bit lookahead array, nbits)
+    — the bit-cursor machinery shared by the baseline and progressive
+    scan decoders."""
+    data = seg.replace(b"\xff\x00", b"\xff")
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    padded = np.concatenate([bits, np.zeros(16, dtype=np.uint8)])
+    la = np.lib.stride_tricks.sliding_window_view(padded, 16) @ _POW16
+    return la, len(bits)
+
+
+def _jpeg_comp_grid_dims(c: dict, hmax: int, vmax: int, w: int, h: int):
+    """Non-interleaved block-grid dims (bw, bh) for one component:
+    ceil(component sample dims / 8), per T.81 A.2.2."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _jpeg_decode_progressive_scan(
+    scan_bytes: bytes,
+    members: list[dict],
+    tds: dict[int, int],
+    tas: dict[int, int],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict[int, np.ndarray],
+    huff_ac: dict[int, np.ndarray],
+    restart_interval: int,
+    coef: dict[int, np.ndarray],
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+    w: int,
+    h: int,
+) -> None:
+    """Decode ONE progressive scan into the per-component zigzag
+    coefficient grids ``coef``. Supported scan types: DC first
+    (Ss=0, Ah=0 — interleaved or single-component), DC refinement
+    (Ss=0, Ah>0 — one raw bit per block), and AC first (Ss>0, Ah=0 —
+    single component, EOBn run codes). AC successive-approximation
+    refinement (Ss>0, Ah>0) is rejected by header check — the honest
+    scope line, like SOF0-only was before this decoder landed."""
+    if ss == 0 and se != 0:
+        raise ValueError("progressive DC scan must have Se = 0")
+    if ss > 0 and len(members) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ss > 0 and ah != 0:
+        raise ValueError(
+            "progressive AC successive-approximation refinement unsupported"
+        )
+
+    # unit layout: interleaved DC scans walk the MCU grid; single-
+    # component scans walk that component's own block grid in raster
+    # order (one block per unit) — restart intervals count UNITS
+    units: list[list[tuple[int, int, int]]] = []
+    if ss == 0 and len(members) > 1:
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for c in members:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append(
+                                (c["id"], my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                units.append(blocks)
+    else:
+        c = members[0]
+        bw, bh = _jpeg_comp_grid_dims(c, hmax, vmax, w, h)
+        for by in range(bh):
+            for bx in range(bw):
+                units.append([(c["id"], by, bx)])
+
+    segs = re.split(b"\xff[\xd0-\xd7]", scan_bytes)
+    done = 0
+    n_units = len(units)
+    seg_idx = 0
+    while done < n_units:
+        if seg_idx >= len(segs):
+            raise ValueError("JPEG restart segments cover too few units")
+        seg = segs[seg_idx]
+        seg_idx += 1
+        take = min(restart_interval or n_units, n_units - done)
+        la, nbits = _jpeg_la(seg)
+        pos = 0
+        pred = {c["id"]: 0 for c in members}
+        eobrun = 0
+        for unit in units[done : done + take]:
+            for cid, by, bx in unit:
+                blk = coef[cid][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    if pos >= nbits:
+                        raise ValueError("JPEG entropy stream overrun")
+                    entry = int(huff_dc[tds[cid]][la[pos]])
+                    length = entry & 31
+                    if length == 0:
+                        raise ValueError("invalid JPEG huffman code (DC)")
+                    pos += length
+                    t = entry >> 5
+                    if pos + t > nbits:
+                        raise ValueError("JPEG entropy stream overrun")
+                    diff = 0
+                    if t:
+                        diff = _jpeg_extend(int(la[pos]) >> (16 - t), t)
+                        pos += t
+                    pred[cid] += diff
+                    blk[0] = pred[cid] << al
+                elif ss == 0:  # DC refinement: one raw bit per block
+                    if pos + 1 > nbits:
+                        raise ValueError("JPEG entropy stream overrun")
+                    blk[0] |= (int(la[pos]) >> 15) << al
+                    pos += 1
+                else:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    if pos >= nbits:
+                        raise ValueError("JPEG entropy stream overrun")
+                    k = ss
+                    while k <= se:
+                        entry = int(huff_ac[tas[cid]][la[pos]])
+                        length = entry & 31
+                        if length == 0:
+                            raise ValueError("invalid JPEG huffman code (AC)")
+                        pos += length
+                        rs = entry >> 5
+                        r, s = rs >> 4, rs & 15
+                        if pos + s > nbits:
+                            raise ValueError("JPEG entropy stream overrun")
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            # EOBn: run of (1<<r)+ext end-of-band blocks,
+                            # current block included
+                            eobrun = (1 << r) - 1
+                            if r:
+                                if pos + r > nbits:
+                                    raise ValueError(
+                                        "JPEG entropy stream overrun"
+                                    )
+                                eobrun += int(la[pos]) >> (16 - r)
+                                pos += r
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run past band end")
+                        blk[k] = _jpeg_extend(int(la[pos]) >> (16 - s), s) << al
+                        pos += s
+                        k += 1
+        if pos > nbits:
+            raise ValueError("JPEG entropy stream overrun")
+        done += take
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w, 3) uint8.
+    """Baseline (SOF0) or progressive (SOF2) JPEG bytes → (h, w, 3)
+    uint8.
 
     The full pipeline, pure numpy: marker parse → canonical-huffman
     entropy decode (16-bit-lookahead LUT, restart-interval aware) →
@@ -474,17 +651,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     einsum per component) → plane assembly with MCU padding crop →
     chroma upsample by replication → YCbCr→RGB (BT.601 constants,
     round then clip). Grayscale replicates to RGB like the PNG path.
-    """
+
+    Progressive streams decode scan-by-scan into per-component zigzag
+    coefficient grids (DC first/refinement + AC first with EOBn runs —
+    spectral selection and DC successive approximation; AC
+    successive-approximation refinement is rejected by header check,
+    see :func:`_jpeg_decode_progressive_scan`). Huffman tables are
+    snapshotted at each SOS, so DHT segments between scans behave per
+    spec."""
     qt: dict[int, np.ndarray] = {}
     huff_dc: dict[int, np.ndarray] = {}
     huff_ac: dict[int, np.ndarray] = {}
     sof = None
-    sos_comps: list[tuple[int, int, int]] = []
+    progressive = False
     restart_interval = 0
-    scan = None
+    pending_sos = None
+    scans: list[tuple] = []
 
     for marker, data in _jpeg_segments(payload):
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
         if marker == 0xCC:
             raise ValueError("arithmetic-coded JPEG unsupported")
@@ -513,9 +698,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     counts, symbols
                 )
                 p += 17 + n
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             if len(data) < 6:
-                raise ValueError("truncated JPEG SOF0 segment")
+                raise ValueError("truncated JPEG SOF segment")
             precision = data[0]
             if precision != 8:
                 raise ValueError(f"unsupported JPEG sample precision {precision}")
@@ -525,7 +711,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             if len(data) < 6 + 3 * nc:
-                raise ValueError("truncated JPEG SOF0 segment")
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = data[6 + 3 * i], data[7 + 3 * i], data[8 + 3 * i]
@@ -536,70 +722,122 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             sof = {"w": w, "h": h, "comps": comps}
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(data[:2], "big")
-        elif marker == 0xDA:  # SOS
-            if len(data) < 1 or len(data) < 1 + 2 * data[0]:
+        elif marker == 0xDA:  # SOS — scan header, entropy data follows
+            if len(data) < 1 or len(data) < 1 + 2 * data[0] + 3:
                 raise ValueError("truncated JPEG SOS segment")
             ns = data[0]
-            for i in range(ns):
-                sos_comps.append(
-                    (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
-                )
+            sc = [
+                (data[1 + 2 * i], data[2 + 2 * i] >> 4, data[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            pending_sos = (sc, ss, se, ahal >> 4, ahal & 15)
         elif marker == "SCAN":
-            scan = data
-    if sof is None or scan is None:
+            if pending_sos is None:
+                raise ValueError("JPEG scan data without SOS header")
+            scans.append(
+                (*pending_sos, data, dict(huff_dc), dict(huff_ac), restart_interval)
+            )
+            pending_sos = None
+    if sof is None or not scans:
         raise ValueError("JPEG missing SOF0/scan")
-    if len(sos_comps) != len(sof["comps"]):
-        raise ValueError("JPEG multi-scan (non-interleaved color) unsupported")
 
     w, h, comps = sof["w"], sof["h"], sof["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        (cid, td, ta) = next(s for s in sos_comps if s[0] == c["id"])
-        c["td"], c["ta"] = td, ta
-        c["blocks_per_mcu"] = c["h"] * c["v"]
+    byid = {c["id"]: c for c in comps}
 
-    # split on restart markers; each segment decodes restart_interval
-    # MCUs (the last one takes the remainder)
-    n_mcus = mcux * mcuy
-    blocks: dict[int, list] = {c["id"]: [] for c in comps}
-    if restart_interval:
-        segs = re.split(b"\xff[\xd0-\xd7]", scan)
-        done = 0
-        for seg in segs:
-            take = min(restart_interval, n_mcus - done)
-            if take <= 0:
-                break
-            _jpeg_decode_scan_segment(seg, comps, huff_dc, huff_ac, take, blocks)
-            done += take
-        if done != n_mcus:
-            raise ValueError("JPEG restart segments cover too few MCUs")
+    if progressive:
+        coef = {
+            c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int64)
+            for c in comps
+        }
+        for sc, ss, se, ah, al, scan, hdc, hac, ri in scans:
+            members = []
+            tds: dict[int, int] = {}
+            tas: dict[int, int] = {}
+            for cid, td, ta in sc:
+                if cid not in byid:
+                    raise ValueError("JPEG scan references unknown component")
+                members.append(byid[cid])
+                tds[cid], tas[cid] = td, ta
+            _jpeg_decode_progressive_scan(
+                scan, members, tds, tas, ss, se, ah, al,
+                hdc, hac, ri, coef, mcux, mcuy, hmax, vmax, w, h,
+            )
+        planes: dict[int, np.ndarray] = {}
+        for c in comps:
+            grid = coef[c["id"]]
+            nby, nbx = grid.shape[0], grid.shape[1]
+            dz = grid.reshape(-1, 64) * qt[c["tq"]][None, :]
+            nat = np.zeros_like(dz)
+            nat[:, _JPEG_ZIGZAG] = dz
+            spatial = np.einsum(
+                "yv,nvu,xu->nyx", _JPEG_IDCT_M, nat.reshape(-1, 8, 8), _JPEG_IDCT_M
+            )
+            px = np.clip(np.round(spatial + 128.0), 0, 255)
+            plane = (
+                px.reshape(nby, nbx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(nby * 8, nbx * 8)
+            )
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            planes[c["id"]] = plane[:h, :w]
     else:
-        _jpeg_decode_scan_segment(scan, comps, huff_dc, huff_ac, n_mcus, blocks)
+        if len(scans) != 1:
+            raise ValueError("baseline JPEG with multiple scans unsupported")
+        sos_comps, _ss, _se, _ah, _al, scan, hdc, hac, ri = scans[0]
+        if len(sos_comps) != len(comps):
+            raise ValueError("JPEG multi-scan (non-interleaved color) unsupported")
+        for c in comps:
+            (cid, td, ta) = next(s for s in sos_comps if s[0] == c["id"])
+            c["td"], c["ta"] = td, ta
+            c["blocks_per_mcu"] = c["h"] * c["v"]
 
-    planes: dict[int, np.ndarray] = {}
-    for c in comps:
-        zz = np.stack(blocks[c["id"]])  # (n_blocks, 64) zigzag order
-        dz = zz * qt[c["tq"]][None, :]  # quant table rides zigzag order
-        nat = np.zeros_like(dz)
-        nat[:, _JPEG_ZIGZAG] = dz
-        spatial = np.einsum(
-            "yv,nvu,xu->nyx", _JPEG_IDCT_M, nat.reshape(-1, 8, 8), _JPEG_IDCT_M
-        )
-        px = np.clip(np.round(spatial + 128.0), 0, 255)
-        # MCU order (mcu_y, mcu_x, v, h) → padded plane
-        plane = (
-            px.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
-            .transpose(0, 2, 4, 1, 3, 5)
-            .reshape(mcuy * c["v"] * 8, mcux * c["h"] * 8)
-        )
-        # upsample by replication, crop to frame dims
-        plane = np.repeat(
-            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
-        )
-        planes[c["id"]] = plane[:h, :w]
+        # split on restart markers; each segment decodes restart_interval
+        # MCUs (the last one takes the remainder)
+        n_mcus = mcux * mcuy
+        blocks: dict[int, list] = {c["id"]: [] for c in comps}
+        if ri:
+            segs = re.split(b"\xff[\xd0-\xd7]", scan)
+            done = 0
+            for seg in segs:
+                take = min(ri, n_mcus - done)
+                if take <= 0:
+                    break
+                _jpeg_decode_scan_segment(seg, comps, hdc, hac, take, blocks)
+                done += take
+            if done != n_mcus:
+                raise ValueError("JPEG restart segments cover too few MCUs")
+        else:
+            _jpeg_decode_scan_segment(scan, comps, hdc, hac, n_mcus, blocks)
+
+        planes = {}
+        for c in comps:
+            zz = np.stack(blocks[c["id"]])  # (n_blocks, 64) zigzag order
+            dz = zz * qt[c["tq"]][None, :]  # quant table rides zigzag order
+            nat = np.zeros_like(dz)
+            nat[:, _JPEG_ZIGZAG] = dz
+            spatial = np.einsum(
+                "yv,nvu,xu->nyx", _JPEG_IDCT_M, nat.reshape(-1, 8, 8), _JPEG_IDCT_M
+            )
+            px = np.clip(np.round(spatial + 128.0), 0, 255)
+            # MCU order (mcu_y, mcu_x, v, h) → padded plane
+            plane = (
+                px.reshape(mcuy, mcux, c["v"], c["h"], 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * c["v"] * 8, mcux * c["h"] * 8)
+            )
+            # upsample by replication, crop to frame dims
+            plane = np.repeat(
+                np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+            planes[c["id"]] = plane[:h, :w]
 
     if len(comps) == 1:
         gray = planes[comps[0]["id"]].astype(np.uint8)
@@ -610,6 +848,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
 
 
 def decode_image(payload: bytes, codec: str) -> np.ndarray:

@@ -349,8 +349,18 @@ def encode_jpeg_with_expected(
     subsample: bool = False,
     gray: bool = False,
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> tuple[bytes, np.ndarray]:
-    """(jpeg_bytes, expected_decoded_rgb) for an (h, w, 3) uint8 array."""
+    """(jpeg_bytes, expected_decoded_rgb) for an (h, w, 3) uint8 array.
+
+    ``progressive=True`` emits an SOF2 stream with the scan script
+    DC-first(Al=1, interleaved) → DC-refine(Ah=1) → per-component AC
+    band scans (luma split 1-5 / 6-63 to exercise spectral selection;
+    chroma full-band), EOBn run codes accumulated across all-zero
+    bands. Same quantized coefficients as the baseline form, so the
+    expected decoded pixels are identical for the coded block grid —
+    and the padded MCU blocks whose AC a progressive stream never
+    codes are exactly the rows/cols the decoder crops."""
     import struct
 
     h, w, _ = arr.shape
@@ -394,6 +404,12 @@ def encode_jpeg_with_expected(
             np.int64
         )[:, :, :]  # natural order still
         c["zz"] = c["zz"][:, :, _J_ZZ]  # → zigzag order
+
+    if progressive:
+        return (
+            _j_encode_progressive(comps, qt, h, w, mcux, mcuy, gray, restart_interval),
+            _j_expected_pixels(comps, qt, h, w, hmax, vmax, gray),
+        )
 
     # MCU-interleaved symbol stream (two passes: tables, then bits)
     dc_syms: dict[int, set] = {0: set(), 1: set()}
@@ -471,8 +487,12 @@ def encode_jpeg_with_expected(
     out.extend(bw.buf)
     out.extend(b"\xff\xd9")  # EOI
 
-    # expected decoded pixels: the spec's reconstruction from the
-    # quantized coefficients (shared arithmetic, independent code)
+    return bytes(out), _j_expected_pixels(comps, qt, h, w, hmax, vmax, gray)
+
+
+def _j_expected_pixels(comps, qt, h, w, hmax, vmax, gray) -> np.ndarray:
+    """Expected decoded pixels: the spec's reconstruction from the
+    quantized coefficients (shared arithmetic, independent code)."""
     planes = {}
     for c in comps:
         zz = c["zz"].reshape(-1, 64)
@@ -491,35 +511,246 @@ def encode_jpeg_with_expected(
         planes[c["id"]] = plane[:h, :w]
     if gray:
         g = planes[1].astype(np.uint8)
-        expected = np.repeat(g[:, :, None], 3, axis=2)
-    else:
-        y_, cb_, cr_ = (planes[i].astype(np.float64) for i in (1, 2, 3))
-        r = y_ + 1.402 * (cr_ - 128.0)
-        g = y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0)
-        b = y_ + 1.772 * (cb_ - 128.0)
-        expected = np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
-            np.uint8
-        )
-    return bytes(out), expected
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y_, cb_, cr_ = (planes[i].astype(np.float64) for i in (1, 2, 3))
+    r = y_ + 1.402 * (cr_ - 128.0)
+    g = y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0)
+    b = y_ + 1.772 * (cb_ - 128.0)
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+def _j_comp_grid_dims(c, hmax, vmax, w, h):
+    """Non-interleaved block-grid dims (bw, bh): ceil(component sample
+    dims / 8) — the progressive AC scans' unit walk (padded MCU blocks
+    beyond it are never AC-coded; the decoder crops them)."""
+    cw = -(-(w * c["h"]) // hmax)
+    ch = -(-(h * c["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _j_band_records(zz: np.ndarray, ss: int, se: int) -> tuple[list, bool]:
+    """One block's AC band [ss..se] → (records, needs_eob) with
+    (symbol, value_bits, n_bits) records; needs_eob when the band ends
+    in zeros (the block then opens/extends an EOB run)."""
+    nz = [k for k in range(ss, se + 1) if zz[k] != 0]
+    if not nz:
+        return [], True
+    recs = []
+    run = 0
+    for k in range(ss, nz[-1] + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            recs.append((0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _j_cat(v)
+        recs.append(((run << 4) | s, v if v >= 0 else v + (1 << s) - 1, s))
+        run = 0
+    return recs, nz[-1] < se
+
+
+def _j_encode_progressive(
+    comps, qt, h, w, mcux, mcuy, gray, restart_interval
+) -> bytes:
+    """SOF2 byte stream from the quantized coefficient grids. Scan
+    script: interleaved DC first (Al=1) → DC refinement (Ah=1, raw
+    bits) → per-component AC band scans (component 0 split 1-5/6-63,
+    the rest full 1-63), Al=0 — spectral selection + DC successive
+    approximation, the subset the engine's decoder declares. EOBn run
+    codes accumulate across consecutive all-zero bands (capped 2^14);
+    restart intervals, when set, count scan units (MCUs for the DC
+    scans, blocks for AC) and reset predictors/EOB state per spec."""
+    import struct
+
+    n_classes = 1 if gray else 2
+
+    # --- symbol streams per scan: items are ("SYM", kind, cls, sym,
+    # val, nbits) / ("RAW", bit) / ("RST",) -------------------------------
+    def dc_units():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blocks.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+                yield blocks
+
+    def dc_first_scan(al):
+        items = []
+        preds = [0] * len(comps)
+        n_done = 0
+        for blocks in dc_units():
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                preds = [0] * len(comps)
+                items.append(("RST",))
+            for ci, by, bx in blocks:
+                c = comps[ci]
+                cls = 0 if ci == 0 else 1
+                dc = int(c["zz"][by, bx, 0]) >> al  # arithmetic shift
+                diff = dc - preds[ci]
+                preds[ci] = dc
+                t = _j_cat(diff)
+                items.append(
+                    ("SYM", "dc", cls, t, diff if diff >= 0 else diff + (1 << t) - 1, t)
+                )
+            n_done += 1
+        return items
+
+    def dc_refine_scan(al):
+        items = []
+        n_done = 0
+        for blocks in dc_units():
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                items.append(("RST",))
+            for ci, by, bx in blocks:
+                c = comps[ci]
+                items.append(("RAW", (int(c["zz"][by, bx, 0]) >> al) & 1))
+            n_done += 1
+        return items
+
+    def ac_scan(ci, ss, se):
+        c = comps[ci]
+        cls = 0 if ci == 0 else 1
+        bw, bh = _j_comp_grid_dims(c, max(x["h"] for x in comps), max(x["v"] for x in comps), w, h)
+        blocks = [(by, bx) for by in range(bh) for bx in range(bw)]
+        items = []
+        i = 0
+        seg_left = restart_interval or len(blocks)
+        while i < len(blocks):
+            if seg_left == 0:
+                items.append(("RST",))
+                seg_left = restart_interval
+            # how many units remain in this restart segment
+            seg_take = min(seg_left, len(blocks) - i)
+            j = i
+            while j < i + seg_take:
+                by, bx = blocks[j]
+                recs, needs_eob = _j_band_records(c["zz"][by, bx], ss, se)
+                for sym, val, nbits in recs:
+                    items.append(("SYM", "ac", cls, sym, val, nbits))
+                if needs_eob:
+                    g = 1
+                    while (
+                        j + g < i + seg_take
+                        and g < (1 << 14)
+                        and not _j_band_records(
+                            c["zz"][blocks[j + g][0], blocks[j + g][1]], ss, se
+                        )[0]
+                        and _j_band_records(
+                            c["zz"][blocks[j + g][0], blocks[j + g][1]], ss, se
+                        )[1]
+                    ):
+                        g += 1
+                    r = g.bit_length() - 1
+                    items.append(("SYM", "ac", cls, r << 4, g - (1 << r), r))
+                    j += g
+                else:
+                    j += 1
+            seg_left -= seg_take
+            i += seg_take
+        return items
+
+    scans = [
+        ((list(range(len(comps))), 0, 0, 0, 1), dc_first_scan(1)),
+        ((list(range(len(comps))), 0, 0, 1, 0), dc_refine_scan(0)),
+    ]
+    scans.append((([0], 1, 5, 0, 0), ac_scan(0, 1, 5)))
+    scans.append((([0], 6, 63, 0, 0), ac_scan(0, 6, 63)))
+    for ci in range(1, len(comps)):
+        scans.append((([ci], 1, 63, 0, 0), ac_scan(ci, 1, 63)))
+
+    # --- huffman tables from the union of each class's used symbols ------
+    dc_syms: dict[int, set] = {c: set() for c in range(n_classes)}
+    ac_syms: dict[int, set] = {c: set() for c in range(n_classes)}
+    for _hdr, items in scans:
+        for it in items:
+            if it[0] == "SYM":
+                _tag, kind, cls, sym = it[0], it[1], it[2], it[3]
+                (dc_syms if kind == "dc" else ac_syms)[cls].add(sym)
+    dc_tables = {c: _j_huff(s or {0}) for c, s in dc_syms.items()}
+    ac_tables = {c: _j_huff(s or {0}) for c, s in ac_syms.items()}
+
+    # --- byte assembly ----------------------------------------------------
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker: int, body: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    for tq in range(n_classes):
+        zzq = qt[tq].reshape(64)[_J_ZZ]
+        seg(0xDB, bytes([tq]) + bytes(int(x) for x in zzq))
+    sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    seg(0xC2, bytes(sof))
+    for cls in range(n_classes):
+        for tc, tables in ((0, dc_tables), (1, ac_tables)):
+            counts, syms, _codes = tables[cls]
+            seg(0xC4, bytes([(tc << 4) | cls]) + bytes(counts) + bytes(syms))
+    if restart_interval:
+        seg(0xDD, struct.pack(">H", restart_interval))
+
+    for (comp_idx, ss, se, ah, al), items in scans:
+        sos = bytearray([len(comp_idx)])
+        for ci in comp_idx:
+            cls = 0 if ci == 0 else 1
+            sos += bytes([comps[ci]["id"], (cls << 4) | cls])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(0xDA, bytes(sos))
+        bw_ = _JBitWriter()
+        rst_n = 0
+        for it in items:
+            if it[0] == "RST":
+                bw_.flush_padded()
+                out.extend(bw_.buf)
+                bw_ = _JBitWriter()
+                out.extend(b"\xff" + bytes([0xD0 + rst_n % 8]))
+                rst_n += 1
+                continue
+            if it[0] == "RAW":
+                bw_.write(it[1], 1)
+                continue
+            _tag, kind, cls, sym, val, nbits = it
+            code, length = (dc_tables if kind == "dc" else ac_tables)[cls][2][sym]
+            bw_.write(code, length)
+            bw_.write(val, nbits)
+        bw_.flush_padded()
+        out.extend(bw_.buf)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
 
 
 def jpeg_file_bytes(mid: int, arr: np.ndarray) -> tuple[bytes, np.ndarray]:
     """Deterministic JPEG variant for image ``mid``: cycles 4:4:4 /
-    4:2:0 / grayscale / restart-marker streams so every decoder path
-    is exercised by committed fixtures. The grayscale container is
-    used only when the CONTENT is channel-equal (see make_image) —
-    wrapping color pixels in a gray JPEG legitimately moves the
-    perceptual hash and would break planted-pair separation."""
+    4:2:0 / grayscale / restart-marker streams, each alternating
+    baseline (SOF0) and progressive (SOF2) CONTAINERS by (mid // 12)
+    parity, so every decoder path — including the progressive DC
+    successive-approximation + spectral-selection scans — is exercised
+    by committed fixtures. Progressive reuses the same quantized
+    coefficients, so a variant's expected decoded pixels (what the
+    fingerprint hashes) are identical either way; only the wire bytes
+    differ. The grayscale container is used only when the CONTENT is
+    channel-equal (see make_image) — wrapping color pixels in a gray
+    JPEG legitimately moves the perceptual hash and would break
+    planted-pair separation."""
     v = mid % 12
+    prog = (mid // 12) % 2 == 1
     if v == 5 and arr.shape[0] % 2 == 0 and arr.shape[1] % 2 == 0:
-        return encode_jpeg_with_expected(arr, quality=95, subsample=True)
+        return encode_jpeg_with_expected(
+            arr, quality=95, subsample=True, progressive=prog
+        )
     if v == 8 and np.array_equal(arr[:, :, 0], arr[:, :, 1]) and np.array_equal(
         arr[:, :, 1], arr[:, :, 2]
     ):
-        return encode_jpeg_with_expected(arr, quality=96, gray=True)
+        return encode_jpeg_with_expected(arr, quality=96, gray=True, progressive=prog)
     if v == 11:
-        return encode_jpeg_with_expected(arr, quality=94, restart_interval=2)
-    return encode_jpeg_with_expected(arr, quality=96)
+        return encode_jpeg_with_expected(
+            arr, quality=94, restart_interval=2, progressive=prog
+        )
+    return encode_jpeg_with_expected(arr, quality=96, progressive=prog)
 
 
 def image_file_bytes(mid: int, arr: np.ndarray) -> tuple[str, bytes, np.ndarray]:

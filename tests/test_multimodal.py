@@ -634,11 +634,20 @@ def test_jpeg_scope_rejections():
 
     with pytest.raises(ValueError, match="SOI"):
         kernels.decode_jpeg(b"\x00" + data)
+    # a baseline stream RELABELED as SOF2 is malformed progressive
+    # (its single scan claims the full 0..63 band with Ss=0): the
+    # progressive path must reject it, not mis-decode
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="SOF2"):
+    with pytest.raises(ValueError, match="Se"):
         kernels.decode_jpeg(prog)
-    with pytest.raises(ValueError, match="SOF2"):
-        kernels.jpeg_dims(prog)
+    # ...while dims-only parsing legitimately succeeds on SOF2 now
+    assert kernels.jpeg_dims(prog) == kernels.jpeg_dims(data)
+    # frame types outside the supported pair still reject by marker
+    sof9 = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
+    with pytest.raises(ValueError, match="SOF9"):
+        kernels.decode_jpeg(sof9)
+    with pytest.raises(ValueError, match="SOF9"):
+        kernels.jpeg_dims(sof9)
     # 16-bit DQT: flip Pq of the first quant table
     i = data.index(b"\xff\xdb") + 4
     bad = data[:i] + bytes([data[i] | 0x10]) + data[i + 1 :]
@@ -646,6 +655,66 @@ def test_jpeg_scope_rejections():
         kernels.decode_jpeg(bad)
     with pytest.raises(ValueError):
         kernels.decode_jpeg(data[: len(data) // 2])  # truncated scan
+
+
+def test_jpeg_progressive_decode_matches_expected():
+    """SOF2 streams (DC-first Al=1 → DC-refine → spectral-split AC
+    band scans with EOBn runs) decode to EXACTLY the expected pixels
+    across 4:4:4, 4:2:0, grayscale and restart-interval variants —
+    and byte-for-byte the same pixels as the baseline encoding of the
+    same quantized coefficients."""
+    gen = _gen_module()
+
+    for i in (0, 3, 5):
+        arr = gen.make_image(i)
+        for kw in (
+            {"quality": 96},
+            {"quality": 95, "subsample": True},
+            {"quality": 96, "gray": True},
+            {"quality": 94, "restart_interval": 2},
+            {"quality": 75, "restart_interval": 3, "subsample": True},
+        ):
+            if kw.get("subsample") and (arr.shape[0] % 2 or arr.shape[1] % 2):
+                continue
+            data, expected = gen.encode_jpeg_with_expected(
+                arr, progressive=True, **kw
+            )
+            assert data[:4] != b"\xff\xd8\xff\xc0"
+            assert b"\xff\xc2" in data  # SOF2 on the wire
+            got = kernels.decode_jpeg(data)
+            assert got.shape == expected.shape
+            assert (got == expected).all(), kw
+            assert kernels.jpeg_dims(data) == (arr.shape[1], arr.shape[0])
+            # same coefficients → same pixels as the baseline container
+            base, base_expected = gen.encode_jpeg_with_expected(arr, **kw)
+            assert (base_expected == expected).all()
+            assert (kernels.decode_jpeg(base) == got).all()
+
+
+def test_jpeg_progressive_scope_rejection():
+    """AC successive-approximation refinement (Ss>0, Ah>0) — outside
+    the declared progressive subset — rejects by header check instead
+    of mis-decoding."""
+    import pytest
+
+    gen = _gen_module()
+    arr = gen.make_image(1)
+    data, _ = gen.encode_jpeg_with_expected(arr, progressive=True, quality=92)
+    # flip the FIRST AC scan's AhAl byte (Ss=1 scan) to Ah=1
+    k = 0
+    pos = 0
+    while True:
+        pos = data.index(b"\xff\xda", pos)
+        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        ns = data[pos + 4]
+        ss = data[pos + 5 + 2 * ns]
+        if ss > 0:
+            ahal_at = pos + 7 + 2 * ns
+            bad = data[:ahal_at] + bytes([0x10 | data[ahal_at] & 0x0F]) + data[ahal_at + 1 :]
+            break
+        pos += 2 + ln
+    with pytest.raises(ValueError, match="refinement"):
+        kernels.decode_jpeg(bad)
 
 
 def test_jpeg_corrupt_payloads_raise_valueerror_not_indexerror():
