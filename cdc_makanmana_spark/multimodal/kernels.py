@@ -8,9 +8,9 @@ formats that need no external library.
   decode to float arrays and real features (RMS, zero-crossing rate,
   dominant frequency via numpy FFT) come out.
 - PNG: stdlib zlib inflate + the spec's five row unfilters.
-- JPEG (baseline SOF0 + progressive SOF2 spectral-selection/DC
-  successive-approximation): hand-built marker/huffman/IDCT pipeline
-  in pure numpy — see the JPEG section below.
+- JPEG (baseline SOF0 + progressive SOF2, full baseline-huffman
+  feature set incl. AC successive approximation): hand-built
+  marker/huffman/IDCT pipeline in pure numpy — see below.
 
 These run INSIDE the Arrow batches of the ``mapInPandas`` stages in
 ``binary.py`` — executor-side, payload never on the driver. Formats
@@ -522,20 +522,21 @@ def _jpeg_decode_progressive_scan(
     h: int,
 ) -> None:
     """Decode ONE progressive scan into the per-component zigzag
-    coefficient grids ``coef``. Supported scan types: DC first
+    coefficient grids ``coef``. Scan types per T.81 G.1.2: DC first
     (Ss=0, Ah=0 — interleaved or single-component), DC refinement
-    (Ss=0, Ah>0 — one raw bit per block), and AC first (Ss>0, Ah=0 —
-    single component, EOBn run codes). AC successive-approximation
-    refinement (Ss>0, Ah>0) is rejected by header check — the honest
-    scope line, like SOF0-only was before this decoder landed."""
+    (Ss=0, Ah>0 — one raw bit per block), AC first (Ss>0, Ah=0 —
+    single component, EOBn run codes), and AC successive-approximation
+    refinement (Ss>0, Ah>0 — newly-significant ±1<<Al placements with
+    zero-HISTORY runs, correction bits on already-nonzero
+    coefficients in walk order, EOB runs carrying the remaining
+    corrections). History values are stored toward-zero-divided and
+    re-shifted, so a stored coefficient's low Al bits are zero and
+    the two's-complement ``& p1`` already-corrected guard is exact
+    for both signs."""
     if ss == 0 and se != 0:
         raise ValueError("progressive DC scan must have Se = 0")
     if ss > 0 and len(members) != 1:
         raise ValueError("progressive AC scan must be single-component")
-    if ss > 0 and ah != 0:
-        raise ValueError(
-            "progressive AC successive-approximation refinement unsupported"
-        )
 
     # unit layout: interleaved DC scans walk the MCU grid; single-
     # component scans walk that component's own block grid in raster
@@ -598,7 +599,7 @@ def _jpeg_decode_progressive_scan(
                         raise ValueError("JPEG entropy stream overrun")
                     blk[0] |= (int(la[pos]) >> 15) << al
                     pos += 1
-                else:  # AC first
+                elif ah == 0:  # AC first
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -636,6 +637,76 @@ def _jpeg_decode_progressive_scan(
                         blk[k] = _jpeg_extend(int(la[pos]) >> (16 - s), s) << al
                         pos += s
                         k += 1
+                else:  # AC successive-approximation refinement
+                    p1 = 1 << al
+                    m1 = -1 << al
+
+                    def _corr(kk: int) -> None:
+                        nonlocal pos
+                        if pos + 1 > nbits:
+                            raise ValueError("JPEG entropy stream overrun")
+                        bit = int(la[pos]) >> 15
+                        pos += 1
+                        if bit and (int(blk[kk]) & p1) == 0:
+                            blk[kk] += p1 if blk[kk] >= 0 else m1
+
+                    if eobrun > 0:
+                        for kk in range(ss, se + 1):
+                            if blk[kk]:
+                                _corr(kk)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        if pos >= nbits:
+                            raise ValueError("JPEG entropy stream overrun")
+                        entry = int(huff_ac[tas[cid]][la[pos]])
+                        length = entry & 31
+                        if length == 0:
+                            raise ValueError("invalid JPEG huffman code (AC)")
+                        pos += length
+                        rs = entry >> 5
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s == 0:
+                            if r < 15:  # EOBn: current block's remaining
+                                # corrections, then (run-1) more blocks
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    if pos + r > nbits:
+                                        raise ValueError(
+                                            "JPEG entropy stream overrun"
+                                        )
+                                    eobrun += int(la[pos]) >> (16 - r)
+                                    pos += r
+                                for kk in range(k, se + 1):
+                                    if blk[kk]:
+                                        _corr(kk)
+                                break
+                            # r == 15: run of 16 zero-HISTORY positions
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG refinement magnitude"
+                                )
+                            if pos + 1 > nbits:
+                                raise ValueError("JPEG entropy stream overrun")
+                            newval = p1 if int(la[pos]) >> 15 else m1
+                            pos += 1
+                        # advance: corrections on nonzero-history, r
+                        # counts zero-history positions (break lands on
+                        # the placement / 16th-skipped position)
+                        while k <= se:
+                            if blk[k]:
+                                _corr(k)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    break
+                            k += 1
+                        if newval and k <= se:
+                            blk[k] = newval
+                        k += 1
         if pos > nbits:
             raise ValueError("JPEG entropy stream overrun")
         done += take
@@ -653,10 +724,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     round then clip). Grayscale replicates to RGB like the PNG path.
 
     Progressive streams decode scan-by-scan into per-component zigzag
-    coefficient grids (DC first/refinement + AC first with EOBn runs —
-    spectral selection and DC successive approximation; AC
-    successive-approximation refinement is rejected by header check,
-    see :func:`_jpeg_decode_progressive_scan`). Huffman tables are
+    coefficient grids — DC first/refinement, AC first with EOBn runs,
+    and AC successive-approximation refinement (the full
+    baseline-huffman progressive feature set; see
+    :func:`_jpeg_decode_progressive_scan`). Huffman tables are
     snapshotted at each SOS, so DHT segments between scans behave per
     spec."""
     qt: dict[int, np.ndarray] = {}

@@ -350,6 +350,7 @@ def encode_jpeg_with_expected(
     gray: bool = False,
     restart_interval: int = 0,
     progressive: bool = False,
+    ac_sa: bool = False,
 ) -> tuple[bytes, np.ndarray]:
     """(jpeg_bytes, expected_decoded_rgb) for an (h, w, 3) uint8 array.
 
@@ -407,7 +408,9 @@ def encode_jpeg_with_expected(
 
     if progressive:
         return (
-            _j_encode_progressive(comps, qt, h, w, mcux, mcuy, gray, restart_interval),
+            _j_encode_progressive(
+                comps, qt, h, w, mcux, mcuy, gray, restart_interval, ac_sa
+            ),
             _j_expected_pixels(comps, qt, h, w, hmax, vmax, gray),
         )
 
@@ -552,8 +555,10 @@ def _j_band_records(zz: np.ndarray, ss: int, se: int) -> tuple[list, bool]:
 
 
 def _j_encode_progressive(
-    comps, qt, h, w, mcux, mcuy, gray, restart_interval
+    comps, qt, h, w, mcux, mcuy, gray, restart_interval, ac_sa=False
 ) -> bytes:
+    if ac_sa and restart_interval:
+        raise ValueError("ac_sa fixtures don't combine with restart intervals")
     """SOF2 byte stream from the quantized coefficient grids. Scan
     script: interleaved DC first (Al=1) → DC refinement (Ah=1, raw
     bits) → per-component AC band scans (component 0 split 1-5/6-63,
@@ -611,11 +616,20 @@ def _j_encode_progressive(
             n_done += 1
         return items
 
-    def ac_scan(ci, ss, se):
+    def ac_scan(ci, ss, se, al=0):
         c = comps[ci]
         cls = 0 if ci == 0 else 1
         bw, bh = _j_comp_grid_dims(c, max(x["h"] for x in comps), max(x["v"] for x in comps), w, h)
         blocks = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+        def band(by, bx):
+            zz = c["zz"][by, bx]
+            if al == 0:
+                return zz
+            # AC point transform: toward-zero division by 2^Al (T.81
+            # G.1.2.2 — NOT the DC arithmetic shift)
+            return np.sign(zz) * (np.abs(zz) >> al)
+
         items = []
         i = 0
         seg_left = restart_interval or len(blocks)
@@ -628,7 +642,7 @@ def _j_encode_progressive(
             j = i
             while j < i + seg_take:
                 by, bx = blocks[j]
-                recs, needs_eob = _j_band_records(c["zz"][by, bx], ss, se)
+                recs, needs_eob = _j_band_records(band(by, bx), ss, se)
                 for sym, val, nbits in recs:
                     items.append(("SYM", "ac", cls, sym, val, nbits))
                 if needs_eob:
@@ -637,10 +651,10 @@ def _j_encode_progressive(
                         j + g < i + seg_take
                         and g < (1 << 14)
                         and not _j_band_records(
-                            c["zz"][blocks[j + g][0], blocks[j + g][1]], ss, se
+                            band(*blocks[j + g]), ss, se
                         )[0]
                         and _j_band_records(
-                            c["zz"][blocks[j + g][0], blocks[j + g][1]], ss, se
+                            band(*blocks[j + g]), ss, se
                         )[1]
                     ):
                         g += 1
@@ -653,14 +667,118 @@ def _j_encode_progressive(
             i += seg_take
         return items
 
+    def ac_refine_scan(ci, ss, se, al):
+        """AC successive-approximation refinement scan (Ah=al+1,
+        Al=al): a SIMULATION of the decoder walk — newly-significant
+        coefficients (|T|>>al == 1) place ±1<<al after a run of
+        zero-HISTORY positions, correction bits (|T|>>al & 1) ride
+        already-significant positions in walk order, runs of
+        no-placement blocks accumulate into EOBn codes whose
+        correction bits follow in block order."""
+        c = comps[ci]
+        cls = 0 if ci == 0 else 1
+        bw, bh = _j_comp_grid_dims(
+            c, max(x["h"] for x in comps), max(x["v"] for x in comps), w, h
+        )
+        blocks = [(by, bx) for by in range(bh) for bx in range(bw)]
+
+        def classify(zz):
+            hist, newsig, corr = [], [], []
+            for k in range(ss, se + 1):
+                t = abs(int(zz[k])) >> al
+                hist.append(t > 1)
+                newsig.append(t == 1)
+                corr.append(t & 1)
+            return hist, newsig, corr
+
+        def block_items(zz):
+            """Items for one block WITH placements; returns (items,
+            had_placement)."""
+            hist, newsig, corr = classify(zz)
+            items = []
+            k = 0  # offset into the band
+            n = se - ss + 1
+            while k < n:
+                nxt = next((j for j in range(k, n) if newsig[j]), None)
+                if nxt is None:
+                    break
+                run = 0
+                buffered = []
+                j = k
+                while j < nxt:
+                    if hist[j]:
+                        buffered.append(("RAW", corr[j]))
+                    else:
+                        run += 1
+                        if run == 16:
+                            items.append(("SYM", "ac", cls, 0xF0, 0, 0))
+                            items.extend(buffered)
+                            buffered = []
+                            run = 0
+                    j += 1
+                sign = 1 if int(zz[ss + nxt]) > 0 else 0
+                items.append(("SYM", "ac", cls, (run << 4) | 1, 0, 0))
+                items.append(("RAW", sign))
+                items.extend(buffered)
+                k = nxt + 1
+            return items, k  # k = band offset after last placement
+
+        items = []
+        i = 0
+        while i < len(blocks):
+            zz = c["zz"][blocks[i][0], blocks[i][1]]
+            hist, newsig, corr = classify(zz)
+            if any(newsig):
+                blk_items, k_after = block_items(zz)
+                items.extend(blk_items)
+                # terminal EOB0 + remaining corrections, unless the
+                # last placement landed exactly on the band end
+                if k_after < se - ss + 1:
+                    items.append(("SYM", "ac", cls, 0x00, 0, 0))
+                    for j in range(k_after, se - ss + 1):
+                        if hist[j]:
+                            items.append(("RAW", corr[j]))
+                i += 1
+                continue
+            # run of placement-free blocks → one EOBn, corrections in
+            # block order
+            g = 0
+            eob_corr = []
+            while i + g < len(blocks) and g < (1 << 14):
+                zzg = c["zz"][blocks[i + g][0], blocks[i + g][1]]
+                hg, ng, cg = classify(zzg)
+                if any(ng):
+                    break
+                eob_corr.extend(
+                    ("RAW", cg[j]) for j in range(se - ss + 1) if hg[j]
+                )
+                g += 1
+            r = g.bit_length() - 1
+            items.append(("SYM", "ac", cls, r << 4, g - (1 << r), r))
+            items.extend(eob_corr)
+            i += g
+        return items
+
     scans = [
         ((list(range(len(comps))), 0, 0, 0, 1), dc_first_scan(1)),
         ((list(range(len(comps))), 0, 0, 1, 0), dc_refine_scan(0)),
     ]
-    scans.append((([0], 1, 5, 0, 0), ac_scan(0, 1, 5)))
-    scans.append((([0], 6, 63, 0, 0), ac_scan(0, 6, 63)))
-    for ci in range(1, len(comps)):
-        scans.append((([ci], 1, 63, 0, 0), ac_scan(ci, 1, 63)))
+    if ac_sa:
+        # AC at two precisions: first scans at Al=1 (toward-zero point
+        # transform), then Ah=1→Al=0 refinement scans
+        scans.append((([0], 1, 5, 0, 1), ac_scan(0, 1, 5, al=1)))
+        scans.append((([0], 6, 63, 0, 1), ac_scan(0, 6, 63, al=1)))
+        for ci in range(1, len(comps)):
+            scans.append((([ci], 1, 63, 0, 1), ac_scan(ci, 1, 63, al=1)))
+        scans.append((([0], 1, 5, 1, 0), ac_refine_scan(0, 1, 5, 0)))
+        scans.append((([0], 6, 63, 1, 0), ac_refine_scan(0, 6, 63, 0)))
+        for ci in range(1, len(comps)):
+            scans.append((([ci], 1, 63, 1, 0), ac_refine_scan(ci, 1, 63, 0)))
+    else:
+        scans.append((([0], 1, 5, 0, 0), ac_scan(0, 1, 5)))
+        scans.append((([0], 6, 63, 0, 0), ac_scan(0, 6, 63)))
+        for ci in range(1, len(comps)):
+            scans.append((([ci], 1, 63, 0, 0), ac_scan(ci, 1, 63)))
 
     # --- huffman tables from the union of each class's used symbols ------
     dc_syms: dict[int, set] = {c: set() for c in range(n_classes)}
@@ -738,19 +856,25 @@ def jpeg_file_bytes(mid: int, arr: np.ndarray) -> tuple[bytes, np.ndarray]:
     planted-pair separation."""
     v = mid % 12
     prog = (mid // 12) % 2 == 1
+    # of the progressive ids, alternate spectral-selection-only and
+    # full successive-approximation (AC Al=1 first + Ah=1 refinement)
+    sa = prog and (mid // 24) % 2 == 0
     if v == 5 and arr.shape[0] % 2 == 0 and arr.shape[1] % 2 == 0:
         return encode_jpeg_with_expected(
-            arr, quality=95, subsample=True, progressive=prog
+            arr, quality=95, subsample=True, progressive=prog, ac_sa=sa
         )
     if v == 8 and np.array_equal(arr[:, :, 0], arr[:, :, 1]) and np.array_equal(
         arr[:, :, 1], arr[:, :, 2]
     ):
-        return encode_jpeg_with_expected(arr, quality=96, gray=True, progressive=prog)
+        return encode_jpeg_with_expected(
+            arr, quality=96, gray=True, progressive=prog, ac_sa=sa
+        )
     if v == 11:
         return encode_jpeg_with_expected(
-            arr, quality=94, restart_interval=2, progressive=prog
+            arr, quality=94, restart_interval=0 if sa else 2,
+            progressive=prog, ac_sa=sa
         )
-    return encode_jpeg_with_expected(arr, quality=96, progressive=prog)
+    return encode_jpeg_with_expected(arr, quality=96, progressive=prog, ac_sa=sa)
 
 
 def image_file_bytes(mid: int, arr: np.ndarray) -> tuple[str, bytes, np.ndarray]:

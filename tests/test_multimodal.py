@@ -679,6 +679,12 @@ def test_jpeg_progressive_decode_matches_expected():
             data, expected = gen.encode_jpeg_with_expected(
                 arr, progressive=True, **kw
             )
+            if not kw.get("restart_interval"):
+                sa_data, sa_expected = gen.encode_jpeg_with_expected(
+                    arr, progressive=True, ac_sa=True, **kw
+                )
+                assert (sa_expected == expected).all()
+                assert (kernels.decode_jpeg(sa_data) == expected).all(), kw
             assert data[:4] != b"\xff\xd8\xff\xc0"
             assert b"\xff\xc2" in data  # SOF2 on the wire
             got = kernels.decode_jpeg(data)
@@ -691,29 +697,20 @@ def test_jpeg_progressive_decode_matches_expected():
             assert (kernels.decode_jpeg(base) == got).all()
 
 
-def test_jpeg_progressive_scope_rejection():
-    """AC successive-approximation refinement (Ss>0, Ah>0) — outside
-    the declared progressive subset — rejects by header check instead
-    of mis-decoding."""
+def test_jpeg_progressive_malformed_scan_headers_raise():
+    """Malformed progressive scan headers raise ValueError: a DC scan
+    claiming a nonzero Se, and a multi-component AC scan."""
     import pytest
 
     gen = _gen_module()
     arr = gen.make_image(1)
     data, _ = gen.encode_jpeg_with_expected(arr, progressive=True, quality=92)
-    # flip the FIRST AC scan's AhAl byte (Ss=1 scan) to Ah=1
-    k = 0
-    pos = 0
-    while True:
-        pos = data.index(b"\xff\xda", pos)
-        ln = int.from_bytes(data[pos + 2 : pos + 4], "big")
-        ns = data[pos + 4]
-        ss = data[pos + 5 + 2 * ns]
-        if ss > 0:
-            ahal_at = pos + 7 + 2 * ns
-            bad = data[:ahal_at] + bytes([0x10 | data[ahal_at] & 0x0F]) + data[ahal_at + 1 :]
-            break
-        pos += 2 + ln
-    with pytest.raises(ValueError, match="refinement"):
+    # first SOS is the interleaved DC scan: corrupt its Se byte
+    pos = data.index(b"\xff\xda")
+    ns = data[pos + 4]
+    se_at = pos + 6 + 2 * ns
+    bad = data[:se_at] + bytes([63]) + data[se_at + 1 :]
+    with pytest.raises(ValueError, match="Se"):
         kernels.decode_jpeg(bad)
 
 
