@@ -49,6 +49,15 @@ _ROTATION_FRONT = [
     "q95_cluster_size_profile",
     "q74_coactivity_graph",
     "q75_triangle_counts",
+    # the float-SUM-hash parity class retired mid-r10 (q101 flipped a
+    # last-cent tie in the ×100 sweep; the other five were the same
+    # latent class) — all six re-forms need fresh driver rows
+    "q101_cobucketed_revenue",
+    "q02_top_orders_by_segment",
+    "q09_running_revenue",
+    "q17_tumbling_window_events",
+    "q30_sliding_window_events",
+    "q31_session_window_events",
 ]
 # round each query number last earned a driver CORRECTNESS row
 _R9_CERTIFIED = (

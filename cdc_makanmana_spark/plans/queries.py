@@ -124,7 +124,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q02_top_orders_by_segment",
     """
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue,
            o.o_orderdate, o.o_orderpriority
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -143,12 +145,24 @@ def q02_top_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # exact BIGINT 10^-4-unit revenue (the q03/q101 r10 parity form) —
+    # the float SUM this replaces is order-dependent in its last cent
+    # and here it also drives the TOP-K ORDER, so a tie flip would
+    # reorder the result, not just shift a digit
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
+        .withColumn("__rev_c4", cents * (F.lit(100) - disc_c))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .agg(F.sum("__rev_c4").alias("__s"))
+        .select(
+            "o_orderkey",
+            F.expr("CAST((__s + 50) div 100 AS DOUBLE) / 100").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -337,9 +351,11 @@ def q08_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_running_revenue",
     """
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                 OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS running_total
     FROM orders
     """,
 )
@@ -352,8 +368,18 @@ def q09_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DECIMAL accumulation: a float running sum is order-exact here by
+    # construction (the frame defines the order) but its VALUE still
+    # diverges from DuckDB's at a 2-dp rounding tie once partials
+    # differ in the last ulp — the q101-at-x100 parity class. 2-dp
+    # source data sums exactly in DECIMAL on both engines.
     return o.select(
-        "o_custkey", "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("running_total")
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double"),
+            2,
+        ).alias("running_total"),
     )
 
 
@@ -559,7 +585,9 @@ def q16_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q17_tumbling_window_events",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n_events, round(sum(value), 4) AS total_value
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -571,7 +599,12 @@ def q17_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
 
@@ -1295,7 +1328,9 @@ def q29_priority_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS window_start,
              value
       FROM events)
-    SELECT window_start, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT window_start, count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS total_value
     FROM w GROUP BY window_start
     """,
 )
@@ -1306,7 +1341,12 @@ def q30_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
@@ -1327,7 +1367,9 @@ def q30_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                             ROWS UNBOUNDED PRECEDING) AS sid
       FROM o)
     SELECT user_id, min(ts) AS session_start,
-           count(*) AS n_events, round(sum(value), 4) AS total_value
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE), 4)
+             AS total_value
     FROM g GROUP BY user_id, sid
     """,
 )
@@ -1339,7 +1381,12 @@ def q31_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double"), 4
+            ).alias("total_value"),
+        )
         .select(
             "user_id", F.col("w.start").alias("session_start"), "n_events", "total_value"
         )
@@ -6070,7 +6117,9 @@ def _cobucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> tuple[str, 
     "q101_cobucketed_revenue",
     """
     SELECT o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+                // 100 AS DOUBLE) / 100 AS revenue,
            count(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -6093,15 +6142,25 @@ def q101_cobucketed_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     to, tl = _cobucketed_orders_lineitem(spark, sf_dir)
     o = spark.table(to)
     li = spark.table(tl)
+    # revenue in exact BIGINT 10^-4 units with integer half-up division
+    # — the q03 r10 form. The float SUM this replaces diverged from
+    # DuckDB's accumulation order in the LAST CENT at ~6e11 per-group
+    # totals (caught by the r10 ×100 sweep: 602675938987.79 vs .78 —
+    # the same parity class q03 fixed in r9, latent here because the
+    # tie only surfaces at ×100 totals and depends on partial-agg
+    # order, i.e. flaky across runs).
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
     return (
         o.hint("merge")
         .join(li, o.o_orderkey == li.l_orderkey)
+        .withColumn("__rev_c4", cents * (F.lit(100) - disc_c))
         .groupBy("o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+        .agg(F.sum("__rev_c4").alias("__s"), F.count(F.lit(1)).alias("n_items"))
+        .select(
+            "o_orderpriority",
+            F.expr("CAST((__s + 50) div 100 AS DOUBLE) / 100").alias("revenue"),
+            "n_items",
         )
     )
 
