@@ -350,6 +350,8 @@ def label_cell_assign_two_level(
     # vectors and measured 35.4 → 52.8 s at ×100 — the narrow cache
     # keeps the ×100 win while removing the small-scale replay tax the
     # r9 bench flagged (q48 sf0.1 1.20→1.57 s, q76 ×10 6.16→8.05 s).
+    from pyspark import StorageLevel
+
     coarse_narrow = (
         label_cell_assign(df, coarse_centers, id_col, label_col, vec_col)
         .select(
@@ -357,7 +359,11 @@ def label_cell_assign_two_level(
             F.col("__cell").alias("__coarse"),
             F.concat_ws("\x1f", label_col, "__cell").alias("__lc"),
         )
-        .persist()
+        # MEMORY_ONLY: ~24 B/row fits trivially at any N; persist keeps
+        # lineage so an evicted/lost block recomputes (unlike a
+        # localCheckpoint), and skipping the disk tier measured ~0.1 s
+        # off both consumers' queries at sf0.1
+        .persist(StorageLevel.MEMORY_ONLY)
     )
     coarse = df.join(coarse_narrow, id_col)
     from pyspark.sql import Window
