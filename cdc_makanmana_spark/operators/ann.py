@@ -99,8 +99,62 @@ def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
-def lsh_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0."""
+def _dlit(x: float) -> str:
+    """Exact double literal for a generated SQL fragment: Python's
+    shortest round-trip repr + the D suffix (parsed by Java's
+    Double.parseDouble — also shortest-round-trip, so the JVM sees the
+    identical IEEE value ``F.lit(float(x))`` would carry)."""
+    return repr(float(x)) + "D"
+
+
+def _dot_sql(vec_sql: str, values: list[float]) -> str:
+    """SQL text of ``_dot(vec, array(values))`` — same zip_with cast ×
+    cast product and same sequential left fold from 0.0, so the parsed
+    expression is operator-for-operator the Column-API tree."""
+    arr = ",".join(_dlit(x) for x in values)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2sq_sql(vec_sql: str, center: list[float]) -> str:
+    """SQL text of ``_l2sq_vs_literal`` — identical lambda and fold."""
+    arr = ",".join(_dlit(x) for x in center)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({arr}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def lsh_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
+    """SQL text of :func:`lsh_signature` over ``vec_sql``.
+
+    WHY a string: the Column-API construction costs ~80 py4j
+    round-trips per plane (64 literals + the HOF lambdas), which at
+    8 bits × 4 bands measured ~4 s of pure driver time per build —
+    half of q61/q109's whole wall (r10 probe). One ``F.expr`` parse of
+    this text builds the same tree in the JVM in milliseconds."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = _dot_sql(vec_sql, p)
+        bits.append(
+            f"shiftleft(CASE WHEN {dot} > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END, {i})"
+        )
+    return "(" + " | ".join(bits) + ")"
+
+
+def lsh_signature(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit signature: bit i set iff dot(vec, plane_i) > 0.
+
+    Pass the column NAME to get the single-``F.expr`` construction
+    (fast driver build — see :func:`lsh_signature_sql`); a Column
+    falls back to the per-plane Column-API loop (same tree)."""
+    if isinstance(vec_col, str):
+        return F.expr(lsh_signature_sql(f"`{vec_col}`", planes))
     sig = None
     for i, p in enumerate(planes):
         pl = F.array(*[F.lit(float(x)) for x in p])
@@ -134,7 +188,7 @@ def cosine_topk_lsh(
         if sum(a * b for a, b in zip(query_vec, p)) > 0:
             qsig |= 1 << i
 
-    sig = lsh_signature(F.col(vec_col), planes)
+    sig = lsh_signature(vec_col, planes)
     hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
     return (
         df.withColumn("__ham", hamming)
@@ -198,16 +252,13 @@ def ivf_assign(
     lexicographic, ties go to the lower cell id). Map-only, no shuffle,
     no ML model object needed at serve time: the index you ship to a
     query node is just the centroid lists."""
-    cells = F.array(
-        *[
-            F.struct(
-                _l2sq_vs_literal(F.col(vec_col), c).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(centers)
-        ]
+    # argmin as ONE parsed expression (the py4j-chatter fix shared
+    # with lsh_signature_sql): same named_struct/array_min tree.
+    cells = ",".join(
+        f"named_struct('d', {_l2sq_sql(f'`{vec_col}`', c)}, 'i', {i})"
+        for i, c in enumerate(centers)
     )
-    return df.withColumn("__cell", F.array_min(cells)["i"])
+    return df.withColumn("__cell", F.expr(f"array_min(array({cells}))['i']"))
 
 
 def label_seed_cells(
@@ -535,19 +586,23 @@ def _band_signatures(
     transcriptions (q61, q109) replay it literally, so it lives in
     exactly one place. Vectors ride along deliberately (see the
     shuffle-volume note in :func:`embedding_near_duplicates`)."""
-    band_sigs = []
-    for bi in range(bands):
-        planes = _hyperplanes(dim, bits, seed + 1_000_003 * bi)
-        band_sigs.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                lsh_signature(F.col(vec_col), planes).alias("sig"),
-            )
+    # The whole (band, sig) struct array rides ONE F.expr: the former
+    # per-band Column-API loop paid thousands of py4j round-trips
+    # (measured ~4 s per build at 8 bits × 4 bands — r10 probe); the
+    # parsed tree is identical (named_struct of int band + the same
+    # shiftleft/CASE/aggregate signature).
+    band_structs = ",".join(
+        f"named_struct('band', {bi}, 'sig', "
+        + lsh_signature_sql(
+            f"`{vec_col}`", _hyperplanes(dim, bits, seed + 1_000_003 * bi)
         )
+        + ")"
+        for bi in range(bands)
+    )
     return df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__vec"),
-        F.explode(F.array(*band_sigs)).alias("__bs"),
+        F.explode(F.expr(f"array({band_structs})")).alias("__bs"),
     )
 
 
@@ -836,17 +891,18 @@ def pq_encode(
     codes."""
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    v = F.col(vec_col).cast("array<double>")
+    # per-subspace argmin as parsed expressions (the py4j-chatter fix
+    # shared with lsh_signature_sql): identical slice/struct/array_min
+    # trees, built JVM-side from one string each.
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
     code_cols = []
     for s in range(m):
-        sv = F.slice(v, s * sub + 1, sub)
-        cells = F.array(
-            *[
-                F.struct(_l2sq_vs_literal(sv, c).alias("d"), F.lit(j).alias("i"))
-                for j, c in enumerate(codebooks[s])
-            ]
+        sv = f"slice({v_sql}, {s * sub + 1}, {sub})"
+        cells = ",".join(
+            f"named_struct('d', {_l2sq_sql(sv, c)}, 'i', {j})"
+            for j, c in enumerate(codebooks[s])
         )
-        code_cols.append(F.array_min(cells)["i"])
+        code_cols.append(F.expr(f"array_min(array({cells}))['i']"))
     return df.withColumn("__codes", F.array(*code_cols))
 
 

@@ -404,7 +404,10 @@ def minhash_signatures(
         df.select(F.col(id_col).alias("__id"), text_col), text_col, ["__id"], shingle_n
     ).select("__id", F.xxhash64("__s").alias("__h0"))
     agg = sh.groupBy("__id").agg(
-        *[F.min(F.xxhash64("__h0", F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)]
+        *[
+            F.expr(f"min(xxhash64(`__h0`, {i}))").alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
     )
     return agg.select(
         "__id", F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature")
@@ -416,25 +419,19 @@ def _band_buckets(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     buckets: one row per (doc, band) with ``bucket`` = hash of that
     band's signature slice. Docs sharing any (band, bucket) are LSH
     candidates."""
+    band_structs = ",".join(
+        "named_struct('band', {b}, 'bucket', xxhash64({args}))".format(
+            b=b,
+            args=",".join(
+                f"`signature`[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return sigs.select(
         "__id",
         "signature",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col("signature")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(F.expr(f"array({band_structs})")).alias("bb"),
     ).select("__id", "signature", "bb.band", "bb.bucket")
 
 
@@ -623,27 +620,30 @@ def simhash_buckets(
         # plain explode: the blank-text policy guarantees >= 1 token
         F.col(id_col).alias("__id"), F.explode(tokens).alias("__t")
     ).select("__id", hash_expr.alias("__h"))
-    h = F.col("__h")
+    # The 64 per-bit vote aggregates and the sign-bit reassembly are
+    # built as parsed SQL text — identical trees to the former
+    # Column-API loops at a fraction of the driver py4j cost (the
+    # lsh_signature_sql fix; ~1 s off q25's build at sf0.1).
     votes = tok.groupBy("__id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN (shiftright(`__h`, {i}) & 1) = 1 "
+                "THEN 1 ELSE -1 END)"
             ).alias(f"__b{i}")
             for i in range(bits)
         ]
     )
     # bit 63 as a long would overflow 2**63; shiftleft keeps it in
     # two's-complement like a real sign-bit set.
-    bit_cols = [
-        F.shiftleft(
-            F.when(F.col(f"__b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
-            i,
+    simhash = F.expr(
+        "("
+        + " | ".join(
+            f"shiftleft(CASE WHEN `__b{i}` > 0 THEN CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END, {i})"
+            for i in range(bits)
         )
-        for i in range(bits)
-    ]
-    simhash = bit_cols[0]
-    for b in bit_cols[1:]:
-        simhash = simhash.bitwiseOR(b)
+        + ")"
+    )
     # Signatures feed both sides of the Hamming-bucket self-join →
     # materialize the (id, long) table once (see _materialize).
     return _materialize(votes.select("__id", simhash.alias("simhash")))
@@ -722,17 +722,20 @@ def hamming_pairs(
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     offsets = [sum(widths[:i]) for i in range(n_chunks)]
 
+    # combination-key array as one parsed expression (the
+    # lsh_signature_sql py4j-chatter fix): same named_struct/xxhash64
+    # tree per 3-chunk combination.
     def chunk(i):
-        return F.shiftright("simhash", offsets[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        return f"(shiftright(`simhash`, {offsets[i]}) & {(1 << widths[i]) - 1})"
 
-    keys = F.array(
-        *[
-            F.struct(
-                F.lit(n).alias("k"),
-                F.xxhash64(chunk(a), chunk(b), chunk(c)).alias("v"),
-            )
+    keys = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('k', {n}, 'v', "
+            f"xxhash64({chunk(a)}, {chunk(b)}, {chunk(c)}))"
             for n, (a, b, c) in enumerate(combinations(range(n_chunks), 3))
-        ]
+        )
+        + ")"
     )
     keyed = groups.select("simhash", F.explode(keys).alias("kk")).select(
         "simhash", "kk.k", "kk.v"

@@ -6879,7 +6879,6 @@ def q109_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
     The deterministic vec_id % 10 split plays the benchmark
     corpus (_Q109_BENCH_MOD)."""
     from cdc_makanmana_spark.operators.ann import embedding_cross_hits
-    from pyspark.sql import Window
 
     e = _t(spark, sf_dir, "embeddings")
     bench = e.filter(F.col("vec_id") % _Q109_BENCH_MOD == 0)
@@ -6894,21 +6893,25 @@ def q109_embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFram
         seed=_Q109_SEED,
         max_bucket=_Q109_MAX_BUCKET,
     )
-    w = Window.partitionBy("corpus_id").orderBy(
-        F.desc("cosine_sim"), F.asc("bench_id")
-    )
-    return (
-        hits.withColumn("__rn", F.row_number().over(w))
-        .withColumn(
-            "n_bench_hits", F.count(F.lit(1)).over(Window.partitionBy("corpus_id"))
-        )
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("corpus_id").alias("vec_id"),
-            "n_bench_hits",
-            F.col("bench_id").alias("top_bench_id"),
-            F.col("cosine_sim").alias("top_cos"),
-        )
+    # Per-corpus-doc report as ONE hash aggregate: count + max_by over
+    # the (cos DESC, bench_id ASC) order key — value-identical to the
+    # former row_number/count double window (bench_id is unique within
+    # a corpus_id group, so the ordering struct has no ties; Spark
+    # normalizes -0.0 in comparisons, and cosines are never NaN), but
+    # with map-side partials: the shuffle moves one (count, top) pair
+    # per corpus doc instead of every hit row through a window sort —
+    # r10 optimization, guide §2.3 (aggregate before you shuffle).
+    return hits.groupBy("corpus_id").agg(
+        F.count(F.lit(1)).alias("n_bench_hits"),
+        F.max_by(
+            F.struct("bench_id", "cosine_sim"),
+            F.struct(F.col("cosine_sim"), (-F.col("bench_id")).alias("nb")),
+        ).alias("__top"),
+    ).select(
+        F.col("corpus_id").alias("vec_id"),
+        "n_bench_hits",
+        F.col("__top.bench_id").alias("top_bench_id"),
+        F.col("__top.cosine_sim").alias("top_cos"),
     )
 
 
