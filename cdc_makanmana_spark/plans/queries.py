@@ -6985,26 +6985,30 @@ def q110_multimodal_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage: generalizes the enrichment-pipeline shape of
     dataManager.ts:132-187 to binary payload enrichment.
 
-    Plan shape: ONE binaryFile scan + ONE Arrow decode/fingerprint
-    pass (media_fingerprints), materialized, then per-kind Hamming
-    blocking over the 16-byte signatures — the per-modality operators
-    consumed separately re-ran the scan+decode once per modality
-    (measured ~5.2 s vs ~3.5 s for the fused form on the fixture)."""
-    from cdc_makanmana_spark.multimodal.binary import (
-        media_fingerprints,
-        read_media_dir,
-    )
+    Plan shape: ONE binaryFile scan + ONE Arrow classify+decode+
+    fingerprint pass (media_fingerprints_dir — r10: the former
+    read_media_dir → media_fingerprints chain shipped every payload
+    through the Python boundary twice; the fused pass crosses once
+    and returns only 16-byte signatures, q110 build 3.4 → ~2.2 s),
+    materialized, then per-kind Hamming blocking — the per-modality
+    operators consumed separately re-ran the scan+decode once per
+    modality (measured ~5.2 s vs ~3.5 s for the staged fused form)."""
+    from cdc_makanmana_spark.multimodal.binary import media_fingerprints_dir
     from cdc_makanmana_spark.operators.dedup import _materialize, hamming_pairs
 
     # glob-restrict the scan to this query's modalities: binaryFile
-    # lists and READS every file under the dir, and the metadata pass
-    # decodes each payload — without the filter q110 ships q111's
-    # video bytes through the scan just to drop them at the kind
-    # filter (measured +1.5 s after the Y4M fixtures landed)
-    media = read_media_dir(
-        spark, _MEDIA_FIXTURE_DIR, glob="*.{ppm,png,jpg,wav}", id_from="stem_digits"
+    # lists and READS every file under the dir — without the filter
+    # q110 ships q111's video bytes through the scan just to drop
+    # them at the kind filter (measured +1.5 s after the Y4M fixtures
+    # landed)
+    fps = _materialize(
+        media_fingerprints_dir(
+            spark,
+            _MEDIA_FIXTURE_DIR,
+            glob="*.{ppm,png,jpg,wav}",
+            id_from="stem_digits",
+        )
     )
-    fps = _materialize(media_fingerprints(media))
 
     def pairs(kind: str, dist: int) -> DataFrame:
         sigs = fps.filter(F.col("kind") == kind).select("media_id", "fp")

@@ -780,3 +780,40 @@ def test_jpeg_ingest_and_fingerprint_path(spark, tmp_path):
     assert rows[6]["meta"]["codec"] == "corrupt-jpeg"
     got = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
     assert got[5] == gen.ahash64(expected)
+
+
+def test_media_fingerprints_dir_matches_staged_chain(spark):
+    """The r10 fused scan→classify→fingerprint pass must be
+    row-identical to the staged read_media_dir → media_fingerprints
+    chain on the committed fixture mix (PPM/PNG/baseline+progressive
+    JPEG/WAV present), for both id derivations — the optimization only
+    removes the second payload crossing, never a row or a bit."""
+    from cdc_makanmana_spark.multimodal.binary import (
+        media_fingerprints,
+        media_fingerprints_dir,
+        read_media_dir,
+    )
+    from cdc_makanmana_spark.plans.queries import _MEDIA_FIXTURE_DIR
+
+    for id_from in ("stem_digits", "path_hash"):
+        staged = sorted(
+            tuple(r)
+            for r in media_fingerprints(
+                read_media_dir(
+                    spark,
+                    _MEDIA_FIXTURE_DIR,
+                    glob="*.{ppm,png,jpg,wav}",
+                    id_from=id_from,
+                )
+            ).collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in media_fingerprints_dir(
+                spark,
+                _MEDIA_FIXTURE_DIR,
+                glob="*.{ppm,png,jpg,wav}",
+                id_from=id_from,
+            ).collect()
+        )
+        assert fused == staged and len(fused) > 0
