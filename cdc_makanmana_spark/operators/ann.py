@@ -763,8 +763,24 @@ def embedding_cross_hits(
             return sigs
         return _cap_buckets(_materialize(sigs), max_bucket)
 
-    sc = prep(corpus)
-    sb = prep(bench)
+    if max_bucket is None:
+        sc = prep(corpus)
+        sb = prep(bench)
+    else:
+        # The two sides' signature materializations are INDEPENDENT
+        # eager jobs (each a localCheckpoint of its own _band_signatures
+        # scan) — submit them from two driver threads so the scheduler
+        # overlaps them and the smaller side's wall hides entirely
+        # inside the larger side's (guide §2.6 thread-pool overlap;
+        # actions are only sequential because driver code calls them
+        # sequentially). Results are identical by construction — the
+        # checkpoint content does not depend on submission timing.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_c = pool.submit(prep, corpus)
+            fut_b = pool.submit(prep, bench)
+            sc, sb = fut_c.result(), fut_b.result()
     candidates = (
         sc.select(
             F.col("__id").alias("corpus_id"), F.col("__vec").alias("vec_c"), "__bs"
