@@ -458,6 +458,29 @@ def sample_frames(media: DataFrame, every_nth: int = 2) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=out_schema)
 
 
+def _ahash_from_rgb(arr, grid: int = 8) -> int:
+    """aHash bits from a decoded H×W×3 array: ``grid``² nearest-neighbor
+    downsample → channel mean → above-mean bits. The single arithmetic
+    path behind every image/frame hash (so the fused video pass and the
+    staged PPM round-trip produce bit-identical hashes by construction)."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
+    return _ahash_from_lum(lum)
+
+
+def _ahash_from_lum(lum) -> int:
+    bits = (lum > lum.mean()).flatten()
+    h = 0
+    for i, b in enumerate(bits[:64]):
+        if b:
+            h |= 1 << i
+    # two's-complement into a signed 64-bit long for the LongType col
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
 def _image_ahash_one(p: bytes, m: dict, grid: int = 8) -> int:
     """Per-row image aHash kernel (decode → luminance → ``grid``²
     nearest-neighbor downsample → above-mean bits), shared by
@@ -467,18 +490,10 @@ def _image_ahash_one(p: bytes, m: dict, grid: int = 8) -> int:
     from cdc_makanmana_spark.multimodal import kernels
 
     if m["codec"] in ("ppm", "png", "jpeg"):
-        arr = kernels.decode_image(p, m["codec"])
-        lum = kernels.resize_nearest(arr, grid, grid).astype(np.float64).mean(axis=2)
-    else:
-        feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)
-        lum = np.asarray(feats, dtype=np.float64).reshape(grid, grid)
-    bits = (lum > lum.mean()).flatten()
-    h = 0
-    for i, b in enumerate(bits[:64]):
-        if b:
-            h |= 1 << i
-    # two's-complement into a signed 64-bit long for the LongType col
-    return h - (1 << 64) if h >= (1 << 63) else h
+        return _ahash_from_rgb(kernels.decode_image(p, m["codec"]), grid)
+    feats = _decode_stub(p, m["width"], m["height"], dim=grid * grid)
+    lum = np.asarray(feats, dtype=np.float64).reshape(grid, grid)
+    return _ahash_from_lum(lum)
 
 
 def _audio_fp_one(p: bytes, m: dict) -> int:
@@ -762,9 +777,16 @@ def video_near_duplicates(
     postings-per-hash, never |videos|². A re-encoded or trimmed copy
     shares most frame hashes; unrelated videos share none. Returns
     (id_a, id_b, n_shared)."""
-    fh = video_frame_hashes(media, every_nth).select(
-        "media_id", "fhash"
-    ).distinct()
+    return _shared_frame_pairs(
+        video_frame_hashes(media, every_nth), min_shared_frames
+    )
+
+
+def _shared_frame_pairs(fh: DataFrame, min_shared_frames: int) -> DataFrame:
+    """Postings pairing over a (media_id, frame_idx, fhash) frame —
+    the shared back half of :func:`video_near_duplicates` and the
+    fused :func:`video_near_duplicates_dir`."""
+    fh = fh.select("media_id", "fhash").distinct()
     a = fh.select(F.col("media_id").alias("id_a"), "fhash")
     b = fh.select(F.col("media_id").alias("id_b"), "fhash")
     return (
@@ -773,4 +795,102 @@ def video_near_duplicates(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared_frames)
+    )
+
+
+def video_frame_hashes_dir(
+    spark,
+    path: str,
+    glob: str = "*",
+    recursive: bool = False,
+    id_from: str = "path_hash",
+    every_nth: int = 2,
+) -> DataFrame:
+    """FUSED scan → classify → sample → per-frame aHash for video
+    directories: ``binaryFile`` to (media_id, frame_idx, fhash) in ONE
+    Arrow pass.
+
+    The staged chain (``read_media_dir`` → ``sample_frames`` →
+    ``video_frame_hashes``) is three ``mapInPandas`` stages: the
+    metadata pass decodes the Y4M container just to count frames and
+    re-emits the payload; the sampling pass decodes it AGAIN and
+    re-encodes every sampled frame as a PPM; the hash pass parses each
+    PPM back into the array it was encoded from — guide-§4 waste when
+    the consumer only wants frame hashes. Here the container is decoded
+    once and each sampled frame is hashed directly from the luma array.
+
+    Hash identity with the staged chain is by construction, not by
+    tolerance: ``encode_ppm``/``decode_ppm`` is a lossless P6 byte
+    round-trip, and the channel mean of a gray plane replicated ×3 is
+    exactly the gray value in float64 ((3x)/3 with 3x exact), so
+    ``_ahash_from_rgb`` on the replicated array sees bit-identical
+    luminance either way. The corrupt-payload contract is replicated
+    too: a Y4M whose header fails to parse is skipped exactly where the
+    staged metadata pass would have downgraded it to kind='binary'.
+    Only ``y4m`` maps to kind='video' in ``_EXT_MEDIA``, so the fused
+    dir path needs no stub branch (the stub frame path exists for
+    synthetic in-memory media frames, which don't come from a dir)."""
+    import numpy as np
+
+    from cdc_makanmana_spark.multimodal import kernels
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for mid, ext, payload in zip(
+                pdf["media_id"], pdf["__ext"], pdf["payload"]
+            ):
+                kind, codec = _EXT_MEDIA.get(ext, ("binary", ext))
+                if kind != "video":
+                    continue
+                try:
+                    frames = kernels.decode_y4m(bytes(payload))
+                except ValueError:
+                    continue  # kind='binary' in the staged metadata pass
+                for fi in range(0, frames.shape[0], every_nth):
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(
+                        _ahash_from_rgb(
+                            np.repeat(frames[fi][:, :, np.newaxis], 3, axis=2)
+                        )
+                    )
+            if ids:
+                yield pd.DataFrame(
+                    {"media_id": ids, "frame_idx": idxs, "fhash": hashes}
+                )
+
+    return _raw_media(spark, path, glob, recursive, id_from).mapInPandas(
+        batches, schema=FRAME_HASH_SCHEMA
+    )
+
+
+def video_near_duplicates_dir(
+    spark,
+    path: str,
+    glob: str = "*",
+    recursive: bool = False,
+    id_from: str = "path_hash",
+    min_shared_frames: int = 2,
+    every_nth: int = 2,
+) -> DataFrame:
+    """:func:`video_near_duplicates` served from the fused
+    :func:`video_frame_hashes_dir` single-pass scan.
+
+    The pairing self-join consumes the hash frame TWICE, and DataFrame
+    branches don't share subplans — the staged chain's executed plan
+    runs binaryFile → 3×MapInPandas once PER SIDE (6 payload
+    crossings, 6 container decodes per bench pass; see
+    plans/r10/q111_video_neardup_before.txt). Fusing cuts each side to
+    one crossing, and materializing the narrow (media_id, frame_idx,
+    fhash) result — ~20 B/row, frames/every_nth rows per video, vs the
+    raw payloads — lets both join sides read the SAME scan: one
+    decode+hash pass total, identical rows."""
+    from cdc_makanmana_spark.operators.dedup import _materialize
+
+    return _shared_frame_pairs(
+        _materialize(
+            video_frame_hashes_dir(spark, path, glob, recursive, id_from, every_nth)
+        ),
+        min_shared_frames,
     )

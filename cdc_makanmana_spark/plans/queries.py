@@ -7059,16 +7059,19 @@ def q111_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     story is the postings shape. Reference linkage: extends
     dataManager.ts:132-187's enrichment pipeline to frame-level
     binary payloads."""
-    from cdc_makanmana_spark.multimodal.binary import (
-        read_media_dir,
-        video_near_duplicates,
-    )
+    from cdc_makanmana_spark.multimodal.binary import video_near_duplicates_dir
 
-    media = read_media_dir(
-        spark, _MEDIA_FIXTURE_DIR, glob="*.y4m", id_from="stem_digits"
-    )
-    return video_near_duplicates(
-        media,
+    # r10: fused scan→decode→sample→hash pass (binary.py:
+    # video_frame_hashes_dir) + materialized hash frame — the staged
+    # read_media_dir → video_near_duplicates chain executed the
+    # 3-stage MapInPandas pipeline once PER JOIN SIDE (6 payload
+    # crossings, 6 Y4M decodes per run); row-identical by construction
+    # (test_video_frame_hashes_dir_matches_staged_chain).
+    return video_near_duplicates_dir(
+        spark,
+        _MEDIA_FIXTURE_DIR,
+        glob="*.y4m",
+        id_from="stem_digits",
         min_shared_frames=_Q111_MIN_SHARED,
         every_nth=_Q111_EVERY_NTH,
     ).select("id_a", "id_b", F.col("n_shared").cast("bigint").alias("n_shared"))

@@ -7,6 +7,8 @@ metadata-first pruning, executor-side row explosion."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import functions as F
 
@@ -814,6 +816,53 @@ def test_media_fingerprints_dir_matches_staged_chain(spark):
                 _MEDIA_FIXTURE_DIR,
                 glob="*.{ppm,png,jpg,wav}",
                 id_from=id_from,
+            ).collect()
+        )
+        assert fused == staged and len(fused) > 0
+
+
+def test_video_frame_hashes_dir_matches_staged_chain(spark, tmp_path):
+    """The r10 fused scan→decode→sample→hash video pass must be
+    row-identical to the staged read_media_dir → video_frame_hashes
+    chain on the committed Y4M fixtures — including the corrupt-payload
+    downgrade (a truncated Y4M drops in both paths) and the every_nth
+    sampling indexes. The fusion removes two payload boundary crossings
+    and the per-frame PPM encode/parse round-trip, never a row or a
+    bit (encode_ppm/decode_ppm is lossless and the ×3-replicated gray
+    channel mean is exactly the gray value in float64)."""
+    import shutil
+
+    from cdc_makanmana_spark.multimodal.binary import (
+        read_media_dir,
+        video_frame_hashes,
+        video_frame_hashes_dir,
+    )
+    from cdc_makanmana_spark.plans.queries import _MEDIA_FIXTURE_DIR
+
+    d = tmp_path / "m"
+    d.mkdir()
+    n_good = 0
+    for name in sorted(os.listdir(_MEDIA_FIXTURE_DIR)):
+        if name.endswith(".y4m"):
+            shutil.copy(os.path.join(_MEDIA_FIXTURE_DIR, name), d / name)
+            n_good += 1
+        if n_good >= 6:
+            break
+    # corrupt payload: header fails to parse → downgraded/skip in both
+    (d / "vid_09999.y4m").write_bytes(b"YUV4MPEG2 garbage")
+
+    for every_nth, id_from in ((2, "stem_digits"), (3, "path_hash")):
+        staged = sorted(
+            tuple(r)
+            for r in video_frame_hashes(
+                read_media_dir(spark, str(d), glob="*.y4m", id_from=id_from),
+                every_nth=every_nth,
+            ).collect()
+        )
+        fused = sorted(
+            tuple(r)
+            for r in video_frame_hashes_dir(
+                spark, str(d), glob="*.y4m", id_from=id_from, every_nth=every_nth
             ).collect()
         )
         assert fused == staged and len(fused) > 0
