@@ -2380,8 +2380,7 @@ def q46_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_makanmana_spark.functions.text import quality_score
     from cdc_makanmana_spark.operators.dedup import (
         _norm_text,
-        _spread,
-        dedup_exact,
+        doc_fingerprint,
         md5_hash64,
     )
 
@@ -2391,7 +2390,7 @@ def q46_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("text").isNotNull())
     )
     words = F.split(_norm_text(F.col("text")), " ")
-    scored = _spread(d).select(
+    scored = d.select(
         "doc_id",
         "lang",
         "text",
@@ -2400,7 +2399,29 @@ def q46_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1.0 - F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("rep"),
     )
     kept = scored.filter((F.col("q") >= 0.5) & (F.col("rep") <= 0.6))
-    deduped = dedup_exact(kept, "text", "doc_id")
+    # r10: exact dedup inlined as a NARROW min_by aggregate instead of
+    # the generic dedup_exact join-back. The operator's decide-narrow/
+    # attach-by-join shape is right when survivors must carry wide
+    # payloads, but q46 only needs (doc_id, lang, n_words) downstream —
+    # the join form re-ran the scan + the 5-regex/split quality filter
+    # once PER JOIN SIDE (plan showed 2 parquet scans, the whole text
+    # tier twice). One scan, fingerprint projected once, and one
+    # map-side-partial aggregate shipping ~30 B per distinct text:
+    # keep-min semantics identical (doc_id unique ⇒ min_by tie-free;
+    # oracle hash-green at all SFs). The former _spread was also
+    # dropped on measurement: the filter pushed below its round-robin
+    # exchange anyway, so it only shipped full text for nothing —
+    # variants measured interleaved at sf0.1: join+spread 1.44 s,
+    # min_by+spread 1.14, min_by alone 0.70 (med of 7). At cluster
+    # scale the scan itself is thousands of tasks, so the spread's
+    # bench-fixture parallelism role (one row group = one task)
+    # doesn't exist there either.
+    deduped = (
+        kept.select("doc_id", "lang", "n_words", doc_fingerprint("text").alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min_by(F.struct("doc_id", "lang", "n_words"), F.col("doc_id")).alias("__r"))
+        .select("__r.*")
+    )
     bucket = F.pmod(
         md5_hash64(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), F.lit(100)
     )
