@@ -58,6 +58,24 @@ _ROTATION_FRONT = [
     "q17_tumbling_window_events",
     "q30_sliding_window_events",
     "q31_session_window_events",
+    # physical plans rewritten AFTER the rotation above was first cut
+    # (r10 optimization sessions: SQL-text expression families, the
+    # q109 max_by window fusion + threadpool prep, the q110/q111 fused
+    # Arrow passes, q46's single-scan min_by dedup) — values verified
+    # identical locally, but a rewritten plan must re-earn its DRIVER
+    # row in this round's window, not coast on a pre-rewrite
+    # certificate (the r9-ADVICE failure class). q23/q25/q112/q03/q92
+    # are already fronted above; the rest follow:
+    "q23_minhash_lsh_neardup",
+    "q25_simhash_hamming_pairs",
+    "q109_embedding_decontamination",
+    "q110_multimodal_neardup",
+    "q111_video_neardup",
+    "q46_training_pipeline",
+    "q61_embedding_lsh_neardup",
+    "q71_pq_topk",
+    "q27_ann_lsh_topk",
+    "q39_ann_ivf_topk",
 ]
 # round each query number last earned a driver CORRECTNESS row
 _R9_CERTIFIED = (
