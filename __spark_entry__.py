@@ -64,8 +64,8 @@ _ROTATION_FRONT = [
     # Arrow passes, q46's single-scan min_by dedup) — values verified
     # identical locally, but a rewritten plan must re-earn its DRIVER
     # row in this round's window, not coast on a pre-rewrite
-    # certificate (the r9-ADVICE failure class). q23/q25/q112/q03/q92
-    # are already fronted above; the rest follow:
+    # certificate (the r9-ADVICE failure class). q112/q03/q92 are
+    # already fronted above; q23/q25 and the rest follow here:
     "q23_minhash_lsh_neardup",
     "q25_simhash_hamming_pairs",
     "q109_embedding_decontamination",

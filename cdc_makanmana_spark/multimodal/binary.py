@@ -885,11 +885,16 @@ def video_near_duplicates_dir(
     one crossing, and materializing the narrow (media_id, frame_idx,
     fhash) result — ~20 B/row, frames/every_nth rows per video, vs the
     raw payloads — lets both join sides read the SAME scan: one
-    decode+hash pass total, identical rows."""
-    from cdc_makanmana_spark.operators.dedup import _materialize
+    decode+hash pass total, identical rows.
+
+    EAGER: ``materialize`` runs the scan+decode+hash job at CALL time
+    (see its docstring) — this function returns a lazy pairing plan
+    over an already-computed frame-hash table, not a fully lazy
+    DataFrame."""
+    from cdc_makanmana_spark.operators.dedup import materialize
 
     return _shared_frame_pairs(
-        _materialize(
+        materialize(
             video_frame_hashes_dir(spark, path, glob, recursive, id_from, every_nth)
         ),
         min_shared_frames,

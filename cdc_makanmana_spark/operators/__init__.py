@@ -18,6 +18,7 @@ from cdc_makanmana_spark.operators.dedup import (
     dedup_against_corpus,
     dedup_exact,
     dedup_keep_best,
+    materialize,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_buckets,
@@ -61,6 +62,7 @@ __all__ = [
     "similarity_join",
     "word_similarity_ratio",
     "dedup_exact",
+    "materialize",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
     "simhash_buckets",

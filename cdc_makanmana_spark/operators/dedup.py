@@ -90,8 +90,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame) -> DataFrame:
     """Cut lineage on a small, multiply-consumed intermediate.
+
+    EAGER: this submits the producing job at CALL time (plan
+    construction), not at the caller's first action — a function that
+    otherwise returns a lazy DataFrame becomes eager the moment it
+    wraps an intermediate in this. Callers across the operator modules
+    (dedup, ann, corpus, graph, range, multimodal) import it for
+    exactly that trade; release the blocks with
+    ``session.release_materialized`` at job boundaries.
 
     ``localCheckpoint`` stores the partitions on executors and truncates
     the plan, so N downstream consumers read it instead of re-running
@@ -102,6 +110,11 @@ def _materialize(df: DataFrame) -> DataFrame:
     — at 100 TB this intermediate becomes a checkpoint TABLE; the
     call sites are the places that table would go."""
     return df.localCheckpoint(eager=True)
+
+
+# historical private name — the cross-module call sites predate the
+# public promotion (r10 ADVICE)
+_materialize = materialize
 
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

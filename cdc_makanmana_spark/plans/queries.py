@@ -3345,7 +3345,16 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
        q104 tie lesson).
 
     Scans 2-3 are the whole exact tier — the GK bracket's floor.
-    x100 organic: 23.2 s naive → ~9 s fused."""
+    Since r11 they are two BRANCHES OF ONE LAZY PLAN: scan 2's
+    per-flag totals used to be collect()ed just to inline the
+    below-bracket anchors into scan 3 as literals, which serialized
+    the two scans around a driver barrier; the anchors now attach via
+    a 3-row null-safe broadcast join at the post-window filter, so the
+    scheduler overlaps both scans and the only remaining collect is
+    scan 1's (whose literals gate the band FILTER itself — that one
+    cannot be a join without shipping every fact row to a comparator).
+    x100 organic: 23.2 s naive → ~9 s fused (3 serial passes) → the
+    r11 overlap on top."""
     from cdc_makanmana_spark.operators.joins import join_null_safe
     from pyspark.sql import Window
 
@@ -3435,26 +3444,33 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__below_1"),
         )
     )
-    stats_rows = (
-        lvl1.groupBy("l_returnflag")
-        .agg(
-            F.sum("__lt_m").alias("__lt_m"),
-            F.sum("__le_m").alias("__le_m"),
-            F.sum("__lt_p").alias("__lt_p"),
-            F.sum("__le_p").alias("__le_p"),
-            F.sum("__below_0").alias("__below_0"),
-            F.sum("__below_1").alias("__below_1"),
-            F.count(F.when(F.col("l_suppkey").isNotNull(), F.lit(1))).alias(
-                "n_suppliers"
-            ),
-        )
-        .collect()  # 3 rows, same dictionary contract
+    # scans 2+3 are now BRANCHES OF ONE LAZY PLAN (r11, guide §2.6/§5):
+    # the former .collect() here forced the whole two-level aggregate
+    # to run as a serial eager job ahead of the band pass, purely so
+    # the per-flag below-bracket counts could re-enter scan 3 as
+    # literals. The band pass only needs those 3 rows AT ITS POST-
+    # WINDOW FILTER, so a null-safe broadcast join attaches them
+    # instead: both fact scans now submit inside the SAME job and the
+    # scheduler overlaps them on idle cores (the r10-measured win
+    # shape), and the driver barrier between them is gone. Aggregate
+    # expressions are byte-identical — only the delivery of __below_*
+    # changed (literal → broadcast column), which cannot alter values.
+    stats = lvl1.groupBy("l_returnflag").agg(
+        F.sum("__lt_m").alias("__lt_m"),
+        F.sum("__le_m").alias("__le_m"),
+        F.sum("__lt_p").alias("__lt_p"),
+        F.sum("__le_p").alias("__le_p"),
+        F.sum("__below_0").alias("__below_0"),
+        F.sum("__below_1").alias("__below_1"),
+        F.count(F.when(F.col("l_suppkey").isNotNull(), F.lit(1))).alias(
+            "n_suppliers"
+        ),
     )
-    below_of = {r["l_returnflag"]: (r["__below_0"], r["__below_1"]) for r in stats_rows}
 
     # scan 3 — the band: literal-predicate filter (in either bracket)
     # BEFORE the per-target explode, window over the tiny band,
-    # below-count anchors inlined as literals per (flag, target)
+    # below-count anchors joined in from the stats branch (3 rows,
+    # broadcast)
     def target_struct(m, i):
         p = ps[i]
         nv = m["nv"]
@@ -3467,11 +3483,10 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(rank).alias("position"),
             lit_d(m["blo"][i]).alias("blo"),
             lit_d(m["bhi"][i]).alias("bhi"),
-            F.lit(int(below_of.get(m["flag"], (0, 0))[i] or 0)).alias("below"),
         )
 
     targets = F.lit(None).cast(
-        "array<struct<ti:int,lo_idx:bigint,position:double,blo:double,bhi:double,below:bigint>>"
+        "array<struct<ti:int,lo_idx:bigint,position:double,blo:double,bhi:double>>"
     )
     in_any = F.lit(False)
     for m in metas:
@@ -3495,8 +3510,16 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("l_returnflag", F.col("__t.ti")).orderBy("__v")
-    ranked = band.withColumn("__r", F.row_number().over(w) - 1)
-    off = F.col("__r") + F.col("__t.below")
+    ranked = join_null_safe(
+        band.withColumn("__r", F.row_number().over(w) - 1),
+        stats.select("l_returnflag", "__below_0", "__below_1"),
+        ["l_returnflag"],
+        "inner",
+        hint=F.broadcast,
+    )
+    off = F.col("__r") + F.when(
+        F.col("__t.ti") == 0, F.col("__below_0")
+    ).otherwise(F.col("__below_1"))
     lo_hit = off == F.col("__t.lo_idx")
     hi_hit = off == F.col("__t.lo_idx") + 1
     picked = (
@@ -3556,32 +3579,25 @@ def q59_approx_group_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # assembly over per-flag frames (3 rows each): the collected
-    # estimate/stat scalars re-enter as a literal DataFrame, the exact
-    # percentiles join from the band pass
+    # scan-1 estimate scalars re-enter as a literal DataFrame; the
+    # exact percentiles and the count stats join from the two lazy
+    # fact branches (which the scheduler overlaps — no eager barrier
+    # between them since r11)
     est = spark.createDataFrame(
         [
             (m["flag"], m["nse"], m["n_rows"], m["nv"]) for m in metas
         ],
         "l_returnflag string, __nse bigint, n_rows bigint, __nv bigint",
     )
-    stats = spark.createDataFrame(
-        [
-            (
-                r["l_returnflag"],
-                r["__lt_m"],
-                r["__le_m"],
-                r["__lt_p"],
-                r["__le_p"],
-                r["n_suppliers"],
-            )
-            for r in stats_rows
-        ],
-        "l_returnflag string, __lt_m bigint, __le_m bigint, "
-        "__lt_p bigint, __le_p bigint, n_suppliers bigint",
-    )
     exact_n = F.coalesce(F.col("n_suppliers"), F.lit(0))
     joined = join_null_safe(est, pct, ["l_returnflag"], "left", hint=F.broadcast)
-    joined = join_null_safe(joined, stats, ["l_returnflag"], "left", hint=F.broadcast)
+    joined = join_null_safe(
+        joined,
+        stats.drop("__below_0", "__below_1"),
+        ["l_returnflag"],
+        "left",
+        hint=F.broadcast,
+    )
     return joined.select(
         "l_returnflag",
         checked("median_price"),

@@ -696,6 +696,56 @@ class TestBPE:
         assert "newest</w>" in toks[1]
 
 
+class TestQ46MinByDedupSemantics:
+    """Pin the r10 q46 rewrite's semantics (r10 ADVICE): the min_by
+    aggregate keeps EXACTLY ONE row per text fingerprint, keyed by min
+    doc_id — whereas the generic ``dedup_exact`` join-back keeps every
+    row carrying the min id. The two coincide only while doc_id is
+    unique per document, which the fixture contract guarantees; both
+    halves are pinned here so a duplicated-doc_id fixture would fail
+    loudly instead of silently changing q46's counts."""
+
+    def test_fixture_doc_ids_are_unique(self, spark, sf_dir):
+        from cdc_makanmana_spark.tables import load_table
+
+        d = load_table(spark, "documents", sf_dir)
+        total, distinct = d.select(
+            F.count("doc_id"), F.count_distinct("doc_id")
+        ).first()
+        assert total == distinct and total > 0
+
+    def test_min_by_keeps_one_row_per_fingerprint(self, spark):
+        from cdc_makanmana_spark.functions.text import doc_fingerprint
+
+        # doc_id 1 duplicated across two langs with identical text:
+        # min_by keeps ONE of the duplicate-id rows (the struct
+        # ordering breaks the doc_id tie by the remaining fields);
+        # dedup_exact's join-back would keep BOTH rows with id 1.
+        df = spark.createDataFrame(
+            [
+                (1, "en", "same words here"),
+                (1, "fr", "same words here"),
+                (2, "en", "same words here"),
+                (3, "de", "different words entirely"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        deduped = (
+            df.select("doc_id", "lang", doc_fingerprint("text").alias("__fp"))
+            .groupBy("__fp")
+            .agg(
+                F.min_by(
+                    F.struct("doc_id", "lang"), F.col("doc_id")
+                ).alias("__r")
+            )
+            .select("__r.*")
+        )
+        rows = {(r.doc_id, r.lang) for r in deduped.collect()}
+        assert len(rows) == 2  # one survivor per distinct text
+        assert (3, "de") in rows
+        assert {r[0] for r in rows} == {1, 3}  # min doc_id survives
+
+
 class TestCorpusPipeline:
     """CorpusPipeline facade: zero new semantics — its composition must
     equal the q46 pipeline's kept set, stage for stage."""
