@@ -24,60 +24,35 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
-# Driver-window rotation (round 10). The driver's correctness harness
+# Driver-window rotation (round 11). The driver's correctness harness
 # checks the FIRST 50 entries of queries() in declaration order.
-# Certification history: after r9 (CORRECTNESS_r09 — 50/50: q112 +
-# q33-q36/q38-q49/q51-q58/q60-q66/q68-q72/q76/q77/q87/q93/q96-q100/
-# q107-q110) the stalest certificates are the r7 ones (q73-q75,
-# q78-q85, q105, q106, q111); everything else carries r8 or r9 rows.
-# This round leads with the CHANGED queries — q112 (oracle tokenization
-# rewritten to the one-pass nested-replace form), q03 (integer-cents
-# revenue on both sides), q92/q48/q76 (engine plan changes: dropped
-# checkpoint / narrow-cached two-level blocker) — and the FIVE whose
-# oracle SQL the r9 diff rewrote AFTER their last driver row (the r9
-# ADVICE item): q37/q67/q95 (min-label propagation) and q74/q75
-# (bitset edge build). The rest fill stalest-first (r7 block, then the
-# r8 block by number). New queries (q113+) auto-front via _KNOWN_MAX.
+# Certification history: CORRECTNESS_r10 carries 50/50 rows for
+# q01-q17, q23, q25, q27, q30, q31, q37, q39, q46, q48, q61, q67,
+# q71, q73-q76, q78-q85, q92, q95, q101, q105, q106, q109-q112
+# (_R10_CERTIFIED below); everything else last certified r9 or
+# earlier. This round leads with the queries whose PLANS r11 changed
+# — q59 (exact-tier scans fused into one lazy plan) and q50 (lazy
+# batch signatures in the serve path) — plus q49: the r10 verdict's
+# one open gap (q49/q50's plans changed via the shared SQL-text
+# minhash/band-bucket helpers in r10, but their certificates predate
+# that rewrite and neither sat in the r10 window). The remaining 47
+# slots fill stalest-first, which pulls in every r8-and-older
+# certificate plus most of the r9 block. New queries (q113+)
+# auto-front via _KNOWN_MAX.
 _ROTATION_FRONT = [
-    "q112_bpe_tokenize",
-    "q03_region_nation_revenue",
-    "q92_source_overlap",
-    "q48_embedding_composite_block_neardup",
-    "q76_knn_graph",
-    "q37_duplicate_clusters",
-    "q67_cluster_dedup_report",
-    "q95_cluster_size_profile",
-    "q74_coactivity_graph",
-    "q75_triangle_counts",
-    # the float-SUM-hash parity class retired mid-r10 (q101 flipped a
-    # last-cent tie in the ×100 sweep; the other five were the same
-    # latent class) — all six re-forms need fresh driver rows
-    "q101_cobucketed_revenue",
-    "q02_top_orders_by_segment",
-    "q09_running_revenue",
-    "q17_tumbling_window_events",
-    "q30_sliding_window_events",
-    "q31_session_window_events",
-    # physical plans rewritten AFTER the rotation above was first cut
-    # (r10 optimization sessions: SQL-text expression families, the
-    # q109 max_by window fusion + threadpool prep, the q110/q111 fused
-    # Arrow passes, q46's single-scan min_by dedup) — values verified
-    # identical locally, but a rewritten plan must re-earn its DRIVER
-    # row in this round's window, not coast on a pre-rewrite
-    # certificate (the r9-ADVICE failure class). q112/q03/q92 are
-    # already fronted above; q23/q25 and the rest follow here:
-    "q23_minhash_lsh_neardup",
-    "q25_simhash_hamming_pairs",
-    "q109_embedding_decontamination",
-    "q110_multimodal_neardup",
-    "q111_video_neardup",
-    "q46_training_pipeline",
-    "q61_embedding_lsh_neardup",
-    "q71_pq_topk",
-    "q27_ann_lsh_topk",
-    "q39_ann_ivf_topk",
+    "q59_approx_group_sketches",
+    "q50_dedup_incremental_batch",
+    "q49_benchmark_decontamination",
 ]
 # round each query number last earned a driver CORRECTNESS row
+_R10_CERTIFIED = (
+    set(range(1, 18))
+    | {23, 25, 27, 30, 31, 37, 39, 46, 48, 61, 67, 71}
+    | set(range(73, 77))
+    | set(range(78, 86))
+    | {92, 95, 101, 105, 106}
+    | set(range(109, 113))
+)
 _R9_CERTIFIED = (
     set(range(33, 37))
     | set(range(38, 50))
@@ -88,7 +63,7 @@ _R9_CERTIFIED = (
     | set(range(96, 101))
     | set(range(107, 111))
     | {112}
-)
+) - _R10_CERTIFIED
 _R8_CERTIFIED = (
     {59, 104, 110, 23, 24, 37, 50, 67, 95}
     | set(range(86, 93))
@@ -96,10 +71,7 @@ _R8_CERTIFIED = (
     | set(range(101, 104))
     | set(range(1, 23))
     | set(range(25, 33))
-) - _R9_CERTIFIED
-_R7_CERTIFIED = (
-    set(range(40, 72)) | set(range(73, 86)) | {104, 105, 106, 110, 111}
-) - _R8_CERTIFIED - _R9_CERTIFIED
+) - _R9_CERTIFIED - _R10_CERTIFIED
 # highest query number existing when this rotation was written: anything
 # above it is NEW and auto-fronts even if _ROTATION_FRONT wasn't edited —
 # a brand-new query must never ship outside the driver's 50-entry window
@@ -112,11 +84,13 @@ def _rotated(names: list[str]) -> list[str]:
         return int(n.split("_", 1)[0][1:])
 
     def staleness(n: str) -> int:  # lower sorts first = stalest
+        if num(n) in _R10_CERTIFIED:
+            return 3
         if num(n) in _R9_CERTIFIED:
             return 2
         if num(n) in _R8_CERTIFIED:
             return 1
-        return 0  # r7 certificates — oldest on the surface
+        return 0  # pre-r8 certificates — oldest on the surface
 
     front = sorted((n for n in names if num(n) > _KNOWN_MAX), key=num)
     front += [n for n in _ROTATION_FRONT if n in names and n not in front]

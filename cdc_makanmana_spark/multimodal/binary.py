@@ -677,9 +677,12 @@ def media_fingerprints_dir(
                 if kind == "image":
                     # header guards replicate read_media_dir's
                     # corrupt-downgrade classification exactly
+                    # (ppm_dims validates body length too, so it
+                    # agrees with the staged pass's full decode_ppm
+                    # on every payload — r10 ADVICE nit)
                     try:
                         if codec == "ppm":
-                            kernels.decode_ppm(p)
+                            kernels.ppm_dims(p)
                         elif codec == "png":
                             kernels.png_dims(p)
                         elif codec == "jpeg":

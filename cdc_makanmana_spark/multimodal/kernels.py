@@ -38,8 +38,12 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """P6 bytes → (h, w, 3) uint8. Raises ValueError on non-P6 input."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int]:
+    """(w, h, data offset) of a P6 payload, validating header AND body
+    length — exactly ``decode_ppm``'s failure surface (ValueError on:
+    non-P6 magic, malformed header tokens, maxval != 255, truncated
+    pixel data) with none of its array construction, so header-only
+    guards classify a payload precisely as a full decode would."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header = magic, width, height, maxval — whitespace separated,
@@ -60,6 +64,27 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = tokens
     if maxval != 255:
         raise ValueError(f"unsupported maxval {maxval}")
+    # pos > len only when the payload ends AT the maxval token; with
+    # w*h == 0 the byte-count check below would pass vacuously, so pin
+    # the same ValueError np.frombuffer raised for an out-of-range
+    # offset in the pre-split decode
+    if pos > len(payload) or len(payload) - pos < w * h * 3:
+        raise ValueError("truncated P6 pixel data")
+    return w, h, pos
+
+
+def ppm_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the P6 header alone (body length still
+    validated) — the metadata/guard counterpart of ``png_dims`` /
+    ``jpeg_dims``; agrees with ``decode_ppm`` on exactly which
+    payloads are decodable."""
+    w, h, _ = _ppm_header(payload)
+    return w, h
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 bytes → (h, w, 3) uint8. Raises ValueError on non-P6 input."""
+    w, h, pos = _ppm_header(payload)
     data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return data.reshape(h, w, 3)
 
